@@ -1,0 +1,39 @@
+"""Builtin algorithm library (reference registry:
+coordinator/gscoordinator/builtin/app/.gs_conf.yaml:2-217; python
+wrappers python/graphscope/analytical/app/*.py).
+
+Every function takes a LinkGraph and returns a vertex-indexed result
+DataFrame (the reference's vertex_data context,
+core/context/vertex_data_context.h) or a scalar.
+"""
+
+from graphscope_spark.algorithms.pagerank import pagerank
+from graphscope_spark.algorithms.wcc import wcc
+from graphscope_spark.algorithms.cdlp import cdlp
+from graphscope_spark.algorithms.triangles import triangles, triangle_count
+from graphscope_spark.algorithms.degree import (
+    degree_centrality,
+    degree_assortativity_coefficient,
+)
+from graphscope_spark.algorithms.hits import hits
+from graphscope_spark.algorithms.kcore import k_core, k_shell
+from graphscope_spark.algorithms.clustering import (
+    avg_clustering,
+    clustering,
+    transitivity,
+)
+from graphscope_spark.algorithms.sssp import bfs, sssp, sssp_average_length, sssp_has_path
+from graphscope_spark.algorithms.centrality import eigenvector_centrality, katz_centrality
+from graphscope_spark.algorithms.lpa import lpa_u2i
+from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
+from graphscope_spark.algorithms.paths import is_simple_path
+
+__all__ = [
+    "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
+    "degree_centrality", "degree_assortativity_coefficient",
+    "hits", "k_core", "k_shell",
+    "clustering", "avg_clustering", "transitivity",
+    "bfs", "sssp", "sssp_average_length", "sssp_has_path",
+    "eigenvector_centrality", "katz_centrality",
+    "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
+]

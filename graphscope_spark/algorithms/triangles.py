@@ -1,0 +1,106 @@
+"""Triangle counting via degree-ordered orientation + sorted-adjacency
+intersection — reference parity: apps/clustering/triangles.h:43-158
+(stage 0 degree exchange :50-56; stage 1 orient each undirected edge
+low-degree → high-degree, ties by gid :75-92; stage 2 neighbor-set
+intersection crediting ALL THREE corners :120-133). Global count =
+Σ per-vertex / 3 (pregel twin apps/pregel/tc_pregel.h).
+
+Spark plan (all built-in, JVM-side — the "sorted-adjacency
+intersection" of the north rule without any Python UDF):
+
+1. simple undirected edges (self-loops dropped, canonical src<dst)
+2. degrees; orient a→b iff (deg(a),a) < (deg(b),b) — bounds oriented
+   out-degree by O(√m), which caps the intersection work on hubs (the
+   reason the reference orients too).
+3. adj = oriented.groupBy(src).collect_list(dst) sorted — one shuffle,
+   list length ≤ O(√m) so no straggler partitions even on mega-hubs.
+4. per oriented edge (a,b): common = array_intersect(adj[a], adj[b]);
+   each w ∈ common closes triangle {a,b,w}, found exactly once (via its
+   unique base edge in the orientation DAG).
+5. per-vertex counts: a,b credit |common|, every w credits 1.
+
+`mode="join"` is the pure 3-way self-join formulation (identical
+result; used as the SQL-oracle twin and for very-high-degree regimes
+where adjacency arrays would exceed batch memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, ID, SRC, LinkGraph
+
+
+def _oriented(graph: LinkGraph) -> DataFrame:
+    """Degree-ordered orientation of the simple undirected edge set."""
+    simple = graph.simple_edges()
+    deg = (
+        simple.select(F.col(SRC).alias(ID))
+        .unionAll(simple.select(F.col(DST).alias(ID)))
+        .groupBy(ID)
+        .agg(F.count("*").alias("degree"))
+    )
+    a = deg.select(F.col(ID).alias(SRC), F.col("degree").alias("deg_src"))
+    b = deg.select(F.col(ID).alias(DST), F.col("degree").alias("deg_dst"))
+    with_deg = simple.join(a, SRC).join(b, DST)
+    lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col(SRC) < F.col(DST))
+    )
+    return with_deg.select(
+        F.when(lower_first, F.col(SRC)).otherwise(F.col(DST)).alias(SRC),
+        F.when(lower_first, F.col(DST)).otherwise(F.col(SRC)).alias(DST),
+    )
+
+
+def triangles(graph: LinkGraph, mode: str = "array") -> DataFrame:
+    """Per-vertex triangle counts: DataFrame(id long, tricnt long)."""
+    oriented = _oriented(graph).cache()
+    oriented.count()
+
+    if mode == "array":
+        adj = oriented.groupBy(SRC).agg(F.sort_array(F.collect_list(DST)).alias("nbrs"))
+        adj_a = adj.select(F.col(SRC).alias("__a"), F.col("nbrs").alias("nbrs_a"))
+        adj_b = adj.select(F.col(SRC).alias("__b"), F.col("nbrs").alias("nbrs_b"))
+        tri_edges = (
+            oriented.join(adj_a, oriented[SRC] == adj_a["__a"])
+            .join(adj_b, oriented[DST] == adj_b["__b"])
+            .select(
+                SRC,
+                DST,
+                F.array_intersect("nbrs_a", "nbrs_b").alias("common"),
+            )
+            .where(F.size("common") > 0)
+        )
+        corners = (
+            tri_edges.select(F.explode("common").alias(ID), F.lit(1).alias("c"))
+            .unionAll(tri_edges.select(F.col(SRC).alias(ID), F.size("common").alias("c")))
+            .unionAll(tri_edges.select(F.col(DST).alias(ID), F.size("common").alias("c")))
+        )
+    elif mode == "join":
+        e1 = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
+        e2 = oriented.select(F.col(SRC).alias("b"), F.col(DST).alias("c"))
+        e3 = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
+        tris = e1.join(e2, "b").join(e3, ["a", "c"])
+        corners = (
+            tris.select(F.col("a").alias(ID), F.lit(1).alias("c"))
+            .unionAll(tris.select(F.col("b").alias(ID), F.lit(1).alias("c")))
+            .unionAll(tris.select(F.col("c").alias(ID), F.lit(1).alias("c")))
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    counts = corners.groupBy(ID).agg(F.sum("c").alias("tricnt"))
+    out = (
+        graph.vertices.select(ID)
+        .join(counts, ID, "left")
+        .select(ID, F.coalesce("tricnt", F.lit(0)).cast("long").alias("tricnt"))
+    )
+    oriented.unpersist()
+    return out
+
+
+def triangle_count(graph: LinkGraph, mode: str = "array") -> int:
+    """Global triangle count = Σ tricnt / 3."""
+    total = triangles(graph, mode=mode).agg(F.sum("tricnt")).collect()[0][0]
+    return int(total or 0) // 3

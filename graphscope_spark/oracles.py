@@ -1,0 +1,212 @@
+"""Pure-NumPy/Python reference implementations (golden generators).
+
+Replace the reference's gstest golden files (SURVEY.md §5,
+FIXTURES.md §3) — each oracle implements the EXACT semantics of the
+corresponding reference app, independently of any Spark code, on dense
+in-memory arrays. Comparisons: np.allclose(atol=1e-6) for floats, exact
+for ints.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+
+def _remap(edges: list[tuple[int, int]]):
+    """Arbitrary vertex ids → [0, n) index plus inverse map."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    return ids, idx
+
+
+def oracle_pagerank(
+    edges: list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-06,
+    max_iter: int = 100,
+    fixed_rounds: int | None = None,
+) -> dict[int, float]:
+    """apps/pagerank/pagerank_networkx.h:54-151 semantics."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vertices)}
+    n = len(vertices)
+    out_deg = np.zeros(n)
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        out_deg[idx[s]] += 1
+        adj[idx[s]].append(idx[d])
+    rank = np.full(n, 1.0 / n)
+    rounds = fixed_rounds if fixed_rounds is not None else max_iter
+    for _ in range(rounds):
+        dangling_sum = alpha * rank[out_deg == 0].sum()
+        base = (1 - alpha) / n + dangling_sum / n
+        new = np.full(n, base)
+        contrib = np.where(out_deg > 0, rank / np.maximum(out_deg, 1), 0.0)
+        for i, nbrs in adj.items():
+            for j in nbrs:
+                new[j] += alpha * contrib[i]
+        eps = np.abs(new - rank).sum()
+        rank = new
+        if fixed_rounds is None and eps < tol * n:
+            break
+    return {v: float(rank[idx[v]]) for v in vertices}
+
+
+def oracle_wcc(
+    edges: list[tuple[int, int]], vertices: list[int] | None = None
+) -> dict[int, int]:
+    """apps/projected/wcc_projected.h:70-180: comp = min id in the
+    undirected component (computed exactly via union-find)."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # path-compress to root, root is the min id by construction
+    return {v: find(v) for v in vertices}
+
+
+def oracle_cdlp(
+    edges: list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    max_round: int = 10,
+    directed: bool = True,
+) -> dict[int, int]:
+    """LDBC CDLP: sync rounds, label = mode of neighbor labels (in+out
+    for directed, multiplicity counted), min label on ties."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        nbrs[d].append(s)
+        if directed:
+            nbrs[s].append(d)
+    if not directed:
+        for s, d in edges:
+            nbrs[s].append(d)
+    label = {v: v for v in vertices}
+    for _ in range(max_round):
+        new = {}
+        for v in vertices:
+            if not nbrs[v]:
+                new[v] = label[v]
+                continue
+            counts = Counter(label[u] for u in nbrs[v])
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        label = new
+    return label
+
+
+def oracle_triangles(
+    edges: list[tuple[int, int]], vertices: list[int] | None = None
+) -> dict[int, int]:
+    """apps/clustering/triangles.h:43-158: per-vertex triangle counts via
+    degree-ordered orientation + intersection; all three corners credited."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    simple = {
+        (min(s, d), max(s, d)) for s, d in edges if s != d
+    }
+    deg = Counter()
+    for a, b in simple:
+        deg[a] += 1
+        deg[b] += 1
+    oriented: dict[int, set[int]] = defaultdict(set)
+    for a, b in simple:
+        if (deg[a], a) < (deg[b], b):
+            oriented[a].add(b)
+        else:
+            oriented[b].add(a)
+    tri = Counter()
+    for a in list(oriented):
+        for b in oriented[a]:
+            common = oriented[a] & oriented.get(b, set())
+            for w in common:
+                tri[a] += 1
+                tri[b] += 1
+                tri[w] += 1
+    return {v: tri.get(v, 0) for v in vertices}
+
+
+def oracle_hits(
+    edges: list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    tolerance: float = 0.01,
+    max_round: int = 100,
+    normalized: bool = True,
+) -> dict[int, tuple[float, float]]:
+    """apps/hits/hits.h:31-204 (hub init 1/N, max-normalize per round,
+    L1 stop on hub, final sum-normalize)."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vertices)}
+    n = len(vertices)
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    e_idx = [(idx[s], idx[d]) for s, d in edges]
+    for _ in range(max_round):
+        hub_last = hub.copy()
+        auth = np.zeros(n)
+        for s, d in e_idx:
+            auth[d] += hub_last[s]
+        hub = np.zeros(n)
+        for s, d in e_idx:
+            hub[s] += auth[d]
+        hub = hub / (hub.max() or 1.0)
+        auth = auth / (auth.max() or 1.0)
+        if np.abs(hub - hub_last).sum() <= tolerance:
+            break
+    if normalized:
+        hub = hub / (hub.sum() or 1.0)
+        auth = auth / (auth.sum() or 1.0)
+    return {v: (float(hub[idx[v]]), float(auth[idx[v]])) for v in vertices}
+
+
+def oracle_kcore(edges: list[tuple[int, int]], k: int) -> set[int]:
+    """apps/kcore/kcore.h peel loop on the simple undirected graph."""
+    simple = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    while True:
+        deg = Counter()
+        for a, b in simple:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= k}
+        new = {(a, b) for a, b in simple if a in keep and b in keep}
+        if new == simple:
+            return {v for e in simple for v in e}
+        simple = new
+
+
+def oracle_sssp(
+    edges: list[tuple[int, int, float]],
+    src: int,
+    vertices: list[int] | None = None,
+) -> dict[int, float]:
+    """Bellman-Ford (same fixpoint as sssp_projected.h)."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e[:2]})
+    dist = {v: float("inf") for v in vertices}
+    dist[src] = 0.0
+    for _ in range(len(vertices)):
+        changed = False
+        for s, d, w in edges:
+            if dist[s] + w < dist[d]:
+                dist[d] = dist[s] + w
+                changed = True
+        if not changed:
+            break
+    return dist

@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The configs here are the ones that matter at 100 TB on a 1000-executor
+cluster; they are harmless on local[*]:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting):
+  power-law web graphs concentrate edges on mega-hub keys, and AQE's
+  skew-join handling splits the oversized join partitions that a plain
+  hash-partitioned ``edges JOIN ranks ON src`` would otherwise produce.
+- Arrow on for every pandas boundary (UDFs + toPandas), no per-row Python.
+- shuffle.partitions scaled with parallelism (caller overridable) —
+  the reference's "fragments per worker"; at cluster scale set this to
+  2-3x total cores via spark-submit conf, AQE coalesces the tail.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "graphscope-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` default: $SPARK_GRAFT_MASTER or local[$SPARK_GRAFT_CPUS]
+    (falling back to local[*]). On a real cluster this is supplied by
+    spark-submit and the ``master`` arg is left None.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    if shuffle_partitions is None:
+        # local[N] → N partitions; on a cluster pass explicitly.
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        if inner.isdigit():
+            shuffle_partitions = int(inner)
+        else:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Iterative algorithms checkpoint per-superstep; keep lineage short.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # 128 MB scan splits: the sweet spot for wide parquet page tables.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
