@@ -1,0 +1,223 @@
+"""Deduplication suite for large-scale corpus curation:
+
+- exact_dedup            — hash-groupBy on md5(text)
+- shingles               — word n-gram shingling (lead-window, built-in)
+- ngram_jaccard_pairs    — n-gram Jaccard similarity pairs
+- minhash_signatures /
+  minhash_lsh_pairs      — MinHash + banded LSH candidate pairs
+- simhash64              — 64-bit SimHash (the one pandas-UDF kernel)
+
+Scale notes (100 TB corpus):
+- shingling & minhash are per-row map work — no shuffle, codegen'd;
+- the LSH bucket join shuffles only (band, bucket-key) pairs — the
+  classic trick that replaces the O(n²) similarity join;
+- the Jaccard pair join is quadratic per shared shingle — at scale,
+  use it only downstream of LSH candidates (ngram_jaccard_pairs takes
+  an optional candidate DataFrame for exactly that).
+
+MinHash uses md5-hex strings as the hash universe (lexicographic min),
+NOT a custom integer hash: md5 exists verbatim in every SQL engine, so
+signatures are reproducible bit-for-bit by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups: (h md5, keep_id = min doc_id, n copies)."""
+    return docs.groupBy(F.md5(text_col).alias("h")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n")
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id_col, sh string).
+
+    Uses posexplode + lead windows so the shingle set is identical to
+    the SQL-oracle formulation (string_split + lead)."""
+    tok = docs.select(
+        F.col(id_col), F.posexplode(F.split(text_col, " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = tok.select(
+        F.col(id_col),
+        F.concat_ws("|", *parts).alias("sh"),
+        parts[-1].alias("last"),
+    ).where(F.col("last").isNotNull())
+    return sh.select(id_col, "sh").distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with n-gram Jaccard ≥ threshold.
+
+    candidates: optional (a, b) DataFrame (e.g. LSH output) to restrict
+    the quadratic join — mandatory at corpus scale."""
+    sh = shingles(docs, n, text_col, id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates.select("a", "b").distinct(), ["a", "b"], "left_semi")
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "szb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, seed, mh): MinHash signature rows. Hash family:
+    h_seed(sh) = md5(seed || '|' || sh) compared lexicographically —
+    engine-portable and deterministic."""
+    spark = docs.sparkSession
+    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    sh = shingles(docs, n, text_col, id_col)
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))
+            ).alias("mh")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs (a, b) that collide in ≥1 LSH band.
+
+    Bands of `band_size` rows; band key = md5 of the concatenated
+    signature slice. Only (band, key) groups shuffle — never doc pairs.
+    """
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("seed"), F.col("mh")))
+                        ),
+                        lambda s: s["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("bkey")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("a"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _simhash64_py(text: str | None) -> int | None:
+    """64-bit SimHash over whitespace tokens with md5 token hashes —
+    signed int64 (Spark LongType has no unsigned)."""
+    if text is None:
+        return None
+    acc = [0] * 64
+    for tok in text.split(" "):
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@F.pandas_udf(LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """Arrow-batched SimHash (bit mixing is not SQL-expressible)."""
+    return text.map(_simhash64_py)
+
+
+def simhash_buckets(
+    docs: DataFrame, prefix_bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, simhash, bucket): bucket = top prefix_bits of the
+    simhash — near-dups (small Hamming distance) usually share the
+    prefix; bucket-join then verify with Hamming distance via
+    bit_count(xor) (built-in)."""
+    return docs.select(
+        F.col(id_col),
+        simhash64(F.col(text_col)).alias("simhash"),
+    ).withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, hamming) pairs within max_hamming, candidate-generated by
+    shared simhash prefix bucket (one shuffle on bucket)."""
+    s = simhash_buckets(docs, prefix_bits, text_col, id_col)
+    a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "bucket")
+    b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine(a, b)        — built-in expression (zip_with + aggregate in
+                        double precision; JVM-side, no Python)
+- knn_cosine          — brute-force top-k (the exact baseline)
+- knn_ivf             — IVF-style: restrict candidates to the query's
+                        coarse partition (any partition column; label
+                        works as a stand-in for a kmeans assignment)
+- lsh_hyperplane_*    — random-hyperplane (SimHash-for-vectors) LSH
+                        bucketing as the web-scale candidate generator
+
+Scale notes: brute-force is O(|Q|·|C|) — fine for |Q| small or as the
+verify stage after IVF/LSH candidate generation. The LSH signs come
+from a deterministic hash of (plane, dim) so buckets are reproducible
+with no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_cosine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k (query_id, vec_id, cos) by brute-force cosine.
+
+    queries: DataFrame(query_id, qvec). Deterministic tie-break on
+    vec_id. candidates: optional pre-filtered candidate set replacing
+    the full cross join (IVF/LSH output)."""
+    cand = candidates if candidates is not None else embeddings
+    crossed = queries.join(
+        F.broadcast(cand.select(F.col(id_col), F.col(vec_col)))
+        if candidates is None
+        else cand,
+        F.col(qid_col) != F.col(id_col),
+    )
+    scored = crossed.select(
+        qid_col,
+        id_col,
+        cosine(F.col(qvec_col), F.col(vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    partition_col: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    qpart_col: str = "qpart",
+) -> DataFrame:
+    """IVF-style ANN: candidates share the query's coarse partition
+    (inverted-file list). The join shuffles on the partition key only —
+    this is the 100 TB path (brute force verifies within the list)."""
+    cand = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.col(partition_col).alias("__part")
+    )
+    crossed = queries.join(
+        cand,
+        (F.col(qpart_col) == F.col("__part")) & (F.col(qid_col) != F.col(id_col)),
+    )
+    scored = crossed.select(
+        qid_col, id_col, cosine(F.col(qvec_col), F.col(vec_col)).alias("cos")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def _plane_sign(vec_col: str, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component sign for
+    (plane, dim): ±1 from xxhash64 parity — no stored model."""
+    return F.when(
+        F.pmod(F.xxhash64(F.lit(plane), F.lit(dim)), F.lit(2)) == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def lsh_hyperplane_bucket(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_col, bucket): sign-concatenation bucket over num_planes
+    deterministic ±1 hyperplanes. Buckets reproduce across runs and
+    engines that share xxhash64."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        signs = F.array(*[_plane_sign(vec_col, p, d) for d in range(dim)])
+        proj = dot(F.col(vec_col), signs)
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket * 2 + bit
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b) candidate pairs sharing an LSH bucket."""
+    b = lsh_hyperplane_bucket(df, num_planes, id_col, vec_col)
+    l = b.select(F.col(id_col).alias("a"), "bucket")
+    r = b.select(F.col(id_col).alias("b"), "bucket")
+    return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
