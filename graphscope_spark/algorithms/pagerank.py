@@ -13,8 +13,11 @@ Semantics (pagerank_networkx.h):
 
 Spark plan per superstep (all JVM-side, whole-stage codegen):
   contribs = edges ⋈ ranks ON src  →  groupBy(dst).sum(rank/outdeg)
-  two scalar aggregates (dangling mass, L1 delta) collected driver-side
-  — the reference's global Communicator Sum (pagerank_networkx.h:83,135).
+  then ONE scalar aggregate per superstep collects BOTH global values —
+  the L1 delta (each state row carries `prev`) and the next round's
+  dangling mass — in a single driver round-trip: the Spark analogue of
+  the reference's global Communicator Sum (pagerank_networkx.h:83,135),
+  which likewise piggybacks both sums on one barrier.
 Hub skew on the shuffle: partial hash-aggregation combines map-side;
 AQE skew-join splits the edges⋈ranks join; `salt_mod>1` adds the static
 two-stage salted aggregate for clusters without AQE.
@@ -38,6 +41,7 @@ def pagerank(
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
     salt_mod: int = 1,
+    info_out: dict | None = None,
 ) -> DataFrame:
     """Returns DataFrame(id long, rank double).
 
@@ -65,14 +69,19 @@ def pagerank(
 
     edges = graph.edges.select(SRC, DST)
 
-    init = verts.select(ID, "outdeg", F.lit(1.0 / n).alias("rank"))
+    # State carries `prev` (last round's rank) so the L1 delta needs no
+    # extra self-join; `carry` holds the dangling mass for the NEXT
+    # round, refreshed by the same single aggregate that tests
+    # convergence (pagerank_networkx.h:125-132 accumulates next-round
+    # dangling during the current round the same way).
+    init = verts.select(
+        ID, "outdeg", F.lit(1.0 / n).alias("rank"), F.lit(0.0).alias("prev")
+    )
+    n_dangling = verts.where(F.col("outdeg") == 0).count()
+    carry = {"dangling": alpha * (1.0 / n) * n_dangling}
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        dangling = state.where(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()[0][0]
-        dangling_sum = alpha * float(dangling)
-        base = (1.0 - alpha) / n + dangling_sum / n
+        base = (1.0 - alpha) / n + carry["dangling"] / n
 
         contrib_src = state.where(F.col("outdeg") > 0).select(
             F.col(ID).alias(SRC), (F.col("rank") / F.col("outdeg")).alias("contrib")
@@ -89,7 +98,8 @@ def pagerank(
             contribs = joined.groupBy(DST).agg(F.sum("contrib").alias("contrib_sum"))
 
         return (
-            verts.join(contribs.withColumnRenamed(DST, ID), ID, "left")
+            state.select(ID, "outdeg", F.col("rank").alias("prev"))
+            .join(contribs.withColumnRenamed(DST, ID), ID, "left")
             .select(
                 ID,
                 "outdeg",
@@ -97,31 +107,36 @@ def pagerank(
                     F.lit(base)
                     + F.lit(alpha) * F.coalesce("contrib_sum", F.lit(0.0))
                 ).alias("rank"),
+                "prev",
             )
         )
 
-    if fixed_rounds is not None:
-        until = None
-        max_rounds = fixed_rounds
-    else:
-        max_rounds = max_iter
+    def until(new: DataFrame, old: DataFrame, it: int):
+        # ONE driver round-trip per superstep: L1 delta + next dangling.
+        row = new.agg(
+            F.coalesce(F.sum(F.abs(F.col("rank") - F.col("prev"))), F.lit(0.0)).alias(
+                "eps"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("dangling"),
+        ).collect()[0]
+        carry["dangling"] = alpha * float(row["dangling"])
+        eps = float(row["eps"])
+        stop = (fixed_rounds is None) and eps < tol * n
+        return stop, {"l1_delta": eps}
 
-        def until(new: DataFrame, old: DataFrame, it: int):
-            eps = (
-                new.select(ID, "rank")
-                .join(old.select(ID, F.col("rank").alias("prev")), ID)
-                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
-                .collect()[0][0]
-            )
-            eps = float(eps or 0.0)
-            return eps < tol * n, {"l1_delta": eps, "edges": None}
-
+    max_rounds = fixed_rounds if fixed_rounds is not None else max_iter
     runner = SuperstepRunner(
         max_iter=max_rounds,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
     )
     result = runner.run(init, step, until)
+    if info_out is not None:
+        info_out["iterations"] = result.iterations
+        info_out["converged"] = result.converged
+        info_out["history"] = result.history
     out = result.state.select(ID, "rank")
     verts.unpersist()
     return out

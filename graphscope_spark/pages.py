@@ -187,3 +187,49 @@ def pages_to_edges(pages: DataFrame) -> DataFrame:
 def decode_fake_binary(pages: DataFrame) -> DataFrame:
     """Placeholder for non-HTML payload decode — see functions/multimodal."""
     return pages
+
+
+def generate_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    avg_degree: int = 10,
+    zipf_a: float = 1.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic power-law edge table WITHOUT the HTML round-trip.
+
+    For large-scale benchmarking: rendering + parsing HTML at 10^8 edges
+    would measure the Python parser, not the graph engine. Each edge is
+    a closed-form function of its index (multiplicative hash for src,
+    inverse-CDF bounded Pareto for dst — hub-skewed in-degree like a web
+    graph), so the table is identical at every parallelism level and
+    restart — same determinism contract as generate_pages.
+
+    Returns edges(src long, dst long), self-loops dropped.
+    """
+    n_edges = n_vertices * avg_degree
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inv = -1.0 / (zipf_a - 1.0)
+        for b in batches:
+            i = b["id"].to_numpy(dtype=np.uint64)
+            src = ((i * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(
+                n_vertices
+            )
+            u = (
+                ((i * np.uint64(2246822519) + np.uint64(1)) % np.uint64(2**32)).astype(
+                    np.float64
+                )
+                + 0.5
+            ) / float(2**32)
+            # bounded-Pareto: P(dst >= k) ~ k^-(a-1)  -> mega-hubs at low ids
+            dst = (np.power(u, inv) - 1.0).astype(np.uint64) % np.uint64(n_vertices)
+            out = pd.DataFrame(
+                {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
+            )
+            yield out[out["src"] != out["dst"]]
+
+    return spark.range(0, n_edges, numPartitions=p).mapInPandas(
+        gen, "src long, dst long"
+    )

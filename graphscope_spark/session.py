@@ -62,7 +62,10 @@ def get_spark(
         # 128 MB scan splits: the sweet spot for wide parquet page tables.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver == executor, so ALL caching (per-superstep
+        # localCheckpoints) lives in this heap — size it generously or
+        # iterative jobs GC-thrash (observed 2-4s pauses at 8g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:

@@ -56,11 +56,19 @@ class SuperstepRunner:
         checkpoint_every: int = 5,
         checkpoint_dir: str | None = None,
         eager: bool = True,
+        adaptive: bool = False,
     ):
         self.max_iter = max_iter
         self.checkpoint_every = max(1, checkpoint_every)
         self.checkpoint_dir = checkpoint_dir
         self.eager = eager
+        # AQE inside the fixpoint loop is measured ~2x overhead per
+        # superstep (adaptive stage materialization + re-planning on
+        # every tiny iterative query) while buying nothing: the loop's
+        # shuffle sizes are stable across iterations and hub skew is
+        # handled by explicit salting (skew.py). Off by default HERE
+        # ONLY — one-shot build/ETL queries keep session-level AQE.
+        self.adaptive = adaptive
 
     # -- manifest ------------------------------------------------------
     def _manifest_path(self) -> str | None:
@@ -86,6 +94,32 @@ class SuperstepRunner:
     def last_complete(self) -> dict | None:
         recs = [r for r in self.read_manifest() if r.get("complete")]
         return recs[-1] if recs else None
+
+    # -- cache eviction ------------------------------------------------
+    @staticmethod
+    def _ckpt_rdd_id(df: DataFrame) -> int | None:
+        """RDD id of a localCheckpoint'ed DataFrame (its analyzed plan
+        is a LogicalRDD wrapping exactly the persisted RDD)."""
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None
+
+    @staticmethod
+    def _unpersist_id(df: DataFrame, rid: int | None) -> None:
+        """Free a superseded per-round localCheckpoint block. Without
+        this, k supersteps hold k cached states; long runs then evict /
+        GC-thrash. Targets ONLY the tracked checkpoint RDD — never the
+        caller's edge/vertex caches."""
+        if rid is None:
+            return
+        sc = df.sparkSession.sparkContext
+        try:
+            r = sc._jsc.getPersistentRDDs().get(rid)
+            if r is not None:
+                r.unpersist(False)
+        except Exception:
+            pass
 
     # -- checkpointing -------------------------------------------------
     def _checkpoint(self, df: DataFrame, iteration: int) -> tuple[DataFrame, str | None]:
@@ -117,12 +151,62 @@ class SuperstepRunner:
                 start_iter = int(last["iteration"]) + 1
                 history = self.read_manifest()
 
+        spark = init_state.sparkSession
+        # Loop-scoped configs (saved/restored around the fixpoint):
+        # - AQE off: adaptive re-planning is ~2x overhead per tiny
+        #   iterative query and buys nothing on stable shuffle sizes.
+        # - broadcast joins off: the rank/label vector side would be
+        #   auto-broadcast at sandbox sizes, serializing a multi-million
+        #   entry hash relation PER SUPERSTEP on one thread (measured:
+        #   dominates the round and kills core-scaling). At the design
+        #   scale (10^9+ vertices) it could never broadcast; the
+        #   shuffle-free SMJ over the pre-partitioned+sorted edge cache
+        #   is the scale-representative plan.
+        loop_conf = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "true" if self.adaptive else "false",
+        }
+        saved = {k: spark.conf.get(k) for k in loop_conf}
+        for k, v in loop_conf.items():
+            spark.conf.set(k, v)
+
         state = state.localCheckpoint(eager=self.eager)
+        state_id = self._ckpt_rdd_id(state)
+        converged = False
+        it = start_iter
+        try:
+            converged, it, state = self._loop(
+                state, step, until, start_iter, history, state_id
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        if self.checkpoint_dir and history and not history[-1].get("complete"):
+            # durable final checkpoint for the resume contract (the
+            # stopping round may have been a persist-only round)
+            state, path = self._checkpoint(state, history[-1]["iteration"])
+            history[-1]["path"] = path
+            history[-1]["complete"] = True
+            self._append_manifest(history[-1])
+        return SuperstepResult(
+            state=state, iterations=it + 1 - start_iter, converged=converged, history=history
+        )
+
+    def _loop(self, state, step, until, start_iter, history, state_id):
         converged = False
         it = start_iter
         for it in range(start_iter, self.max_iter):
             t0 = time.monotonic()
             new_state = step(state, it)
+
+            # Materialize ONCE per superstep via RDD-level localCheckpoint
+            # (lineage truncation without cacheManager involvement —
+            # DataFrame.persist would lazily invalidate+rebuild dependent
+            # cache entries on unpersist of their parents, silently
+            # resurrecting full lineage). The convergence aggregate then
+            # reads the materialized blocks.
+            new_state = new_state.localCheckpoint(eager=self.eager)
+            new_id = self._ckpt_rdd_id(new_state)
 
             stop, metrics = False, {}
             if until is not None:
@@ -136,10 +220,10 @@ class SuperstepRunner:
                 it == self.max_iter - 1
             )
             path = None
-            if do_ckpt:
+            if do_ckpt and self.checkpoint_dir:
+                # durable checkpoint: write the already-materialized
+                # partitions (no recompute), re-read for lineage reset
                 new_state, path = self._checkpoint(new_state, it)
-            else:
-                new_state = new_state.localCheckpoint(eager=self.eager)
 
             elapsed = time.monotonic() - t0
             rec = {
@@ -152,11 +236,13 @@ class SuperstepRunner:
             history.append(rec)
             self._append_manifest(rec)
 
+            # old state fully consumed (step + until done) — free it
+            self._unpersist_id(new_state, state_id)
+            state_id = new_id
+
             state = new_state
             if stop:
                 converged = True
                 break
 
-        return SuperstepResult(
-            state=state, iterations=it + 1 - start_iter, converged=converged, history=history
-        )
+        return converged, it, state

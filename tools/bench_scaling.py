@@ -1,0 +1,109 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+No real cluster exists in the sandbox, so the N -> 4N executor
+criterion is evidenced by running the IDENTICAL PageRank job on the
+IDENTICAL deterministic input at two local parallelism levels
+(local[8] = N, local[32] = 4N), each in a fresh JVM via subprocess.
+`spark.sql.shuffle.partitions` scales with cores (session.py), exactly
+as a spark-submit cluster launch would scale it with executor count.
+
+Writes BENCH/BASELINE.md with the results table.
+
+Usage: python tools/bench_scaling.py [--pages-n 1000000] [--rounds 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, n_vertices: int, avg_degree: int, rounds: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    cmd = [
+        sys.executable, os.path.join(REPO, "bench.py"),
+        "--queries", "web_build,web_pagerank",
+        "--edge-vertices", str(n_vertices),
+        "--avg-degree", str(avg_degree),
+        "--pr-rounds", str(rounds),
+    ]
+    print(f"== local[{cores}] ==", file=sys.stderr, flush=True)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    if out.returncode != 0:
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"bench failed at local[{cores}]")
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vertices", type=int, default=5_000_000)
+    ap.add_argument("--avg-degree", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--levels", default="2,8")
+    args = ap.parse_args()
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    r_lo = run_level(lo, args.vertices, args.avg_degree, args.rounds)
+    r_hi = run_level(hi, args.vertices, args.avg_degree, args.rounds)
+
+    def thr(r: dict) -> float:
+        # steady-state (median superstep): a production PageRank run is
+        # O(10-100) supersteps, so the one-time JIT/codegen warmup round
+        # is noise there; the median is the honest per-superstep rate.
+        return r["pagerank"]["edges_per_sec_superstep_median"]
+
+    ratio = hi / lo
+    eff = (thr(r_hi) / thr(r_lo)) / ratio
+    e = r_lo["pagerank"]["edges"]
+    k = r_lo["pagerank"]["supersteps"]
+
+    result = {
+        "vertices": args.vertices,
+        "edges": e,
+        "supersteps": k,
+        "levels": {str(lo): r_lo["pagerank"], str(hi): r_hi["pagerank"]},
+        "wall": {str(lo): r_lo["queries"]["web_pagerank"],
+                 str(hi): r_hi["queries"]["web_pagerank"]},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(f"""# BENCH — measured north-rule metrics
+
+Protocol (BASELINE.md): identical deterministic job + input at two
+parallelism levels standing in for N and 4N executors; fresh JVM per
+level; `spark.sql.shuffle.partitions` scaled with cores.
+
+Input: deterministic closed-form power-law edge table
+({args.vertices:,} vertices, {e:,} edges, bounded-Pareto hub-skewed
+in-degree — Common-Crawl-shaped; pages.py generate_edges).
+Job: NetworkX-semantics PageRank, alpha=0.85, {k} supersteps
+(fixed-round for identical work at both levels).
+
+| level | supersteps | wall (s) | sec/superstep (median) | edges/sec/superstep (median) |
+|---|---|---|---|---|
+| local[{lo}] (N) | {k} | {result['wall'][str(lo)]} | {r_lo['pagerank']['sec_per_superstep_median']} | {thr(r_lo):,.0f} |
+| local[{hi}] (4N) | {k} | {result['wall'][str(hi)]} | {r_hi['pagerank']['sec_per_superstep_median']} | {thr(r_hi):,.0f} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8).
+
+Convergence: the same graph at tol=1e-6 (L1 < tol*N, NetworkX
+semantics) converges in {{see bench.py run without --pr-rounds}};
+per-vertex scores match the NumPy oracle to 1e-6 (pytest).
+""")
+    print(f"wrote {md}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
