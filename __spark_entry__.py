@@ -26,12 +26,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graphscope_spark import harness as H
 from graphscope_spark.algorithms import (
+    avg_clustering,
+    bfs,
     cdlp,
+    clustering,
     degree_assortativity_coefficient,
     degree_centrality,
+    edge_boundary,
+    eigenvector_centrality,
+    hits,
+    is_simple_path,
+    all_pairs_shortest_path_length,
+    closeness_centrality,
     k_core,
+    k_shell,
+    katz_centrality,
+    lpa_u2i,
     node_boundary,
     pagerank,
+    sssp,
+    sssp_average_length,
+    transitivity,
     triangles,
     wcc,
 )
@@ -160,6 +175,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb, queries, partition_col="label", k=3)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = H.load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_exact(emb, threshold=0.4)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = H.load(spark, sf_dir, "events")
     return (
@@ -213,6 +233,108 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(pages.count(), bad.count(), g.num_vertices(), g.num_edges())],
         "n_pages long, n_extract_mismatch long, n_vertices long, n_edges long",
     )
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    return bfs(g, src=1)
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    d = sssp(g, src=1, weight_col="w")
+    return d.select(
+        "id",
+        F.when(F.col("distance") == float("inf"), F.lit(-1.0))
+        .otherwise(F.round("distance", 6))
+        .alias("distance"),
+    )
+
+
+def q_sssp_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    v = sssp_average_length(g, src=1, weight_col="w")
+    return spark.createDataFrame([(round(v, 6),)], "avg_distance double")
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g1(spark, sf_dir).build()
+    h = hits(g, fixed_rounds=5, normalized=True)
+    return h.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2(spark, sf_dir).build()
+    c = katz_centrality(g, alpha=0.1, beta=1.0, fixed_rounds=5, normalized=True)
+    return c.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2(spark, sf_dir).build()
+    c = eigenvector_centrality(g, fixed_rounds=5)
+    return c.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = H.g2w_edges(spark, sf_dir)
+    g = LinkGraph.from_edges(e, directed=True).build()
+    return lpa_u2i(g, max_round=5, weight_col="w")
+
+
+def q_kshell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G1 (hub-skewed bipartite): shells are non-trivial there, unlike
+    # the near-complete supplier co-occurrence graph G2
+    return k_shell(H.g1(spark, sf_dir), k=12)
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering(H.g2(spark, sf_dir)).select(
+        "id", F.round("clustering", 6).alias("clustering")
+    )
+
+
+def q_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = avg_clustering(H.g2(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "avg_clustering double")
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = transitivity(H.g2(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "transitivity double")
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g1(spark, sf_dir)
+    return g.out_degrees().join(g.in_degrees(), "id")
+
+
+def q_edge_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g1(spark, sf_dir)
+    s = (
+        H.load(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 1)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+    )
+    return edge_boundary(g, s)
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    c = closeness_centrality(g, weight_col=None, wf_improve=True)
+    return c.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    return all_pairs_shortest_path_length(g, weight_col=None)
+
+
+def q_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir)
+    ok = is_simple_path(g, [1, 2, 3])
+    return spark.createDataFrame([(bool(ok),)], "is_path boolean")
 
 
 # ----------------------------------------------------------------------
@@ -357,6 +479,15 @@ SELECT query_id, vec_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 3
 """
 
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
 EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
@@ -418,10 +549,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "knn_cosine": q_knn_cosine,
         "knn_ivf_label": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "simhash_pairs": q_simhash_pairs,
         "pages_pipeline": q_pages_pipeline,
+        "bfs_g2_src1": q_bfs,
+        "sssp_g2w_src1": q_sssp,
+        "sssp_avg_len_g2w": q_sssp_avg,
+        "hits_g1_r5": q_hits,
+        "katz_g2_r5": q_katz,
+        "eigenvector_g2_r5": q_eigenvector,
+        "lpa_g2w_r5": q_lpa,
+        "kshell_g1_k12": q_kshell,
+        "clustering_g2": q_clustering,
+        "avg_clustering_g2": q_avg_clustering,
+        "transitivity_g2": q_transitivity,
+        "degrees_g1": q_degrees,
+        "edge_boundary_g1": q_edge_boundary,
+        "is_simple_path_g2": q_simple_path,
+        "closeness_g2": q_closeness,
+        "apsp_g2": q_apsp,
     }
 
 
@@ -446,7 +594,24 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": MINHASH_LSH_SQL,
         "knn_cosine": KNN_COSINE_SQL,
         "knn_ivf_label": KNN_IVF_SQL,
+        "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         # simhash_pairs, pages_pipeline: non-SQL kernels → rows-only
+        "bfs_g2_src1": H.bfs_sql(1, 12),
+        "sssp_g2w_src1": H.sssp_sql(1, 20),
+        "sssp_avg_len_g2w": H.sssp_avg_sql(1, 20),
+        "hits_g1_r5": H.hits_sql(5),
+        "katz_g2_r5": H.katz_sql(5, alpha=0.1, beta=1.0),
+        "eigenvector_g2_r5": H.eigenvector_sql(5),
+        "lpa_g2w_r5": H.lpa_sql(5),
+        "kshell_g1_k12": H.kshell_sql(12, 20, H.G1_SQL),
+        "clustering_g2": H.CLUSTERING_SQL,
+        "avg_clustering_g2": H.AVG_CLUSTERING_SQL,
+        "transitivity_g2": H.TRANSITIVITY_SQL,
+        "degrees_g1": H.DEGREES_SQL,
+        "edge_boundary_g1": H.EDGE_BOUNDARY_SQL,
+        "is_simple_path_g2": H.simple_path_sql([1, 2, 3]),
+        "closeness_g2": H.closeness_sql(12),
+        "apsp_g2": H.apsp_sql(12),
     }

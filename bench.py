@@ -64,6 +64,10 @@ def main() -> int:
     ap.add_argument("--edge-vertices", type=int, default=0,
                     help="use the closed-form edge generator with this many vertices instead of the HTML pages pipeline (for 10^8-edge scaling runs)")
     ap.add_argument("--avg-degree", type=int, default=10)
+    ap.add_argument("--graph-path", default="",
+                    help="read the web graph from this LinkGraph.save() dir instead of generating (scaling runs: generate ONCE at full parallelism, then each level re-reads — a cluster likewise reads the built table from storage)")
+    ap.add_argument("--save-graph", default="",
+                    help="after building the web graph, save() it here and exit")
     args = ap.parse_args()
 
     sf_dir = args.sf_dir
@@ -94,11 +98,15 @@ def main() -> int:
     web = {}
 
     def prep_web() -> None:
-        if args.edge_vertices > 0:
-            e = generate_edges(
-                spark, args.edge_vertices, avg_degree=args.avg_degree
-            ).localCheckpoint(eager=True)
-            g = LinkGraph.from_edges(e).build()
+        if args.graph_path:
+            g = LinkGraph.load(spark, args.graph_path).build()
+        elif args.edge_vertices > 0:
+            e = generate_edges(spark, args.edge_vertices, avg_degree=args.avg_degree)
+            # vertex set is closed-form (range) — no 2|E|-row distinct;
+            # generation streams straight into the build shuffle and is
+            # materialized exactly once, by the cache fill
+            v = spark.range(0, args.edge_vertices).select(F.col("id"))
+            g = LinkGraph.from_edges(e, vertices=v).build()
         else:
             pages = generate_pages(spark, n=n_pages)
             # materialize extraction ONCE (generate_pages is lazy; without
@@ -141,6 +149,18 @@ def main() -> int:
         }
         log(f"  web_pagerank: V={web['V']} E={web['E']} supersteps={k} "
             f"edges/s/superstep={extra['pagerank']['edges_per_sec_superstep']}")
+
+    if args.save_graph:
+        timed("web_build", prep_web)
+        web["g"].save(args.save_graph)
+        print(
+            json.dumps(
+                {"saved": args.save_graph, "edges": web["E"], "vertices": web["V"]}
+            ),
+            flush=True,
+        )
+        spark.stop()
+        return 0
 
     if not only or "web_pagerank" in only or "web_build" in only:
         timed("web_build", prep_web)

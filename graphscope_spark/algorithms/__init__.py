@@ -27,6 +27,10 @@ from graphscope_spark.algorithms.centrality import eigenvector_centrality, katz_
 from graphscope_spark.algorithms.lpa import lpa_u2i
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.paths import is_simple_path
+from graphscope_spark.algorithms.closeness import (
+    all_pairs_shortest_path_length,
+    closeness_centrality,
+)
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -36,4 +40,5 @@ __all__ = [
     "bfs", "sssp", "sssp_average_length", "sssp_has_path",
     "eigenvector_centrality", "katz_centrality",
     "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
+    "closeness_centrality", "all_pairs_shortest_path_length",
 ]

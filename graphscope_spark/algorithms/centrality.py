@@ -29,6 +29,7 @@ def _power_loop(
     l2_normalize_each: bool,
     checkpoint_every: int,
     checkpoint_dir: str | None,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     n = graph.num_vertices()
     edges = graph.edges.select(SRC, DST).cache()
@@ -54,9 +55,11 @@ def _power_loop(
         return eps < n * tolerance, {"l1_delta": eps}
 
     runner = SuperstepRunner(
-        max_iter=max_round, checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir
+        max_iter=fixed_rounds if fixed_rounds is not None else max_round,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
     )
-    result = runner.run(init, step, until)
+    result = runner.run(init, step, None if fixed_rounds is not None else until)
     edges.unpersist()
     verts.unpersist()
     return result.state.select(ID, "x")
@@ -68,6 +71,7 @@ def eigenvector_centrality(
     max_round: int = 100,
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """DataFrame(id long, centrality double), L2-normalized."""
     n = graph.num_vertices()
@@ -87,7 +91,8 @@ def eigenvector_centrality(
         )
 
     out = _power_loop(
-        graph, update, 1.0 / n, tolerance, max_round, True, checkpoint_every, checkpoint_dir
+        graph, update, 1.0 / n, tolerance, max_round, True, checkpoint_every,
+        checkpoint_dir, fixed_rounds,
     )
     return out.withColumnRenamed("x", "centrality")
 
@@ -101,6 +106,7 @@ def katz_centrality(
     normalized: bool = True,
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """DataFrame(id long, centrality double)."""
 
@@ -117,7 +123,8 @@ def katz_centrality(
         )
 
     out = _power_loop(
-        graph, update, 1.0, tolerance, max_round, False, checkpoint_every, checkpoint_dir
+        graph, update, 1.0, tolerance, max_round, False, checkpoint_every,
+        checkpoint_dir, fixed_rounds,
     )
     if normalized:
         norm = out.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n")).collect()[0]["n"]

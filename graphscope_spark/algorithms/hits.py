@@ -28,10 +28,15 @@ def hits(
     tolerance: float = 0.01,
     max_round: int = 100,
     normalized: bool = True,
+    fixed_rounds: int | None = None,
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(id long, hub double, auth double)."""
+    """Returns DataFrame(id long, hub double, auth double).
+
+    fixed_rounds: run exactly that many rounds with no convergence test
+    (oracle-comparable runs — the driver's DuckDB SQL unrolls the same
+    supersteps as a CTE chain)."""
     n = graph.num_vertices()
     edges = graph.edges.select(SRC, DST).cache()
     edges.count()
@@ -86,9 +91,11 @@ def hits(
         return eps <= tolerance, {"l1_delta_hub": eps}
 
     runner = SuperstepRunner(
-        max_iter=max_round, checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir
+        max_iter=fixed_rounds if fixed_rounds is not None else max_round,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
     )
-    result = runner.run(init, step, until)
+    result = runner.run(init, step, None if fixed_rounds is not None else until)
     out = result.state
     if normalized:
         sums = out.agg(F.sum("hub").alias("sh"), F.sum("auth").alias("sa")).collect()[0]

@@ -58,17 +58,20 @@ def knn_cosine(
     queries: DataFrame(query_id, qvec). Deterministic tie-break on
     vec_id. candidates: optional pre-filtered candidate set replacing
     the full cross join (IVF/LSH output)."""
-    cand = candidates if candidates is not None else embeddings
-    crossed = queries.join(
-        F.broadcast(cand.select(F.col(id_col), F.col(vec_col)))
-        if candidates is None
-        else cand,
+    cand = (candidates if candidates is not None else embeddings).select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn")
+    )
+    q = queries.withColumn("__qn", norm(F.col(qvec_col)))
+    crossed = q.join(
+        F.broadcast(cand) if candidates is None else cand,
         F.col(qid_col) != F.col(id_col),
     )
     scored = crossed.select(
         qid_col,
         id_col,
-        cosine(F.col(qvec_col), F.col(vec_col)).alias("cos"),
+        (
+            dot(F.col(qvec_col), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))
+        ).alias("cos"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
@@ -98,14 +101,21 @@ def knn_ivf(
     (inverted-file list). The join shuffles on the partition key only —
     this is the 100 TB path (brute force verifies within the list)."""
     cand = embeddings.select(
-        F.col(id_col), F.col(vec_col), F.col(partition_col).alias("__part")
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(partition_col).alias("__part"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
-    crossed = queries.join(
+    crossed = queries.withColumn("__qn", norm(F.col(qvec_col))).join(
         cand,
         (F.col(qpart_col) == F.col("__part")) & (F.col(qid_col) != F.col(id_col)),
     )
     scored = crossed.select(
-        qid_col, id_col, cosine(F.col(qvec_col), F.col(vec_col)).alias("cos")
+        qid_col,
+        id_col,
+        (
+            dot(F.col(qvec_col), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))
+        ).alias("cos"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
@@ -160,3 +170,63 @@ def lsh_candidate_pairs(
     l = b.select(F.col(id_col).alias("a"), "bucket")
     r = b.select(F.col(id_col).alias("b"), "bucket")
     return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def embedding_near_dup_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cos >= t).
+
+    Brute-force O(n²) cosine — the verify stage / small-table baseline.
+    At web scale run `lsh_candidate_pairs` first and verify only the
+    candidates: same output contract, shuffle bounded by bucket sizes."""
+    # norms are computed ONCE per row (n array-folds), not once per
+    # pair (n² folds) — the dominant cost in the naive plan
+    l = df.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    r = df.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cos"
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed near-dup: hyperplane buckets generate candidates,
+    exact cosine verifies — the 100 TB path (approximate: pairs split
+    across all buckets are missed; raise num_planes bands to trade
+    recall for cost)."""
+    cand = lsh_candidate_pairs(df, num_planes, id_col, vec_col)
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )

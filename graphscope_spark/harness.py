@@ -235,10 +235,12 @@ FROM edges e JOIN outd o ON o.id = e.src JOIN ind i ON i.id = e.dst
 """
 
 
-def kcore_sql(k: int, rounds: int) -> str:
-    """Unrolled peel loop over G2 (extra rounds past the fixpoint are
-    no-ops, so `rounds` only needs to exceed the peel depth)."""
-    ctes = [f"e0 AS MATERIALIZED (SELECT src, dst FROM ({G2_SQL}) WHERE src <> dst)"]
+def kcore_sql(k: int, rounds: int, edges_sql: str | None = None) -> str:
+    """Unrolled peel loop (extra rounds past the fixpoint are no-ops,
+    so `rounds` only needs to exceed the peel depth). Default graph G2."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT src, dst FROM ({edges_sql or G2_SQL}) WHERE src <> dst)"
+    ]
     for i in range(rounds):
         prev, cur = f"e{i}", f"e{i + 1}"
         ctes.append(
@@ -285,4 +287,400 @@ s AS MATERIALIZED (
 SELECT CAST(COUNT(*) AS BIGINT) AS num_edges
 FROM edges e
 WHERE e.src IN (SELECT id FROM s) AND e.dst IN (SELECT id FROM s)
+"""
+
+
+# ----------------------------------------------------------------------
+# Weighted G2 (co-occurrence counts as edge weights) — exercises the
+# weighted LPA / SSSP paths (lpa_u2i.h weights, sssp_projected.h EDATA)
+# ----------------------------------------------------------------------
+def g2w_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").cast("long").alias("src"),
+            F.col("b.l_suppkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+G2W_SQL = """
+SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+       CAST(b.l_suppkey AS BIGINT) AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS w
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+def g2w(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Weighted supplier co-occurrence, treated as undirected (the
+    algorithms symmetrize internally when directed=False)."""
+    e = g2w_edges(spark, sf_dir)
+    return LinkGraph(
+        vertices=(
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .distinct()
+        ),
+        edges=e,
+        directed=False,
+    )
+
+
+# Undirected closure CTEs over G2 (weighted + unweighted fabric)
+_G2_UND = f"""
+edges0 AS MATERIALIZED ({G2W_SQL}),
+und AS MATERIALIZED (SELECT src, dst, w FROM edges0
+           UNION ALL SELECT dst, src, w FROM edges0),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)
+"""
+
+
+def bfs_sql(src: int, rounds: int) -> str:
+    """Unrolled BFS levels over undirected G2 from `src`; rounds must
+    exceed the diameter (extra rounds are no-ops). Output matches
+    algorithms/sssp.py bfs: depth long, unreachable = -1."""
+    big = "1e17"
+    ctes = [
+        _G2_UND.strip(),
+        f"""d0 AS MATERIALIZED (SELECT id,
+              CASE WHEN id = {src} THEN 0.0 ELSE 1e18 END AS dist FROM verts)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"d{i}", f"d{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT e.dst AS id, MIN(p.dist + 1.0) AS cand
+                 FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < {big}
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.id, LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                 FROM {prev} p LEFT JOIN m{i} m ON m.id = p.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, CASE WHEN dist >= {big} THEN CAST(-1 AS BIGINT)
+                ELSE CAST(dist AS BIGINT) END AS depth FROM d{rounds}"""
+    )
+
+
+def sssp_sql(src: int, rounds: int) -> str:
+    """Unrolled weighted Bellman-Ford over undirected weighted G2.
+    Output matches algorithms/sssp.py sssp with unreachable mapped to
+    -1.0 (distance double)."""
+    big = "1e17"
+    ctes = [
+        _G2_UND.strip(),
+        f"""d0 AS MATERIALIZED (SELECT id,
+              CASE WHEN id = {src} THEN 0.0 ELSE 1e18 END AS dist FROM verts)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"d{i}", f"d{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT e.dst AS id, MIN(p.dist + e.w) AS cand
+                 FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < {big}
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.id, LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                 FROM {prev} p LEFT JOIN m{i} m ON m.id = p.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, CASE WHEN dist >= {big} THEN -1.0
+                ELSE ROUND(dist, 6) END AS distance FROM d{rounds}"""
+    )
+
+
+def sssp_avg_sql(src: int, rounds: int) -> str:
+    inner = sssp_sql(src, rounds)
+    return f"""
+SELECT ROUND(AVG(distance), 6) AS avg_distance
+FROM ({inner}) WHERE distance >= 0.0
+"""
+
+
+def hits_sql(rounds: int) -> str:
+    """Unrolled HITS over G1 (hits.h:31-204 semantics: auth from hubs,
+    hubs from auths, per-round max-normalization, final sum-normalize)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({G1_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        """s0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM n) AS hub,
+               0.0 AS auth FROM verts)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"s{i}", f"s{i + 1}"
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.hub) AS auth
+                 FROM edges e JOIN {prev} p ON p.id = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (SELECT e.src AS id, SUM(COALESCE(a.auth, 0.0)) AS hub
+                 FROM edges e LEFT JOIN a{i} a ON a.id = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (SELECT v.id,
+                   COALESCE(h.hub, 0.0) AS hub, COALESCE(a.auth, 0.0) AS auth
+                 FROM verts v LEFT JOIN h{i} h ON h.id = v.id
+                              LEFT JOIN a{i} a ON a.id = v.id)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT id,
+                   hub / (SELECT CASE WHEN MAX(hub) = 0 THEN 1.0 ELSE MAX(hub) END FROM c{i}) AS hub,
+                   auth / (SELECT CASE WHEN MAX(auth) = 0 THEN 1.0 ELSE MAX(auth) END FROM c{i}) AS auth
+                 FROM c{i})"""
+        )
+    last = f"s{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id,
+       ROUND(hub / (SELECT CASE WHEN SUM(hub) = 0 THEN 1.0 ELSE SUM(hub) END FROM {last}), 6) AS hub,
+       ROUND(auth / (SELECT CASE WHEN SUM(auth) = 0 THEN 1.0 ELSE SUM(auth) END FROM {last}), 6) AS auth
+FROM {last}"""
+    )
+
+
+def katz_sql(rounds: int, alpha: float = 0.1, beta: float = 1.0) -> str:
+    """Unrolled Katz over G2 canonical-directed in-edges
+    (katz_centrality.h: x' = alpha*Σ_in x + beta; final L2 normalize)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({G2_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0 AS x FROM verts)",
+    ]
+    for i in range(rounds):
+        prev, cur = f"x{i}", f"x{i + 1}"
+        ctes.append(
+            f"""i{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.x) AS inc
+                 FROM edges e JOIN {prev} p ON p.id = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT v.id,
+                   {alpha} * COALESCE(i.inc, 0.0) + {beta} AS x
+                 FROM verts v LEFT JOIN i{i} i ON i.id = v.id)"""
+        )
+    last = f"x{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, ROUND(x / (SELECT SQRT(SUM(x*x)) FROM {last}), 6) AS centrality
+FROM {last}"""
+    )
+
+
+def eigenvector_sql(rounds: int) -> str:
+    """Unrolled eigenvector centrality over G2 canonical-directed
+    in-edges (eigenvector_centrality.h: x' = x + Σ_in x, per-round L2
+    normalization)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({G2_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM n) AS x FROM verts)",
+    ]
+    for i in range(rounds):
+        prev, cur = f"x{i}", f"x{i + 1}"
+        ctes.append(
+            f"""i{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.x) AS inc
+                 FROM edges e JOIN {prev} p ON p.id = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (SELECT p.id, p.x + COALESCE(i.inc, 0.0) AS x
+                 FROM {prev} p LEFT JOIN i{i} i ON i.id = p.id)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT id,
+                   x / (SELECT SQRT(SUM(x*x)) FROM u{i}) AS x FROM u{i})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, ROUND(x, 6) AS centrality FROM x{rounds}"""
+    )
+
+
+def lpa_sql(rounds: int) -> str:
+    """Unrolled weighted label propagation over undirected weighted G2
+    (lpa_u2i.h semantics: adopt label with max incoming weight mass,
+    min label breaks ties)."""
+    ctes = [
+        _G2_UND.strip(),
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)",
+    ]
+    for i in range(rounds):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT e.dst AS id, p.label, SUM(e.w) AS mass
+                 FROM und e JOIN {prev} p ON p.id = e.src
+                 GROUP BY e.dst, p.label)"""
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (SELECT id, label AS new_label FROM (
+                   SELECT id, label,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY mass DESC, label ASC) AS rn
+                   FROM m{i}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.id, COALESCE(w.new_label, p.label) AS label
+                 FROM {prev} p LEFT JOIN w{i} w ON w.id = p.id)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def kshell_sql(k: int, rounds: int, edges_sql: str | None = None) -> str:
+    """k-shell = k-core \\ (k+1)-core (kshell.h)."""
+    return f"""
+SELECT id FROM ({kcore_sql(k, rounds, edges_sql)})
+EXCEPT
+SELECT id FROM ({kcore_sql(k + 1, rounds, edges_sql)})
+"""
+
+
+# Shared triangle-count CTE block over G2 (same text as TRIANGLES_SQL)
+_TRI_CTES = f"""
+edges0 AS MATERIALIZED ({G2_SQL}),
+simple AS MATERIALIZED (SELECT src, dst FROM edges0 WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT src AS id FROM simple UNION ALL SELECT dst FROM simple)
+  GROUP BY id),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (da.d, s.src) < (db.d, s.dst) THEN s.src ELSE s.dst END AS a,
+         CASE WHEN (da.d, s.src) < (db.d, s.dst) THEN s.dst ELSE s.src END AS b
+  FROM simple s
+  JOIN deg da ON da.id = s.src
+  JOIN deg db ON db.id = s.dst),
+tris AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.a = e1.b
+  JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS MATERIALIZED (
+  SELECT x AS id FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris),
+counts AS MATERIALIZED (SELECT id, COUNT(*) AS tricnt FROM corners GROUP BY id),
+verts AS MATERIALIZED (SELECT src AS id FROM edges0 UNION SELECT dst FROM edges0)
+"""
+
+CLUSTERING_SQL = f"""
+WITH {_TRI_CTES}
+SELECT v.id,
+       ROUND(CASE WHEN COALESCE(d.d, 0) >= 2
+             THEN 2.0 * COALESCE(c.tricnt, 0) / (d.d * (d.d - 1.0))
+             ELSE 0.0 END, 6) AS clustering
+FROM verts v
+LEFT JOIN counts c ON c.id = v.id
+LEFT JOIN deg d ON d.id = v.id
+"""
+
+AVG_CLUSTERING_SQL = f"""
+WITH {_TRI_CTES}
+SELECT ROUND(AVG(CASE WHEN COALESCE(d.d, 0) >= 2
+             THEN 2.0 * COALESCE(c.tricnt, 0) / (d.d * (d.d - 1.0))
+             ELSE 0.0 END), 6) AS avg_clustering
+FROM verts v
+LEFT JOIN counts c ON c.id = v.id
+LEFT JOIN deg d ON d.id = v.id
+"""
+
+TRANSITIVITY_SQL = f"""
+WITH {_TRI_CTES}
+SELECT ROUND(SUM(2.0 * COALESCE(c.tricnt, 0))
+             / SUM(COALESCE(d.d, 0) * (COALESCE(d.d, 0) - 1.0)), 6) AS transitivity
+FROM verts v
+LEFT JOIN counts c ON c.id = v.id
+LEFT JOIN deg d ON d.id = v.id
+"""
+
+DEGREES_SQL = f"""
+WITH edges AS MATERIALIZED ({G1_SQL}),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+outd AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+ind  AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS d FROM edges GROUP BY dst)
+SELECT v.id,
+       CAST(COALESCE(o.d, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.d, 0) AS BIGINT) AS in_degree
+FROM verts v LEFT JOIN outd o ON o.id = v.id LEFT JOIN ind i ON i.id = v.id
+"""
+
+EDGE_BOUNDARY_SQL = f"""
+WITH edges AS MATERIALIZED ({G1_SQL}),
+s AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer WHERE c_nationkey = 1)
+SELECT DISTINCT e.src, e.dst
+FROM edges e
+WHERE e.src IN (SELECT id FROM s) AND e.dst NOT IN (SELECT id FROM s)
+"""
+
+
+def simple_path_sql(nodes: list[int]) -> str:
+    """is_simple_path over undirected G2 for a fixed node list."""
+    hops = list(zip(nodes, nodes[1:]))
+    hop_pred = " OR ".join(f"(src = {a} AND dst = {b})" for a, b in hops)
+    ids = ", ".join(str(v) for v in nodes)
+    distinct_ok = len(set(nodes)) == len(nodes)
+    return f"""
+WITH {_G2_UND.strip()}
+SELECT CAST(
+  {str(distinct_ok).upper()}
+  AND (SELECT COUNT(DISTINCT (src, dst)) FROM und WHERE {hop_pred}) = {len(hops)}
+  AND (SELECT COUNT(DISTINCT id) FROM verts WHERE id IN ({ids})) = {len(set(nodes))}
+AS BOOLEAN) AS is_path
+"""
+
+
+def _pair_bfs_ctes(rounds: int) -> str:
+    """Dense multi-source unit-weight relaxation over undirected G2:
+    pair state p{i}(s, id, dist)."""
+    ctes = [
+        _G2_UND.strip(),
+        """p0 AS MATERIALIZED (SELECT a.id AS s, b.id AS id,
+              CASE WHEN a.id = b.id THEN 0.0 ELSE 1e18 END AS dist
+            FROM verts a CROSS JOIN verts b)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"p{i}", f"p{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT p.s, e.dst AS id, MIN(p.dist + 1.0) AS cand
+                 FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < 1e17
+                 GROUP BY p.s, e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.s, p.id,
+                   LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                 FROM {prev} p LEFT JOIN m{i} m ON m.s = p.s AND m.id = p.id)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+def closeness_sql(rounds: int) -> str:
+    """WF-improved closeness over undirected G2, unit weights
+    (closeness_centrality.h:121-139 formula)."""
+    return f"""{_pair_bfs_ctes(rounds)},
+stats AS MATERIALIZED (
+  SELECT s, SUM(dist) AS tot, COUNT(*) AS cnt
+  FROM p{rounds} WHERE dist < 1e17 GROUP BY s),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
+SELECT v.id,
+       ROUND(CASE WHEN COALESCE(t.tot, 0) > 0 AND (SELECT n FROM nn) > 1
+             THEN (t.cnt - 1.0) / t.tot * ((t.cnt - 1.0) / ((SELECT n FROM nn) - 1.0))
+             ELSE 0.0 END, 6) AS centrality
+FROM verts v LEFT JOIN stats t ON t.s = v.id
+"""
+
+
+def apsp_sql(rounds: int) -> str:
+    """All-pairs shortest path lengths (finite pairs) over undirected
+    G2, unit weights (all_pairs_shortest_path_length.h)."""
+    return f"""{_pair_bfs_ctes(rounds)}
+SELECT s AS source, id, dist AS distance
+FROM p{rounds} WHERE dist < 1e17
 """

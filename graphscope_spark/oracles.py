@@ -210,3 +210,124 @@ def oracle_sssp(
         if not changed:
             break
     return dist
+
+
+def oracle_bfs_depths(
+    edges: list[tuple[int, int]],
+    src: int,
+    vertices: list[int] | None = None,
+    directed: bool = True,
+) -> dict[int, int]:
+    """BFS levels; unreachable = -1 (grape::BFS output convention)."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    depth = {v: -1 for v in vertices}
+    depth[src] = 0
+    frontier = [src]
+    lvl = 0
+    while frontier:
+        lvl += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if depth[v] == -1:
+                    depth[v] = lvl
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def oracle_closeness(
+    edges: list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    directed: bool = True,
+    wf_improve: bool = True,
+) -> dict[int, float]:
+    """closeness_centrality.h:121-139: reversed unit-weight distances
+    to u; (cnt-1)/tot, WF-scaled by (cnt-1)/(n-1)."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    n = len(vertices)
+    rev = [(d, s) for s, d in edges] if directed else edges
+    out = {}
+    for u in vertices:
+        depths = oracle_bfs_depths(rev, u, vertices=vertices, directed=directed)
+        reach = [d for d in depths.values() if d >= 0]
+        tot = float(sum(reach))
+        cnt = len(reach)
+        c = 0.0
+        if tot > 0 and n > 1:
+            c = (cnt - 1.0) / tot
+            if wf_improve:
+                c *= (cnt - 1.0) / (n - 1.0)
+        out[u] = c
+    return out
+
+
+def oracle_katz(
+    edges: list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    rounds: int = 5,
+    normalized: bool = True,
+) -> dict[int, float]:
+    """katz_centrality.h: x' = alpha*Σ_in x + beta; final L2 norm."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vertices)}
+    n = len(vertices)
+    x = np.ones(n)
+    e_idx = [(idx[s], idx[d]) for s, d in edges]
+    for _ in range(rounds):
+        inc = np.zeros(n)
+        for s, d in e_idx:
+            inc[d] += x[s]
+        x = alpha * inc + beta
+    if normalized:
+        x = x / (np.sqrt((x * x).sum()) or 1.0)
+    return {v: float(x[idx[v]]) for v in vertices}
+
+
+def oracle_eigenvector(
+    edges: list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    rounds: int = 5,
+) -> dict[int, float]:
+    """eigenvector_centrality.h: x' = x + Σ_in x; per-round L2 norm."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vertices)}
+    n = len(vertices)
+    x = np.full(n, 1.0 / n)
+    e_idx = [(idx[s], idx[d]) for s, d in edges]
+    for _ in range(rounds):
+        inc = np.zeros(n)
+        for s, d in e_idx:
+            inc[d] += x[s]
+        x = x + inc
+        x = x / (np.sqrt((x * x).sum()) or 1.0)
+    return {v: float(x[idx[v]]) for v in vertices}
+
+
+def oracle_clustering(
+    edges: list[tuple[int, int]], vertices: list[int] | None = None
+) -> dict[int, float]:
+    """clustering.h via triangles + simple-degree (undirected defn)."""
+    if vertices is None:
+        vertices = sorted({v for e in edges for v in e})
+    tri = oracle_triangles(edges, vertices)
+    simple = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    deg = Counter()
+    for a, b in simple:
+        deg[a] += 1
+        deg[b] += 1
+    return {
+        v: (2.0 * tri[v] / (deg[v] * (deg[v] - 1)) if deg.get(v, 0) >= 2 else 0.0)
+        for v in vertices
+    }

@@ -39,9 +39,16 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
 
     if shuffle_partitions is None:
-        # local[N] → N partitions; on a cluster pass explicitly.
+        env_p = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        if inner.isdigit():
+        if env_p:
+            # explicit override: partition count is a property of the
+            # DATA, not the cluster size — scaling runs pin it so N and
+            # 4N executors execute the identical plan (as a real cluster
+            # does when only executor count changes)
+            shuffle_partitions = int(env_p)
+        elif inner.isdigit():
+            # default local[N] → N partitions
             shuffle_partitions = int(inner)
         else:
             shuffle_partitions = os.cpu_count() or 8

@@ -1,0 +1,158 @@
+"""Extended algorithm suite vs NumPy oracles (SURVEY.md §2.3 beyond
+the four north-rule algorithms) — toy graph, exact/allclose 1e-6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms import (
+    all_pairs_shortest_path_length,
+    bfs,
+    cdlp,
+    closeness_centrality,
+    clustering,
+    edge_boundary,
+    eigenvector_centrality,
+    hits,
+    is_simple_path,
+    k_core,
+    katz_centrality,
+    lpa_u2i,
+    node_boundary,
+    sssp,
+    transitivity,
+)
+from graphscope_spark.oracles import (
+    oracle_bfs_depths,
+    oracle_closeness,
+    oracle_clustering,
+    oracle_eigenvector,
+    oracle_hits,
+    oracle_katz,
+    oracle_kcore,
+    oracle_sssp,
+    oracle_triangles,
+)
+from tests.conftest import TOY_EDGES, TOY_VERTICES
+
+
+def _as_dict(df, key="id", val=None):
+    rows = df.collect()
+    val = val or [c for c in df.columns if c != key][0]
+    return {r[key]: r[val] for r in rows}
+
+
+def _close(got: dict, exp: dict, atol=1e-6):
+    assert set(got) == set(exp)
+    ids = sorted(exp)
+    assert np.allclose(
+        np.array([got[v] for v in ids]), np.array([exp[v] for v in ids]), atol=atol
+    )
+
+
+def test_bfs_toy(toy_graph):
+    got = _as_dict(bfs(toy_graph, src=3))
+    exp = oracle_bfs_depths(TOY_EDGES, 3, vertices=TOY_VERTICES)
+    assert got == exp
+    assert got[6] == -1  # component B unreachable
+
+
+def test_sssp_toy_weighted(toy_graph, spark):
+    wedges = [(s, d, float((s + d) % 3 + 1)) for s, d in TOY_EDGES]
+    e = spark.createDataFrame(wedges, "src long, dst long, w double")
+    from graphscope_spark import LinkGraph
+
+    v = spark.createDataFrame([(i,) for i in TOY_VERTICES], "id long")
+    g = LinkGraph.from_edges(e, vertices=v).build(4)
+    got = _as_dict(sssp(g, src=3, weight_col="w"))
+    exp = oracle_sssp(wedges, 3, vertices=TOY_VERTICES)
+    _close(got, exp)
+
+
+def test_hits_fixed_rounds(toy_graph):
+    df = hits(toy_graph, fixed_rounds=5, normalized=True)
+    rows = {r["id"]: (r["hub"], r["auth"]) for r in df.collect()}
+    exp = oracle_hits(
+        TOY_EDGES, vertices=TOY_VERTICES, tolerance=-1.0, max_round=5, normalized=True
+    )
+    _close({k: v[0] for k, v in rows.items()}, {k: v[0] for k, v in exp.items()})
+    _close({k: v[1] for k, v in rows.items()}, {k: v[1] for k, v in exp.items()})
+
+
+def test_katz_fixed_rounds(toy_graph):
+    got = _as_dict(katz_centrality(toy_graph, alpha=0.1, beta=1.0, fixed_rounds=5))
+    exp = oracle_katz(TOY_EDGES, vertices=TOY_VERTICES, rounds=5)
+    _close(got, exp)
+
+
+def test_eigenvector_fixed_rounds(toy_graph):
+    got = _as_dict(eigenvector_centrality(toy_graph, fixed_rounds=5))
+    exp = oracle_eigenvector(TOY_EDGES, vertices=TOY_VERTICES, rounds=5)
+    _close(got, exp)
+
+
+def test_kcore_toy(toy_graph):
+    got = {r["id"] for r in k_core(toy_graph, k=2).collect()}
+    exp = oracle_kcore(TOY_EDGES, 2)
+    assert got == exp
+
+
+def test_closeness_toy(toy_graph):
+    got = _as_dict(closeness_centrality(toy_graph))
+    exp = oracle_closeness(TOY_EDGES, vertices=TOY_VERTICES)
+    _close(got, exp)
+
+
+def test_apsp_toy(toy_graph):
+    df = all_pairs_shortest_path_length(toy_graph)
+    got = {(r["source"], r["id"]): r["distance"] for r in df.collect()}
+    exp = {}
+    for u in TOY_VERTICES:
+        for v, d in oracle_bfs_depths(TOY_EDGES, u, vertices=TOY_VERTICES).items():
+            if d >= 0:
+                exp[(u, v)] = float(d)
+    assert got == exp
+
+
+def test_clustering_transitivity_toy(toy_graph):
+    got = _as_dict(clustering(toy_graph), val="clustering")
+    exp = oracle_clustering(TOY_EDGES, vertices=TOY_VERTICES)
+    _close(got, exp)
+    tri = oracle_triangles(TOY_EDGES, vertices=TOY_VERTICES)
+    from collections import Counter
+
+    simple = {(min(s, d), max(s, d)) for s, d in TOY_EDGES if s != d}
+    deg = Counter()
+    for a, b in simple:
+        deg[a] += 1
+        deg[b] += 1
+    triads = sum(d * (d - 1) for d in deg.values())
+    exp_t = (2.0 * sum(tri.values())) / triads if triads else 0.0
+    assert abs(transitivity(toy_graph) - exp_t) < 1e-9
+
+
+def test_lpa_unit_weight_equals_cdlp(toy_graph):
+    got = _as_dict(lpa_u2i(toy_graph, max_round=5))
+    exp = _as_dict(cdlp(toy_graph, max_round=5))
+    assert got == exp
+
+
+def test_boundaries_toy(toy_graph, spark):
+    s = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    nb = {r["id"] for r in node_boundary(toy_graph, s).collect()}
+    exp_nb = {d for (a, d) in TOY_EDGES if a in {0, 1, 2} and d not in {0, 1, 2}}
+    assert nb == exp_nb
+    eb = {(r["src"], r["dst"]) for r in edge_boundary(toy_graph, s).collect()}
+    exp_eb = {(a, d) for (a, d) in TOY_EDGES if a in {0, 1, 2} and d not in {0, 1, 2}}
+    assert eb == exp_eb
+
+
+def test_is_simple_path_toy(toy_graph):
+    assert is_simple_path(toy_graph, [0, 1, 2]) is True
+    assert is_simple_path(toy_graph, [0, 2, 1]) is False  # no 2->1 edge
+    assert is_simple_path(toy_graph, [0, 1, 0]) is False  # repeated node
+    assert is_simple_path(toy_graph, [7]) is True
+    assert is_simple_path(toy_graph, []) is False
