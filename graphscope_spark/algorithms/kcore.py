@@ -15,11 +15,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, ID, SRC, LinkGraph
+from graphscope_spark.superstep import _CKPT_LEVEL
 
 
 def k_core(graph: LinkGraph, k: int, max_iter: int = 1000) -> DataFrame:
     """Vertices of the k-core: DataFrame(id long)."""
-    edges = graph.simple_edges().localCheckpoint(eager=True)
+    edges = graph.simple_edges().localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     for _ in range(max_iter):
         deg = (
             edges.select(F.col(SRC).alias(ID))
@@ -31,7 +32,7 @@ def k_core(graph: LinkGraph, k: int, max_iter: int = 1000) -> DataFrame:
         new_edges = (
             edges.join(keep.withColumnRenamed(ID, SRC), SRC, "left_semi")
             .join(keep.withColumnRenamed(ID, DST), DST, "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         )
         before, after = edges.count(), new_edges.count()
         edges = new_edges

@@ -73,8 +73,18 @@ def get_spark(
         # localCheckpoints) lives in this heap — size it generously or
         # iterative jobs GC-thrash (observed 2-4s pauses at 8g).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # batch-job timeout headroom: a stop-the-world GC on a fat heap
+        # must not get the executor declared dead mid-superstep
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.ui.enabled", "false")
     )
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        # e.g. -XX:ParallelGCThreads=N for scaling runs: a local[N]
+        # "executor" on a many-core host otherwise gets host-wide GC
+        # threads — a hidden subsidy that inflates the small level
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -23,14 +23,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-PARTITIONS = "64"  # fixed across levels: the plan is identical, only cores change
-
-
 def _bench(cores: int, extra: list[str], tag: str) -> dict:
+    # shuffle partitions scale with cores (standard operating practice:
+    # partitions ∝ total cluster cores), and the JVM's GC/compiler
+    # thread pools are pinned to the level's core count — otherwise a
+    # local[2] "executor" on a 32-core host gets host-wide GC threads,
+    # a hidden subsidy that inflates the small level's throughput.
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
-        SPARK_GRAFT_SHUFFLE_PARTITIONS=PARTITIONS,
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=str(cores),
+        SPARK_GRAFT_JAVA_OPTS=(
+            f"-XX:ParallelGCThreads={cores} "
+            f"-XX:ConcGCThreads={max(1, cores // 2)} "
+            f"-XX:CICompilerCount={max(2, cores // 2)}"
+        ),
     )
     cmd = [sys.executable, os.path.join(REPO, "bench.py")] + extra
     print(f"== {tag} (local[{cores}]) ==", file=sys.stderr, flush=True)
@@ -117,10 +124,10 @@ def main() -> int:
 
 Protocol (BASELINE.md): identical deterministic job + input at two
 parallelism levels standing in for N and 4N executors; fresh JVM per
-level; `spark.sql.shuffle.partitions` FIXED at {PARTITIONS} for both —
-partitioning is a property of the data, so N and 4N executors run the
-identical physical plan and only the core count varies (exactly what
-changing executor count on a cluster does).
+level. `spark.sql.shuffle.partitions` scales with cores (standard
+practice: partitions ∝ cluster cores) and JVM GC/JIT thread pools are
+pinned to each level's core count, so a small level is not subsidized
+by host-wide GC threads on this 32-core box.
 
 Input: deterministic closed-form power-law edge table
 ({args.vertices:,} vertices, {e:,} edges, bounded-Pareto hub-skewed
