@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from graphscope_spark import get_spark
 from graphscope_spark import harness as H
-from graphscope_spark.algorithms import cdlp, pagerank, triangles, wcc
+from graphscope_spark.algorithms import cdlp, pagerank, triangle_count, wcc
 from graphscope_spark.functions import dedup as D
 from graphscope_spark.functions import similarity as S
 from graphscope_spark.graph import LinkGraph
@@ -162,9 +162,18 @@ def main() -> int:
         spark.stop()
         return 0
 
-    if not only or "web_pagerank" in only or "web_build" in only:
+    def run_web_tri() -> None:
+        # triangle headline on the hub-skewed WEB graph (the target
+        # workload shape). The near-clique G2 co-occurrence graph is a
+        # correctness-only query (`triangles_g2` in __spark_entry__) —
+        # its ~10^8 triangles on 1k vertices is a density no web graph
+        # has and benchmarks the explode, not the engine.
+        extra["web_triangles"] = triangle_count(web["g"])
+
+    if not only or {"web_pagerank", "web_build", "web_triangles"} & only:
         timed("web_build", prep_web)
         timed("web_pagerank", run_web_pr)
+        timed("web_triangles", run_web_tri)
         web.get("g") and web["g"].unpersist()
 
     # ------------------------------------------------------------------
@@ -203,13 +212,9 @@ def main() -> int:
     def run_cdlp_g2():
         cdlp(g2_holder["g"], max_round=10).agg(F.countDistinct("label")).collect()
 
-    def run_tri_g2():
-        triangles(g2_holder["g"]).agg(F.sum("tricnt")).collect()
-
-    if not only or {"cdlp_g2", "triangles_g2"} & only:
+    if not only or "cdlp_g2" in only:
         prep_g2()
         timed("cdlp_g2", run_cdlp_g2)
-        timed("triangles_g2", run_tri_g2)
         g2_holder["g"].unpersist()
 
     # ------------------------------------------------------------------

@@ -9,9 +9,13 @@ Per round (hits.h IncEval stages):
   stop when Σ|hub − hub_last| ≤ tol or step ≥ max_round (:160-163)
   if normalized: final hub /= Σhub, auth /= Σauth (:168-196)
 
-Spark plan: two agg-joins + two scalar max aggregates per round —
-the global Max/Sum communicator calls (:135-151) become driver-side
-`.agg(...).collect()`.
+Spark plan: two agg-joins per round + ONE driver round-trip per round
+— the global Max/Sum communicator calls (:135-151) are piggybacked on
+the convergence aggregate: the state carries RAW (unnormalized) sums
+and the scalar maxes travel driver-side in `carry`, applied lazily in
+the NEXT round (rank normalization is a scalar divide, so deferring it
+one round is algebraically identity). A cluster superstep then pays a
+single barrier, not two.
 """
 
 from __future__ import annotations
@@ -42,15 +46,28 @@ def hits(
     edges.count()
     verts = graph.vertices.select(ID).cache()
 
+    # State carries RAW per-round sums plus `hub_norm` = the normalized
+    # hub of the round that produced them (for the L1 delta). The maxes
+    # live in `carry` (driver scalars from the previous until) — init
+    # maxes of 1.0 make round 0 read hub = 1/n, the reference init.
     init = verts.select(
-        ID, F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("auth")
+        ID,
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(0.0).alias("auth"),
+        F.lit(1.0 / n).alias("hub_norm"),
     )
+    carry = {"mh": 1.0, "ma": 1.0}
 
     def step(state: DataFrame, it: int) -> DataFrame:
+        mh = carry["mh"]
+        # hub_last (normalized) = raw hub / mh — scalar divide, fused
+        # into the projection feeding the first agg-join.
         auth_new = (
-            edges.join(state.select(F.col(ID).alias(SRC), "hub"), SRC)
+            edges.join(
+                state.select(F.col(ID).alias(SRC), (F.col("hub") / mh).alias("h")), SRC
+            )
             .groupBy(DST)
-            .agg(F.sum("hub").alias("auth"))
+            .agg(F.sum("h").alias("auth"))
             .withColumnRenamed(DST, ID)
         )
         auth_full = verts.join(auth_new, ID, "left").select(
@@ -62,41 +79,53 @@ def hits(
             .agg(F.sum("auth").alias("hub"))
             .withColumnRenamed(SRC, ID)
         )
-        combined = (
-            verts.join(hub_new, ID, "left")
+        return (
+            state.select(ID, (F.col("hub") / mh).alias("hub_norm"))
+            .join(hub_new, ID, "left")
             .join(auth_full, ID, "left")
             .select(
                 ID,
                 F.coalesce("hub", F.lit(0.0)).alias("hub"),
                 F.coalesce("auth", F.lit(0.0)).alias("auth"),
+                "hub_norm",
             )
-        )
-        maxes = combined.agg(
-            F.max("hub").alias("mh"), F.max("auth").alias("ma")
-        ).collect()[0]
-        mh = float(maxes["mh"]) or 1.0
-        ma = float(maxes["ma"]) or 1.0
-        return combined.select(
-            ID, (F.col("hub") / mh).alias("hub"), (F.col("auth") / ma).alias("auth")
         )
 
     def until(new: DataFrame, old: DataFrame, it: int):
-        eps = (
-            new.select(ID, "hub")
-            .join(old.select(ID, F.col("hub").alias("prev")), ID)
-            .agg(F.sum(F.abs(F.col("hub") - F.col("prev"))))
-            .collect()[0][0]
+        # ONE driver round-trip: next-round maxes + L1 delta of the
+        # normalized hub vector. max(hub) is needed inside the delta, so
+        # it is computed as a broadcast scalar subquery — two stages,
+        # one action, one barrier.
+        m = new.agg(
+            F.max("hub").alias("__mh"), F.max("auth").alias("__ma")
         )
-        eps = float(eps or 0.0)
-        return eps <= tolerance, {"l1_delta_hub": eps}
+        row = (
+            new.crossJoin(F.broadcast(m))
+            .agg(
+                F.first("__mh").alias("mh"),
+                F.first("__ma").alias("ma"),
+                F.sum(
+                    F.abs(F.col("hub") / F.col("__mh") - F.col("hub_norm"))
+                ).alias("eps"),
+            )
+            .collect()[0]
+        )
+        carry["mh"] = float(row["mh"] or 0.0) or 1.0
+        carry["ma"] = float(row["ma"] or 0.0) or 1.0
+        eps = float(row["eps"] or 0.0)
+        stop = (fixed_rounds is None) and eps <= tolerance
+        return stop, {"l1_delta_hub": eps}
 
     runner = SuperstepRunner(
         max_iter=fixed_rounds if fixed_rounds is not None else max_round,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
     )
-    result = runner.run(init, step, None if fixed_rounds is not None else until)
-    out = result.state
+    result = runner.run(init, step, until)
+    out = result.state.select(
+        ID, (F.col("hub") / carry["mh"]).alias("hub"),
+        (F.col("auth") / carry["ma"]).alias("auth"),
+    )
     if normalized:
         sums = out.agg(F.sum("hub").alias("sh"), F.sum("auth").alias("sa")).collect()[0]
         sh = float(sums["sh"]) or 1.0

@@ -100,7 +100,25 @@ def triangles(graph: LinkGraph, mode: str = "array") -> DataFrame:
     return out
 
 
-def triangle_count(graph: LinkGraph, mode: str = "array") -> int:
-    """Global triangle count = Σ tricnt / 3."""
-    total = triangles(graph, mode=mode).agg(F.sum("tricnt")).collect()[0][0]
-    return int(total or 0) // 3
+def triangle_count(graph: LinkGraph) -> int:
+    """Global triangle count WITHOUT per-corner materialization.
+
+    Each triangle {a,b,w} is found exactly once at its base edge (a,b)
+    in the orientation DAG, so the global count is simply
+    Σ size(array_intersect(adj[a], adj[b])) over oriented edges — no
+    explode of the ~3·#triangles corner rows and no groupBy over them
+    (on dense graphs the corner stream is orders of magnitude larger
+    than E; skipping it is the difference between O(#triangles) rows
+    shuffled and ZERO extra rows shuffled past the intersection)."""
+    oriented = _oriented(graph)
+    adj = oriented.groupBy(SRC).agg(F.sort_array(F.collect_list(DST)).alias("nbrs"))
+    adj_a = adj.select(F.col(SRC).alias("__a"), F.col("nbrs").alias("nbrs_a"))
+    adj_b = adj.select(F.col(SRC).alias("__b"), F.col("nbrs").alias("nbrs_b"))
+    total = (
+        oriented.join(adj_a, oriented[SRC] == adj_a["__a"])
+        .join(adj_b, oriented[DST] == adj_b["__b"])
+        .select(F.size(F.array_intersect("nbrs_a", "nbrs_b")).alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    return int(total or 0)

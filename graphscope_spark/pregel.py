@@ -80,7 +80,19 @@ def run_pregel(
     Returns DataFrame(id long, value). Superstep shape is identical to
     the builtin algorithms: edges ⋈ state on src → groupBy(dst).agg
     (combine) → join back on id — one shuffle of E + two of V."""
-    edges = graph.edges.cache()
+    edges = graph.edges
+    if not graph.directed:
+        # undirected graph stored as canonical one-direction edges:
+        # messages must flow both ways (same symmetrization as the
+        # builtin sssp/lpa fabric) — edge property columns are kept.
+        edges = edges.unionAll(
+            edges.select(
+                F.col(DST).alias(SRC),
+                F.col(SRC).alias(DST),
+                *[c for c in edges.columns if c not in (SRC, DST)],
+            )
+        )
+    edges = edges.cache()
     edges.count()
 
     comb = (

@@ -42,10 +42,10 @@ def get_spark(
         env_p = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         if env_p:
-            # explicit override: partition count is a property of the
-            # DATA, not the cluster size — scaling runs pin it so N and
-            # 4N executors execute the identical plan (as a real cluster
-            # does when only executor count changes)
+            # explicit override: scaling runs (tools/bench_scaling.py)
+            # set this to the level's core count — partitions scale
+            # with cores, exactly as a spark-submit launch scales them
+            # with executor count when cluster size changes
             shuffle_partitions = int(env_p)
         elif inner.isdigit():
             # default local[N] → N partitions

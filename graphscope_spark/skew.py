@@ -37,11 +37,13 @@ def salted_sum(
 ) -> DataFrame:
     """Two-stage sum: groupBy(key, salt) partial → groupBy(key) final.
 
-    Salt derives from a second column-independent hash of the row so the
-    partial stage spreads a hub key over ``salt_mod`` reducers.
+    Salt = hash of the value column (deterministic per ROW CONTENT, so a
+    recomputed/retried partition re-salts identically — a
+    monotonically_increasing_id or rand salt would not, and a mid-agg
+    retry could then double-count rows under a different salt).
     """
     value_col = F.col(value) if isinstance(value, str) else value
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_mod))
+    salt = F.pmod(F.xxhash64(value_col, F.col(key)), F.lit(salt_mod))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key, "__salt")

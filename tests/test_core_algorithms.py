@@ -101,5 +101,5 @@ def test_triangles_p2p(p2p_graph, p2p_edges, mode):
     got = _as_dict(triangles(p2p_graph, mode=mode))
     exp = oracle_triangles(p2p_edges)
     assert got == exp
-    total = triangle_count(p2p_graph, mode=mode)
+    total = triangle_count(p2p_graph)
     assert total == sum(exp.values()) // 3
