@@ -41,6 +41,7 @@ from graphscope_spark.algorithms import (
     k_core,
     k_shell,
     katz_centrality,
+    louvain,
     lpa_u2i,
     node_boundary,
     pagerank,
@@ -331,6 +332,14 @@ def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_shortest_path_length(g, weight_col=None)
 
 
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed 1 level × 2 local-move cycles — deterministic (integer
+    # weights ⇒ exact aggregates; all tie-breaks total orders), so the
+    # oracle unrolls the identical cycles as CTEs
+    g = H.g2w(spark, sf_dir).build()
+    return louvain(g, weight_col="w", fixed_levels=1, fixed_iters=2)
+
+
 def q_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g2w(spark, sf_dir)
     ok = is_simple_path(g, [1, 2, 3])
@@ -570,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_simple_path_g2": q_simple_path,
         "closeness_g2": q_closeness,
         "apsp_g2": q_apsp,
+        "louvain_g2w_l1_i2": q_louvain,
     }
 
 
@@ -614,4 +624,5 @@ def oracle_sql() -> dict[str, str]:
         "is_simple_path_g2": H.simple_path_sql([1, 2, 3]),
         "closeness_g2": H.closeness_sql(12),
         "apsp_g2": H.apsp_sql(12),
+        "louvain_g2w_l1_i2": H.louvain_sql(2),
     }

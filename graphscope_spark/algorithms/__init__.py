@@ -31,6 +31,7 @@ from graphscope_spark.algorithms.closeness import (
     all_pairs_shortest_path_length,
     closeness_centrality,
 )
+from graphscope_spark.algorithms.louvain import louvain
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -41,4 +42,5 @@ __all__ = [
     "eigenvector_centrality", "katz_centrality",
     "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
     "closeness_centrality", "all_pairs_shortest_path_length",
+    "louvain",
 ]

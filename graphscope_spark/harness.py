@@ -684,3 +684,68 @@ def apsp_sql(rounds: int) -> str:
 SELECT s AS source, id, dist AS distance
 FROM p{rounds} WHERE dist < 1e17
 """
+
+
+def louvain_sql(iters: int) -> str:
+    """Unrolled Louvain phase-1 local-move cycles over weighted G2
+    (louvain.h:228-279 semantics: ΔQ = k_i_in − k_i·σ'/m2, winner =
+    max ΔQ / min community id, stay scores 0, parity anti-cycle rule).
+    Single level ⇒ internal weights are 0 throughout."""
+    ctes = [
+        f"edges0 AS MATERIALIZED ({G2W_SQL})",
+        """sym AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM (
+             SELECT src, dst, w FROM edges0 WHERE src <> dst
+             UNION ALL SELECT dst, src, w FROM edges0 WHERE src <> dst)
+           GROUP BY src, dst)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        "kk AS MATERIALIZED (SELECT src AS node, SUM(w) AS k FROM sym GROUP BY src)",
+        "m2 AS MATERIALIZED (SELECT SUM(k) AS m2 FROM kk)",
+        "s0 AS MATERIALIZED (SELECT node, node AS community FROM verts)",
+    ]
+    for i in range(iters):
+        prev, cur = f"s{i}", f"s{i + 1}"
+        parity = (
+            "st.community > b.best" if i % 2 == 0 else "st.community < b.best"
+        )
+        ctes.append(
+            f"""sig{i} AS MATERIALIZED (SELECT s.community, SUM(kk.k) AS sigma
+                 FROM {prev} s JOIN kk ON kk.node = s.node GROUP BY s.community)"""
+        )
+        ctes.append(
+            f"""nbr{i} AS MATERIALIZED (SELECT e.src AS node, s.community AS c,
+                   SUM(e.w) AS kvc
+                 FROM sym e JOIN {prev} s ON s.node = e.dst
+                 GROUP BY e.src, s.community)"""
+        )
+        ctes.append(
+            f"""cand{i} AS MATERIALIZED (
+                 SELECT n.node, n.c,
+                   CASE WHEN n.c = st.community AND (g.sigma - kk.k) = 0 THEN 0.0
+                        ELSE n.kvc - kk.k *
+                          (g.sigma - CASE WHEN n.c = st.community
+                                     THEN kk.k ELSE 0.0 END)
+                          / (SELECT m2 FROM m2)
+                   END AS dq
+                 FROM nbr{i} n
+                 JOIN sig{i} g ON g.community = n.c
+                 JOIN {prev} st ON st.node = n.node
+                 JOIN kk ON kk.node = n.node
+                 UNION ALL
+                 SELECT node, community AS c, 0.0 AS dq FROM {prev})"""
+        )
+        ctes.append(
+            f"""best{i} AS MATERIALIZED (SELECT node, c AS best FROM (
+                   SELECT node, c,
+                          ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY dq DESC, c ASC) AS rn
+                   FROM cand{i}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT st.node,
+                   CASE WHEN {parity} THEN st.community ELSE b.best END AS community
+                 FROM {prev} st JOIN best{i} b ON b.node = st.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS id, community FROM s{iters}"
+    )

@@ -331,3 +331,126 @@ def oracle_clustering(
         v: (2.0 * tri[v] / (deg[v] * (deg[v] - 1)) if deg.get(v, 0) >= 2 else 0.0)
         for v in vertices
     }
+
+
+def oracle_louvain(
+    edges: list[tuple[int, int, float]] | list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    min_progress: int = 1,
+    progress_tries: int = 1,
+    max_iters_per_level: int = 50,
+    max_levels: int = 10,
+    fixed_iters: int | None = None,
+    fixed_levels: int | None = None,
+) -> dict[int, int]:
+    """apps/pregel/louvain/louvain.h semantics, synchronous BSP, same
+    tie-breaks/parity/halting as algorithms/louvain.py (which mirrors
+    the reference; see its docstring for the derivation)."""
+    elist = [(e[0], e[1], float(e[2]) if len(e) > 2 else 1.0) for e in edges]
+    if vertices is None:
+        vertices = sorted({v for e in elist for v in e[:2]})
+
+    # symmetric adjacency with per-pair weight sums, no self-loops
+    def symmetrize(el):
+        acc: dict[tuple[int, int], float] = {}
+        for s, d, w in el:
+            if s == d:
+                continue
+            acc[(s, d)] = acc.get((s, d), 0.0) + w
+            acc[(d, s)] = acc.get((d, s), 0.0) + w
+        return acc
+
+    adj = symmetrize(elist)
+    nodes = {v: 0.0 for v in vertices}  # internal weight
+    membership = {v: v for v in vertices}
+
+    def decide_to_halt(history):
+        if not history:
+            return False
+        if history[-1] == 0:
+            return True
+        previous = history[0]
+        count = 0
+        for cur in history:
+            if previous - cur <= min_progress:
+                count += 1
+            previous = cur
+        return count > progress_tries
+
+    levels = fixed_levels if fixed_levels is not None else max_levels
+    prev_q = None
+    for _level in range(levels):
+        nbrs: dict[int, dict[int, float]] = defaultdict(dict)
+        for (s, d), w in adj.items():
+            nbrs[s][d] = w
+        k = {
+            v: sum(nbrs.get(v, {}).values()) + nodes[v] for v in nodes
+        }
+        m2 = sum(k.values()) or 1.0
+        comm = {v: v for v in nodes}
+        history: list[int] = []
+        max_it = fixed_iters if fixed_iters is not None else max_iters_per_level
+        for it in range(max_it):
+            sigma = defaultdict(float)
+            for v in nodes:
+                sigma[comm[v]] += k[v]
+            new_comm = {}
+            moved = 0
+            for v in nodes:
+                kvc = defaultdict(float)
+                for u, w in nbrs.get(v, {}).items():
+                    kvc[comm[u]] += w
+                cands = [(comm[v], 0.0)]
+                for c, wsum in kvc.items():
+                    is_cur = c == comm[v]
+                    sig_adj = sigma[c] - (k[v] if is_cur else 0.0)
+                    k_i_in = wsum + (nodes[v] if is_cur else 0.0)
+                    if is_cur and sig_adj == 0.0:
+                        dq = 0.0
+                    else:
+                        dq = k_i_in - k[v] * sig_adj / m2
+                    cands.append((c, dq))
+                best = min(cands, key=lambda t: (-t[1], t[0]))[0]
+                cur = comm[v]
+                if (cur > best and it % 2 == 0) or (cur < best and it % 2 == 1):
+                    best = cur
+                if best != cur:
+                    moved += 1
+                new_comm[v] = best
+            comm = new_comm
+            history.append(moved)
+            if fixed_iters is None and decide_to_halt(history):
+                break
+
+        membership = {orig: comm[node] for orig, node in membership.items()}
+
+        # compress
+        new_internal = defaultdict(float)
+        for v, iw in nodes.items():
+            new_internal[comm[v]] += iw
+        new_adj: dict[tuple[int, int], float] = {}
+        for (s, d), w in adj.items():
+            cs, cd = comm[s], comm[d]
+            if cs == cd:
+                new_internal[cs] += w
+            else:
+                new_adj[(cs, cd)] = new_adj.get((cs, cd), 0.0) + w
+        new_nodes = {c: new_internal.get(c, 0.0) for c in set(comm.values())}
+
+        # modularity of the assignment (same form as algorithms/louvain)
+        sig = defaultdict(float)
+        for v in nodes:
+            sig[comm[v]] += k[v]
+        q = sum(
+            new_nodes[c] / m2 - (sig.get(c, 0.0) / m2) ** 2 for c in new_nodes
+        )
+        moved_total = sum(history)
+        stop_outer = fixed_levels is None and (
+            moved_total == 0 or (prev_q is not None and q <= prev_q)
+        )
+        prev_q = q
+        if stop_outer:
+            break
+        adj, nodes = new_adj, new_nodes
+
+    return membership
