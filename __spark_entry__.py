@@ -28,6 +28,7 @@ from graphscope_spark import harness as H
 from graphscope_spark.algorithms import (
     avg_clustering,
     bfs,
+    bfs_generic,
     cdlp,
     clustering,
     degree_assortativity_coefficient,
@@ -47,6 +48,8 @@ from graphscope_spark.algorithms import (
     pagerank,
     sssp,
     sssp_average_length,
+    sssp_has_path,
+    sssp_path,
     transitivity,
     triangles,
     wcc,
@@ -332,6 +335,23 @@ def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_shortest_path_length(g, weight_col=None)
 
 
+def q_sssp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    p = sssp_path(g, src=1, weight_col="w")
+    return p.select("pred", "id", F.round("distance", 6).alias("distance"))
+
+
+def q_bfs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    return bfs_generic(g, src=1, output_format="tree")
+
+
+def q_has_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = H.g2w(spark, sf_dir).build()
+    ok = sssp_has_path(g, src=1, dst=2)
+    return spark.createDataFrame([(bool(ok),)], "has_path boolean")
+
+
 def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed 1 level × 2 local-move cycles — deterministic (integer
     # weights ⇒ exact aggregates; all tie-breaks total orders), so the
@@ -580,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_g2": q_closeness,
         "apsp_g2": q_apsp,
         "louvain_g2w_l1_i2": q_louvain,
+        "sssp_path_g2w_src1": q_sssp_path,
+        "bfs_tree_g2_src1": q_bfs_tree,
+        "has_path_g2_1_2": q_has_path,
     }
 
 
@@ -625,4 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_g2": H.closeness_sql(12),
         "apsp_g2": H.apsp_sql(12),
         "louvain_g2w_l1_i2": H.louvain_sql(2),
+        "sssp_path_g2w_src1": H.sssp_path_sql(1, 20),
+        "bfs_tree_g2_src1": H.bfs_tree_sql(1, 12),
+        "has_path_g2_1_2": H.has_path_sql(1, 2, 12),
     }

@@ -22,7 +22,14 @@ from graphscope_spark.algorithms.clustering import (
     clustering,
     transitivity,
 )
-from graphscope_spark.algorithms.sssp import bfs, sssp, sssp_average_length, sssp_has_path
+from graphscope_spark.algorithms.sssp import (
+    bfs,
+    bfs_generic,
+    sssp,
+    sssp_average_length,
+    sssp_has_path,
+    sssp_path,
+)
 from graphscope_spark.algorithms.centrality import eigenvector_centrality, katz_centrality
 from graphscope_spark.algorithms.lpa import lpa_u2i
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
@@ -38,7 +45,8 @@ __all__ = [
     "degree_centrality", "degree_assortativity_coefficient",
     "hits", "k_core", "k_shell",
     "clustering", "avg_clustering", "transitivity",
-    "bfs", "sssp", "sssp_average_length", "sssp_has_path",
+    "bfs", "bfs_generic", "sssp", "sssp_average_length", "sssp_has_path",
+    "sssp_path",
     "eigenvector_centrality", "katz_centrality",
     "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
     "closeness_centrality", "all_pairs_shortest_path_length",

@@ -749,3 +749,77 @@ def louvain_sql(iters: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node AS id, community FROM s{iters}"
     )
+
+
+def _relax_ctes(src: int, rounds: int, weighted: bool) -> list[str]:
+    """Shared unrolled Bellman-Ford CTE chain over undirected G2
+    (weighted or unit) — base for the path/tree/has-path oracles."""
+    big = "1e17"
+    step = "e.w" if weighted else "1.0"
+    ctes = [
+        _G2_UND.strip(),
+        f"""d0 AS MATERIALIZED (SELECT id,
+              CASE WHEN id = {src} THEN 0.0 ELSE 1e18 END AS dist FROM verts)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"d{i}", f"d{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT e.dst AS id, MIN(p.dist + {step}) AS cand
+                 FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < {big}
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.id, LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                 FROM {prev} p LEFT JOIN m{i} m ON m.id = p.id)"""
+        )
+    return ctes
+
+
+def sssp_path_sql(src: int, rounds: int) -> str:
+    """Shortest-path tree over weighted undirected G2 — matches
+    algorithms/sssp.py sssp_path (min-id optimal predecessor)."""
+    ctes = _relax_ctes(src, rounds, weighted=True)
+    last = f"d{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+preds AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(e.src) AS pred
+  FROM und e
+  JOIN {last} ds ON ds.id = e.src
+  JOIN {last} dd ON dd.id = e.dst
+  WHERE dd.dist < 1e17 AND e.dst <> {src}
+    AND ABS(ds.dist + e.w - dd.dist) <= 1e-12
+  GROUP BY e.dst)
+SELECT p.pred, p.id, ROUND(d.dist, 6) AS distance
+FROM preds p JOIN {last} d ON d.id = p.id"""
+    )
+
+
+def bfs_tree_sql(src: int, rounds: int) -> str:
+    """BFS tree (id, depth, pred) over undirected G2 — matches
+    algorithms/sssp.py bfs_generic(output_format='tree')."""
+    ctes = _relax_ctes(src, rounds, weighted=False)
+    last = f"d{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+visited AS MATERIALIZED (
+  SELECT id, CAST(dist AS BIGINT) AS depth FROM {last} WHERE dist < 1e17),
+tree AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(e.src) AS pred
+  FROM und e
+  JOIN visited du ON du.id = e.src
+  JOIN visited dv ON dv.id = e.dst
+  WHERE du.depth + 1 = dv.depth AND e.dst <> {src}
+  GROUP BY e.dst)
+SELECT v.id, v.depth, COALESCE(t.pred, {src}) AS pred
+FROM visited v LEFT JOIN tree t ON t.id = v.id"""
+    )
+
+
+def has_path_sql(src: int, dst: int, rounds: int) -> str:
+    ctes = _relax_ctes(src, rounds, weighted=False)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST((SELECT dist FROM d{rounds} WHERE id = {dst}) < 1e17
+       AS BOOLEAN) AS has_path"""
+    )

@@ -156,3 +156,40 @@ def test_is_simple_path_toy(toy_graph):
     assert is_simple_path(toy_graph, [0, 1, 0]) is False  # repeated node
     assert is_simple_path(toy_graph, [7]) is True
     assert is_simple_path(toy_graph, []) is False
+
+
+# ------------------------------------------------------- path extraction
+def test_sssp_path_toy(toy_graph):
+    """Tree rows (pred, id, distance) for reached != src; min-id
+    optimal predecessor (sssp_path.h semantics, deterministic)."""
+    from graphscope_spark.algorithms import sssp_path
+
+    rows = {r["id"]: (r["pred"], r["distance"]) for r in sssp_path(toy_graph, src=3).collect()}
+    # toy: 3→{0,1,2,4,5} at depth 1; 4→3 and 3's targets only
+    assert rows[0] == (3, 1.0)
+    assert rows[4] == (3, 1.0)
+    assert 3 not in rows  # source excluded
+    assert 6 not in rows  # other component unreachable
+    # vertex 5 reachable via 3 (d=1) — min pred among optimal is 3
+    assert rows[5] == (3, 1.0)
+
+
+def test_bfs_generic_modes(toy_graph):
+    from graphscope_spark.algorithms import bfs_generic
+
+    tree = {r["id"]: (r["depth"], r["pred"]) for r in
+            bfs_generic(toy_graph, src=3, output_format="tree").collect()}
+    assert tree[3] == (0, 3)
+    assert tree[0] == (1, 3) and tree[5] == (1, 3)
+    edges = {(r["src"], r["dst"]) for r in
+             bfs_generic(toy_graph, src=3, output_format="edges").collect()}
+    preds = {r["id"]: r["predecessor"] for r in
+             bfs_generic(toy_graph, src=3, output_format="predecessors").collect()}
+    succs = {(r["id"], r["successor"]) for r in
+             bfs_generic(toy_graph, src=3, output_format="successors").collect()}
+    assert edges == succs == {(p, v) for v, p in preds.items()}
+    assert {v for v, (d, p) in tree.items() if v != 3} == set(preds)
+    # depth_limit truncates the frontier
+    lim = {r["id"] for r in
+           bfs_generic(toy_graph, src=4, depth_limit=1, output_format="tree").collect()}
+    assert lim == {4, 3}
