@@ -335,6 +335,15 @@ def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_shortest_path_length(g, weight_col=None)
 
 
+def q_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path: landmark sources (deterministic id % 97 == 1 —
+    # the SQL-reproducible stand-in for the auto min-xxhash64 sample)
+    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False).build()
+    src = g.vertices.where(F.col("id") % 97 == 1)
+    c = closeness_centrality(g, sources=src, wf_improve=True)
+    return c.select("id", F.round("centrality", 6).alias("centrality"))
+
+
 def q_sssp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g2w(spark, sf_dir).build()
     p = sssp_path(g, src=1, weight_col="w")
@@ -603,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_path_g2w_src1": q_sssp_path,
         "bfs_tree_g2_src1": q_bfs_tree,
         "has_path_g2_1_2": q_has_path,
+        "closeness_g1_landmarks": q_closeness_landmarks,
     }
 
 
@@ -651,4 +661,5 @@ def oracle_sql() -> dict[str, str]:
         "sssp_path_g2w_src1": H.sssp_path_sql(1, 20),
         "bfs_tree_g2_src1": H.bfs_tree_sql(1, 12),
         "has_path_g2_1_2": H.has_path_sql(1, 2, 12),
+        "closeness_g1_landmarks": H.closeness_landmarks_sql(15),
     }

@@ -12,11 +12,12 @@ one edges⋈frontier join + groupBy(s, dst).agg(min), so the shuffle key
 carries the source id and the work distributes across the cluster
 instead of across threads of one node.
 
-Scale note: the dense pair state is |sources|·V rows. With
-sources=None (all vertices) that is V² — fine for validation graphs,
-infeasible at web scale; production closeness at 10^9+ vertices passes
-a sampled `sources` DataFrame (landmark closeness), which this API
-takes directly.
+Scale note: the dense pair state is |sources|·V rows. All-pairs
+(V² state) is only ever run BELOW `landmark_threshold` vertices;
+above it the default AUTO-SAMPLES `auto_landmarks` deterministic
+landmark sources (min-xxhash64 order — restart- and cluster-size-
+stable), so the scale-killer path is unreachable by default. Passing
+an explicit `sources` DataFrame overrides both.
 """
 
 from __future__ import annotations
@@ -28,6 +29,29 @@ from graphscope_spark.graph import DST, ID, SRC, LinkGraph
 from graphscope_spark.superstep import SuperstepRunner
 
 INF = float("inf")
+
+# Above this vertex count the all-pairs default switches to landmarks.
+LANDMARK_THRESHOLD = 4096
+AUTO_LANDMARKS = 64
+
+
+def _effective_sources(
+    graph: LinkGraph,
+    sources: DataFrame | None,
+    auto_landmarks: int,
+    landmark_threshold: int,
+) -> DataFrame | None:
+    """Explicit sources win; otherwise all-pairs below the threshold,
+    else `auto_landmarks` deterministic min-xxhash64 landmarks."""
+    if sources is not None:
+        return sources
+    if graph.num_vertices() <= landmark_threshold:
+        return None
+    return (
+        graph.vertices.select(ID)
+        .orderBy(F.xxhash64(ID), F.asc(ID))
+        .limit(auto_landmarks)
+    )
 
 
 def _pair_distances(
@@ -104,15 +128,20 @@ def closeness_centrality(
     weight_col: str | None = None,
     wf_improve: bool = True,
     sources: DataFrame | None = None,
+    auto_landmarks: int = AUTO_LANDMARKS,
+    landmark_threshold: int = LANDMARK_THRESHOLD,
     **kw,
 ) -> DataFrame:
-    """DataFrame(id long, centrality double).
+    """DataFrame(id long, centrality double) — for every vertex when
+    |V| ≤ landmark_threshold, else for the (sampled or explicit)
+    landmark sources only.
 
     centrality(u) = (reachable(u)−1) / Σ dist(v→u), WF-improved scales
     by (reachable(u)−1)/(n−1) — closeness_centrality.h:121-139 exactly
     (reachable counts u itself; unreachable u ⇒ 0).
     """
     n = graph.num_vertices()
+    sources = _effective_sources(graph, sources, auto_landmarks, landmark_threshold)
     pairs = _pair_distances(graph, weight_col, sources, reverse=True, **kw)
     stats = (
         pairs.where(F.col("distance") != INF)
@@ -139,11 +168,16 @@ def all_pairs_shortest_path_length(
     graph: LinkGraph,
     weight_col: str | None = None,
     sources: DataFrame | None = None,
+    auto_landmarks: int = AUTO_LANDMARKS,
+    landmark_threshold: int = LANDMARK_THRESHOLD,
     **kw,
 ) -> DataFrame:
     """DataFrame(source long, id long, distance double), finite pairs
     only (all_pairs_shortest_path_length.h emits per-source length
-    maps; unreachable pairs are absent from the result selector)."""
+    maps; unreachable pairs are absent from the result selector).
+    True all-pairs only below landmark_threshold; landmark-bounded
+    above (see module docstring)."""
+    sources = _effective_sources(graph, sources, auto_landmarks, landmark_threshold)
     pairs = _pair_distances(graph, weight_col, sources, reverse=False, **kw)
     return pairs.where(F.col("distance") != INF).select(
         F.col("s").alias("source"), ID, "distance"

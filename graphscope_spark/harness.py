@@ -823,3 +823,44 @@ def has_path_sql(src: int, dst: int, rounds: int) -> str:
 SELECT CAST((SELECT dist FROM d{rounds} WHERE id = {dst}) < 1e17
        AS BOOLEAN) AS has_path"""
     )
+
+
+def closeness_landmarks_sql(rounds: int, mod: int = 97, rem: int = 1) -> str:
+    """Landmark closeness over UNDIRECTED G1, unit weights, sources =
+    {id % mod = rem} — the deterministic, SQL-reproducible stand-in
+    for the min-xxhash64 auto-landmark sampling (closeness.py
+    _effective_sources). WF-improved formula, landmark rows only."""
+    ctes = [
+        f"edges0 AS MATERIALIZED ({G1_SQL})",
+        """und AS MATERIALIZED (SELECT src, dst FROM edges0
+                     UNION SELECT dst, src FROM edges0)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"srcs AS MATERIALIZED (SELECT id FROM verts WHERE id % {mod} = {rem})",
+        """p0 AS MATERIALIZED (SELECT s.id AS s, v.id AS id,
+              CASE WHEN s.id = v.id THEN 0.0 ELSE 1e18 END AS dist
+            FROM srcs s CROSS JOIN verts v)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"p{i}", f"p{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT p.s, e.dst AS id, MIN(p.dist + 1.0) AS cand
+                 FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < 1e17
+                 GROUP BY p.s, e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.s, p.id,
+                   LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                 FROM {prev} p LEFT JOIN m{i} m ON m.s = p.s AND m.id = p.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+stats AS MATERIALIZED (
+  SELECT s, SUM(dist) AS tot, COUNT(*) AS cnt
+  FROM p{rounds} WHERE dist < 1e17 GROUP BY s),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
+SELECT v.id,
+       ROUND(CASE WHEN COALESCE(t.tot, 0) > 0 AND (SELECT n FROM nn) > 1
+             THEN (t.cnt - 1.0) / t.tot * ((t.cnt - 1.0) / ((SELECT n FROM nn) - 1.0))
+             ELSE 0.0 END, 6) AS centrality
+FROM srcs v LEFT JOIN stats t ON t.s = v.id"""
+    )

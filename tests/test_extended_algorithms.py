@@ -193,3 +193,29 @@ def test_bfs_generic_modes(toy_graph):
     lim = {r["id"] for r in
            bfs_generic(toy_graph, src=4, depth_limit=1, output_format="tree").collect()}
     assert lim == {4, 3}
+
+
+def test_closeness_landmark_default(toy_graph):
+    """Above landmark_threshold the all-pairs default must be
+    unreachable: the auto-sampled landmark run equals the explicit-
+    sources run, and rows are restricted to the landmarks."""
+    from graphscope_spark.algorithms import closeness_centrality
+    from pyspark.sql import functions as F
+
+    full = {r["id"]: round(r["centrality"], 9) for r in
+            closeness_centrality(toy_graph).collect()}
+    assert len(full) == 12  # below threshold: every vertex
+
+    auto = closeness_centrality(toy_graph, landmark_threshold=4, auto_landmarks=5)
+    auto_rows = {r["id"]: round(r["centrality"], 9) for r in auto.collect()}
+    assert len(auto_rows) == 5  # landmark-bounded
+    # landmark rows agree with the all-pairs values for those vertices
+    for v, c in auto_rows.items():
+        assert c == full[v], v
+
+    explicit_src = toy_graph.vertices.where(F.col("id").isin([0, 3, 9]))
+    expl = {r["id"]: round(r["centrality"], 9) for r in
+            closeness_centrality(toy_graph, sources=explicit_src).collect()}
+    assert set(expl) == {0, 3, 9}
+    for v, c in expl.items():
+        assert c == full[v], v
