@@ -217,10 +217,33 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (bit-mixing kernel) — driver records rows-only check
     return D.simhash_near_pairs(
         H.load(spark, sf_dir, "documents"), max_hamming=16, prefix_bits=8
     )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal plumbing end-to-end (synth media → Arrow-batched
+    # feature extraction → frame-sample plan); deterministic aggregate
+    # so the rows-only driver check still pins real numbers. No SQL
+    # oracle: the stubbed codec (sha256 features) is not in DuckDB.
+    from graphscope_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=300)
+    feats = extract_features(media)
+    agg = feats.agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.sum(F.element_at("feature", 1)), 6).alias("sum_f0"),
+    )
+    frames = frame_sample_plan(media, every_ms=1000).agg(
+        F.count("*").alias("n_frames")
+    )
+    return agg.crossJoin(frames)
 
 
 def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +574,38 @@ SELECT md5(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
 FROM documents GROUP BY md5(text)
 """
 
+# SimHash64 in pure SQL (bit-for-bit the dedup.py _simhash64_py kernel:
+# token hash = first 8 bytes of md5 big-endian; acc per bit; result bit
+# = acc > 0; signed int64; bucket = top 8 bits; hamming via
+# bit_count(xor)). Gives the driver a real value-hash check for the
+# one Python kernel in the dedup suite.
+SIMHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hnum AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks),
+bits AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hnum CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
+  GROUP BY doc_id, b.i),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 AND i < 63
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+         + CASE WHEN MAX(CASE WHEN i = 63 AND acc > 0 THEN 1 ELSE 0 END) = 1
+           THEN -9223372036854775807 - 1 ELSE 0 END AS simhash,
+         CAST(SUM(CASE WHEN acc > 0 AND i >= 56
+              THEN (CAST(1 AS BIGINT) << (i - 56)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
+
 
 # ----------------------------------------------------------------------
 # Contract entry points
@@ -613,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_tree_g2_src1": q_bfs_tree,
         "has_path_g2_1_2": q_has_path,
         "closeness_g1_landmarks": q_closeness_landmarks,
+        "multimodal_features": q_multimodal,
     }
 
 
@@ -640,7 +696,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
-        # simhash_pairs, pages_pipeline: non-SQL kernels → rows-only
+        "simhash_pairs": SIMHASH_PAIRS_SQL,
+        # pages_pipeline: non-SQL kernels → rows-only
         "bfs_g2_src1": H.bfs_sql(1, 12),
         "sssp_g2w_src1": H.sssp_sql(1, 20),
         "sssp_avg_len_g2w": H.sssp_avg_sql(1, 20),
