@@ -46,6 +46,7 @@ from graphscope_spark.algorithms import (
     lpa_u2i,
     node_boundary,
     pagerank,
+    property_sssp,
     sssp,
     sssp_average_length,
     sssp_has_path,
@@ -356,6 +357,30 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g2w(spark, sf_dir).build()
     return all_pairs_shortest_path_length(g, weight_col=None)
+
+
+def q_property_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises the multi-label construction surface
+    # (empty → add_vertices × 2 → add_edges, reference
+    # add_labels_to_graph) + the labeled-context sssp
+    e = H.g1_edges(spark, sf_dir)
+    cust = e.select(F.col("src").alias("id")).distinct()
+    supp = e.select(F.col("dst").alias("id")).distinct()
+    g = (
+        LinkGraph.empty(spark, directed=False)
+        .add_vertices(cust, "customer")
+        .add_vertices(supp, "supplier")
+        .add_edges(e, "links")
+        .build()
+    )
+    d = property_sssp(g, src=1)
+    return d.select(
+        "label",
+        "id",
+        F.when(F.col("distance") == float("inf"), F.lit(-1.0))
+        .otherwise(F.round("distance", 6))
+        .alias("distance"),
+    )
 
 
 def q_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_path_g2_1_2": q_has_path,
         "closeness_g1_landmarks": q_closeness_landmarks,
         "multimodal_features": q_multimodal,
+        "property_sssp_g1": q_property_sssp,
     }
 
 
@@ -719,4 +745,5 @@ def oracle_sql() -> dict[str, str]:
         "bfs_tree_g2_src1": H.bfs_tree_sql(1, 12),
         "has_path_g2_1_2": H.has_path_sql(1, 2, 12),
         "closeness_g1_landmarks": H.closeness_landmarks_sql(15),
+        "property_sssp_g1": H.property_sssp_sql(1, 15),
     }

@@ -15,9 +15,13 @@ Reference parity targets (file:line cites are into /root/reference):
 """
 
 from graphscope_spark.graph import LinkGraph
+from graphscope_spark.pie import PIEProgram, run_pie
 from graphscope_spark.pregel import PregelProgram, run_pregel
 from graphscope_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["LinkGraph", "get_spark", "PregelProgram", "run_pregel", "__version__"]
+__all__ = [
+    "LinkGraph", "get_spark", "PregelProgram", "run_pregel",
+    "PIEProgram", "run_pie", "__version__",
+]

@@ -39,6 +39,7 @@ from graphscope_spark.algorithms.closeness import (
     closeness_centrality,
 )
 from graphscope_spark.algorithms.louvain import louvain
+from graphscope_spark.algorithms.property import property_bfs, property_sssp
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -50,5 +51,5 @@ __all__ = [
     "eigenvector_centrality", "katz_centrality",
     "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
     "closeness_centrality", "all_pairs_shortest_path_length",
-    "louvain",
+    "louvain", "property_sssp", "property_bfs",
 ]

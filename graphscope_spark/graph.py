@@ -169,6 +169,58 @@ class LinkGraph:
         return replace(self, vertices=self.vertices.join(result, on, "left"), _cached={})
 
     # ------------------------------------------------------------------
+    # Multi-label graphs (reference add_labels_to_graph,
+    # dag_utils.py:165-213: new vertex/edge labels appended to a loaded
+    # graph). Labels are a `label` discriminator column — the DataFrame
+    # twin of the reference's per-label Arrow tables; `project` /
+    # filter(label = x) recovers a single-label view.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def empty(spark: SparkSession, directed: bool = True) -> "LinkGraph":
+        """Empty property graph (reference sess.g(),
+        session.py:1009-1012) — populate with add_vertices/add_edges."""
+        return LinkGraph(
+            vertices=spark.createDataFrame([], f"{ID} long, label string"),
+            edges=spark.createDataFrame([], f"{SRC} long, {DST} long, label string"),
+            directed=directed,
+        )
+
+    def _with_label_col(self, df: DataFrame) -> DataFrame:
+        return df if "label" in df.columns else df.withColumn("label", F.lit("_"))
+
+    def add_vertices(self, vertices: DataFrame, label: str = "_") -> "LinkGraph":
+        """Append a vertex label (reference g.add_vertices,
+        framework/graph.py:369-416 + add_labels_to_graph)."""
+        v = vertices.withColumn(ID, F.col(ID).cast("long")).withColumn(
+            "label", F.lit(label)
+        )
+        base = self._with_label_col(self.vertices)
+        return replace(
+            self,
+            vertices=base.unionByName(v, allowMissingColumns=True),
+            _cached={},
+        )
+
+    def add_edges(
+        self, edges: DataFrame, label: str = "_", src: str = SRC, dst: str = DST
+    ) -> "LinkGraph":
+        """Append an edge label (reference g.add_edges,
+        framework/graph.py:417-563); endpoint vertices are NOT deduced
+        here (call add_vertices, or use from_edges for the deduced
+        form)."""
+        e = (
+            edges.withColumnRenamed(src, SRC)
+            .withColumnRenamed(dst, DST)
+            .withColumn(SRC, F.col(SRC).cast("long"))
+            .withColumn(DST, F.col(DST).cast("long"))
+            .withColumn("label", F.lit(label))
+        )
+        base = self._with_label_col(self.edges)
+        return replace(
+            self, edges=base.unionByName(e, allowMissingColumns=True), _cached={}
+        )
+
+    # ------------------------------------------------------------------
     # Degrees & report ops (reference dynamic_fragment_reporter.h:59-124)
     # ------------------------------------------------------------------
     def out_degrees(self) -> DataFrame:

@@ -864,3 +864,38 @@ SELECT v.id,
              ELSE 0.0 END, 6) AS centrality
 FROM srcs v LEFT JOIN stats t ON t.s = v.id"""
     )
+
+
+def property_sssp_sql(src: int, rounds: int) -> str:
+    """Labeled SSSP over undirected unit-weight G1 — matches
+    algorithms/property.py property_sssp on the add_vertices/add_edges
+    labeled graph (customer/supplier labels)."""
+    ctes = [
+        f"edges0 AS MATERIALIZED ({G1_SQL})",
+        """und AS MATERIALIZED (SELECT src, dst FROM edges0
+                 UNION ALL SELECT dst, src FROM edges0)""",
+        """labels AS MATERIALIZED (
+             SELECT DISTINCT src AS id, 'customer' AS label FROM edges0
+             UNION ALL
+             SELECT DISTINCT dst AS id, 'supplier' AS label FROM edges0)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM labels)",
+        f"""d0 AS MATERIALIZED (SELECT id,
+              CASE WHEN id = {src} THEN 0.0 ELSE 1e18 END AS dist FROM verts)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"d{i}", f"d{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT e.dst AS id, MIN(p.dist + 1.0) AS cand
+                 FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < 1e17
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.id, LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                 FROM {prev} p LEFT JOIN m{i} m ON m.id = p.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT l.label, l.id,
+       CASE WHEN d.dist >= 1e17 THEN -1.0 ELSE ROUND(d.dist, 6) END AS distance
+FROM labels l JOIN d{rounds} d ON d.id = l.id"""
+    )

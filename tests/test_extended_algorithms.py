@@ -219,3 +219,32 @@ def test_closeness_landmark_default(toy_graph):
     assert set(expl) == {0, 3, 9}
     for v, c in expl.items():
         assert c == full[v], v
+
+
+def test_property_graph_labels(spark):
+    """add_vertices/add_edges (add_labels_to_graph,
+    dag_utils.py:165-213) + property_sssp/bfs labeled contexts."""
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.algorithms import property_bfs, property_sssp, sssp
+
+    users = spark.createDataFrame([(1,), (2,)], "id long")
+    items = spark.createDataFrame([(10,), (11,)], "id long")
+    e = spark.createDataFrame([(1, 10), (2, 10), (2, 11)], "src long, dst long")
+    g = (
+        LinkGraph.empty(spark, directed=False)
+        .add_vertices(users, "user")
+        .add_vertices(items, "item")
+        .add_edges(e, "bought")
+    )
+    assert g.num_vertices() == 4 and g.num_edges() == 3
+    labels = {r["id"]: r["label"] for r in g.vertices.collect()}
+    assert labels == {1: "user", 2: "user", 10: "item", 11: "item"}
+
+    d = {(r["label"], r["id"]): r["distance"]
+         for r in property_sssp(g, src=1).collect()}
+    plain = {r["id"]: r["distance"] for r in sssp(g, src=1).collect()}
+    assert d == {(labels[v], v): plain[v] for v in labels}
+    assert d[("item", 11)] == 3.0
+
+    b = {r["id"]: r["depth"] for r in property_bfs(g, src=1).collect()}
+    assert b == {1: 0, 10: 1, 2: 2, 11: 3}
