@@ -217,6 +217,31 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of events_hourly: stage the events
+    parquet into a directory (file-stream appends contract), run the
+    watermarked windowed rollup with trigger=availableNow to a memory
+    sink, and return the finalized table.  Same DuckDB oracle as the
+    batch query — the streaming plan must produce identical rows."""
+    import shutil
+    import tempfile
+
+    from graphscope_spark.streaming import hourly_rollup_stream, stream_events
+
+    d = tempfile.mkdtemp(prefix="gs_events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+    q = (
+        hourly_rollup_stream(stream_events(spark, d))
+        .writeStream.format("memory")
+        .queryName("events_hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("events_hourly_stream")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         H.load(spark, sf_dir, "documents"), max_hamming=16, prefix_bits=8
@@ -669,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_label": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
         "events_sessions": q_events_sessions,
         "simhash_pairs": q_simhash_pairs,
         "pages_pipeline": q_pages_pipeline,
@@ -721,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_label": KNN_IVF_SQL,
         "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "events_hourly_stream": EVENTS_HOURLY_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "simhash_pairs": SIMHASH_PAIRS_SQL,
         # pages_pipeline: non-SQL kernels → rows-only
