@@ -150,6 +150,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(H.load(spark, sf_dir, "documents"))
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_ratio(H.load(spark, sf_dir, "documents"))
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # thresholds sit inside the synthetic corpus's quality (0.667-0.741)
+    # and length (10-99 tokens) ranges so the filter provably removes
+    # documents rather than passing everything through
+    return T.corpus_filter(
+        H.load(spark, sf_dir, "documents"),
+        min_tokens=20,
+        max_tokens=100_000,
+        min_quality=0.69,
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         H.load(spark, sf_dir, "documents"), n=3, threshold=0.2
@@ -512,6 +528,54 @@ SELECT doc_id, md5(text) AS fp,
 FROM documents
 """
 
+REPETITION_RATIO_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS ndist,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigs
+  FROM t)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN n > 0 THEN 1.0 - ndist * 1.0 / n ELSE 0.0 END, 6)
+         AS dup_token_ratio,
+       ROUND(CASE WHEN len(bigs) > 0
+             THEN 1.0 - len(list_distinct(bigs)) * 1.0 / len(bigs)
+             ELSE 0.0 END, 6) AS dup_bigram_ratio
+FROM b
+"""
+
+CORPUS_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS len,
+         CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_STOP_EN}))) AS DOUBLE) AS stop_hits,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+  FROM documents),
+qual AS (
+  SELECT doc_id,
+         ROUND((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END
+              + CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END
+              + CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+               / 3.0, 6) AS quality
+  FROM base),
+fp AS (
+  SELECT doc_id, md5(text) AS fp,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+kept AS (
+  SELECT f.doc_id, f.fp, f.n_tok, q.quality
+  FROM fp f JOIN qual q USING (doc_id)
+  WHERE f.n_tok BETWEEN 20 AND 100000 AND q.quality >= 0.69),
+first AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
+SELECT k.doc_id, k.fp, CAST(k.n_tok AS BIGINT) AS n_tokens, k.quality
+FROM kept k JOIN first USING (doc_id, fp)
+"""
+
 _SHINGLES_SQL = """
 toks AS (
   SELECT doc_id,
@@ -685,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_subgraph_g1": q_induced_subgraph,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "repetition_ratio": q_repetition_ratio,
+        "corpus_filter": q_corpus_filter,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -738,6 +804,8 @@ def oracle_sql() -> dict[str, str]:
         "induced_subgraph_g1": H.INDUCED_SUBGRAPH_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "token_stats": TOKEN_STATS_SQL,
+        "repetition_ratio": REPETITION_RATIO_SQL,
+        "corpus_filter": CORPUS_FILTER_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,

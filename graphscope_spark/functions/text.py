@@ -94,6 +94,73 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def repetition_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition metrics (Gopher-style repetition filters):
+    dup_token_ratio = 1 − |distinct tokens| / |tokens|, and
+    dup_bigram_ratio over consecutive token bigrams. All higher-order
+    array functions — whole-stage codegen, zero shuffle, zero Python.
+
+    Bigrams via zip_with(tokens, tail): the final element pairs the
+    last token with NULL, F.concat propagates the NULL, and the filter
+    drops it — leaving exactly n−1 bigrams.
+    """
+    tok = tokens(text_col)
+    n = F.size(tok).cast("double")
+    ndist = F.size(F.array_distinct(tok)).cast("double")
+    bigs = F.filter(
+        F.zip_with(
+            tok,
+            F.slice(tok, 2, F.size(tok)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    nb = F.size(bigs).cast("double")
+    nbdist = F.size(F.array_distinct(bigs)).cast("double")
+    return docs.select(
+        F.col(id_col),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, 1.0 - ndist / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.when(nb > 0, 1.0 - nbdist / nb).otherwise(F.lit(0.0)), 6
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """End-to-end training-corpus filter: token-length bounds +
+    quality threshold + exact-dedup keep-first (min doc_id per md5
+    fingerprint, computed among the *kept* docs). The composition a
+    100 TB pretraining pipeline runs before near-dup: one codegen scan
+    for the per-doc stats, one hash-agg on fp for keep-first — no
+    other shuffle."""
+    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
+    fp = fingerprint(docs, text_col, id_col).select(id_col, "fp", "n_tokens")
+    kept = (
+        fp.join(q, id_col)
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("quality") >= min_quality)
+        )
+    )
+    first = kept.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return kept.join(first, [id_col, "fp"]).select(
+        id_col, "fp", "n_tokens", "quality"
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of the text plus shape
     stats — the join key for cross-snapshot dedup at scale."""

@@ -1,0 +1,74 @@
+"""Text-pipeline operators (functions/text.py) on hand-built corpora —
+edge cases the uniform driver testdata cannot hit: exact duplicates
+(keep-first), single-token docs, fully-repeated docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.text import (
+    corpus_filter,
+    fingerprint,
+    quality_score,
+    repetition_ratio,
+)
+
+DOCS = [
+    # (doc_id, text)
+    (1, "the cat and the dog and the cat"),          # heavy repetition
+    (2, "alpha beta gamma delta epsilon zeta"),      # all distinct
+    (3, "word"),                                     # single token → 0 bigrams
+    (4, "x x x x x x"),                              # one distinct token
+    (10, "the quick brown fox jumps over the lazy dog again today"),
+    (11, "the quick brown fox jumps over the lazy dog again today"),  # dup of 10
+    (12, "the quick brown fox jumps over the lazy dog again today"),  # dup of 10
+    (13, "zz zz"),                                   # short + low quality
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_repetition_ratio_values(docs):
+    r = {x["doc_id"]: x for x in repetition_ratio(docs).collect()}
+    # doc 1: 8 tokens {the×3, cat×2, and×2, dog} → 4 distinct → 1-4/8
+    assert r[1]["n_tokens"] == 8 and r[1]["dup_token_ratio"] == pytest.approx(0.5)
+    # 7 bigrams, "and the"×2 + "the cat"×2 → 5 distinct → 1-5/7
+    assert r[1]["dup_bigram_ratio"] == pytest.approx(round(1 - 5 / 7, 6))
+    # all-distinct doc → both ratios 0
+    assert r[2]["dup_token_ratio"] == 0.0 and r[2]["dup_bigram_ratio"] == 0.0
+    # single token → no bigrams, ratio 0 (not NaN/NULL)
+    assert r[3]["n_tokens"] == 1 and r[3]["dup_bigram_ratio"] == 0.0
+    # x×6 → 1-1/6 tokens, bigrams all "x x" → 1-1/5
+    assert r[4]["dup_token_ratio"] == pytest.approx(round(1 - 1 / 6, 6))
+    assert r[4]["dup_bigram_ratio"] == pytest.approx(0.8)
+
+
+def test_corpus_filter_keep_first_dedup(docs):
+    kept = corpus_filter(docs, min_tokens=2, max_tokens=100, min_quality=0.0)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # exact-dup trio 10/11/12 → only min doc_id 10 survives
+    assert 10 in ids and 11 not in ids and 12 not in ids
+    # single-token doc 3 fails min_tokens=2
+    assert 3 not in ids
+    assert 1 in ids and 2 in ids
+
+
+def test_corpus_filter_quality_threshold(docs):
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    thresh = q[13] + 1e-9  # just above the junk doc
+    ids = {r["doc_id"] for r in
+           corpus_filter(docs, min_tokens=1, min_quality=thresh).collect()}
+    assert 13 not in ids and 10 in ids
+
+
+def test_corpus_filter_schema_and_fp(docs):
+    kept = corpus_filter(docs, min_tokens=1, min_quality=0.0)
+    assert kept.columns == ["doc_id", "fp", "n_tokens", "quality"]
+    fp10 = (
+        fingerprint(docs).where(F.col("doc_id") == 10).collect()[0]["fp"]
+    )
+    assert kept.where(F.col("doc_id") == 10).collect()[0]["fp"] == fp10
