@@ -70,6 +70,28 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: reset vector on the two smallest G1 vertex
+    ids (0.7/0.3), dangling defaults to the same vector (NX semantics)."""
+    g = H.g1(spark, sf_dir).build()
+    s1, s2 = [
+        r[0]
+        for r in g.vertices.select("id").orderBy("id").limit(2).collect()
+    ]
+    pr = pagerank(
+        g, alpha=0.85, fixed_rounds=5, personalization={s1: 0.7, s2: 0.3}
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the undirected weighted G2 fabric:
+    contributions rank·w/Σw(out) along symmetrized edges."""
+    g = H.g2w(spark, sf_dir).build()
+    pr = pagerank(g, alpha=0.85, fixed_rounds=5, weight_col="w")
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g1(spark, sf_dir).build()
     return wcc(g, fixed_rounds=8, two_phase=False)
@@ -738,6 +760,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_g1_r5": q_pagerank,
+        "pagerank_pers_g1_r5": q_pagerank_personalized,
+        "pagerank_w_g2w_r5": q_pagerank_weighted,
         "wcc_g1_r8": q_wcc,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
@@ -793,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_g1_r5": H.pagerank_sql(5),
+        "pagerank_pers_g1_r5": H.pagerank_personalized_sql(5),
+        "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),
         "wcc_g1_r8": H.wcc_sql(8),
         "cdlp_g2_r5": H.cdlp_sql(5),
         "triangles_g2": H.TRIANGLES_SQL,

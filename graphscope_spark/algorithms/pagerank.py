@@ -32,6 +32,17 @@ from graphscope_spark.graph import DST, ID, SRC, LinkGraph
 from graphscope_spark.superstep import SuperstepRunner
 
 
+def _norm_vec_df(spark, d: dict, name: str):
+    """(id, name) DataFrame of a user dict normalized to sum 1 —
+    personalization / dangling / nstart vectors (NX semantics: missing
+    vertices get 0). Tiny: always broadcast into the vertex table."""
+    total = float(sum(d.values()))
+    if total <= 0:
+        raise ValueError(f"{name} vector must have positive sum")
+    rows = [(int(k), float(v) / total) for k, v in d.items()]
+    return spark.createDataFrame(rows, f"id long, {name} double")
+
+
 def pagerank(
     graph: LinkGraph,
     alpha: float = 0.85,
@@ -42,69 +53,139 @@ def pagerank(
     checkpoint_dir: str | None = None,
     salt_mod: int = 1,
     info_out: dict | None = None,
+    personalization: dict | None = None,
+    dangling: dict | None = None,
+    nstart: dict | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns DataFrame(id long, rank double).
 
     fixed_rounds: run exactly that many supersteps with no convergence
     test (used for oracle-comparable fixed-round runs; the reference's
     plain `pagerank` app is likewise fixed-round, pagerank.py:28-54).
+
+    NetworkX-parity options (the reference's NX wrapper surface,
+    nx/algorithms/builtin.py pagerank(alpha, personalization, max_iter,
+    tol, nstart, weight, dangling)):
+    - personalization: {id: weight} reset vector p (normalized; missing
+      vertices 0). Default uniform 1/N.
+    - dangling: {id: weight} redistribution vector d for dangling mass.
+      Default = p (NX default).
+    - nstart: {id: weight} initial ranks (normalized; missing 0).
+    - weight_col: edge weight column; contributions become
+      rank·w/Σw(out) and dangling means zero total out-weight.
+    Update: rank'[v] = (1−α)·p_v + α·(Σ_{u→v} contrib_u + ds·d_v),
+    ds = Σ_{dangling u} rank_u — reduces exactly to
+    pagerank_networkx.h:114-122 when p = d = 1/N.
+    On an undirected graph the stored canonical edges are symmetrized
+    (same fabric rule as sssp.py).
     """
     spark = graph.vertices.sparkSession
     n = graph.num_vertices()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
 
-    # Vertex table with out-degrees, cached once: the static side of
-    # every superstep join (reference: degree exchange in PEval :67).
-    outdeg = graph.edges.groupBy(F.col(SRC).alias(ID)).agg(
-        F.count("*").alias("outdeg")
+    ecols = [SRC, DST] + ([weight_col] if weight_col else [])
+    edges = graph.edges.select(*ecols)
+    if not graph.directed:
+        edges = edges.unionAll(
+            edges.select(
+                F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+                *([weight_col] if weight_col else []),
+            )
+        )
+
+    # Vertex table with out-degrees (weighted: total out-weight), cached
+    # once: the static side of every superstep join (reference: degree
+    # exchange in PEval :67).
+    wexpr = F.sum(weight_col) if weight_col else F.count("*")
+    outdeg = edges.groupBy(F.col(SRC).alias(ID)).agg(
+        wexpr.cast("double").alias("outdeg")
     )
     verts = (
         graph.vertices.select(ID)
         .join(outdeg, ID, "left")
-        .select(ID, F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-        .cache()
+        .select(ID, F.coalesce("outdeg", F.lit(0.0)).alias("outdeg"))
     )
-    verts.count()  # materialize
 
-    edges = graph.edges.select(SRC, DST)
+    # Reset vector p and dangling vector d: scalar 1/N fast path (the
+    # default plan is unchanged), per-vertex columns otherwise.
+    vec_path = personalization is not None or dangling is not None
+    if vec_path:
+        if personalization is not None:
+            pdf = _norm_vec_df(spark, personalization, "p")
+            verts = verts.join(F.broadcast(pdf), ID, "left").withColumn(
+                "p", F.coalesce("p", F.lit(0.0))
+            )
+        else:
+            verts = verts.withColumn("p", F.lit(1.0 / n))
+        if dangling is not None:
+            ddf = _norm_vec_df(spark, dangling, "d")
+            verts = verts.join(F.broadcast(ddf), ID, "left").withColumn(
+                "d", F.coalesce("d", F.lit(0.0))
+            )
+        else:
+            verts = verts.withColumn("d", F.col("p"))
+    verts = verts.cache()
+    verts.count()  # materialize
 
     # State carries `prev` (last round's rank) so the L1 delta needs no
     # extra self-join; `carry` holds the dangling mass for the NEXT
     # round, refreshed by the same single aggregate that tests
     # convergence (pagerank_networkx.h:125-132 accumulates next-round
     # dangling during the current round the same way).
-    init = verts.select(
-        ID, "outdeg", F.lit(1.0 / n).alias("rank"), F.lit(0.0).alias("prev")
-    )
-    n_dangling = verts.where(F.col("outdeg") == 0).count()
-    carry = {"dangling": alpha * (1.0 / n) * n_dangling}
+    state_cols = [ID, "outdeg"] + (["p", "d"] if vec_path else [])
+    if nstart is not None:
+        ndf = _norm_vec_df(spark, nstart, "rank")
+        init = (
+            verts.join(F.broadcast(ndf), ID, "left")
+            .select(
+                *state_cols,
+                F.coalesce("rank", F.lit(0.0)).alias("rank"),
+                F.lit(0.0).alias("prev"),
+            )
+        )
+    else:
+        init = verts.select(
+            *state_cols, F.lit(1.0 / n).alias("rank"), F.lit(0.0).alias("prev")
+        )
+    d0 = init.where(F.col("outdeg") == 0).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0))
+    ).collect()[0][0]
+    carry = {"dangling": alpha * float(d0)}
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        base = (1.0 - alpha) / n + carry["dangling"] / n
-
         contrib_src = state.where(F.col("outdeg") > 0).select(
             F.col(ID).alias(SRC), (F.col("rank") / F.col("outdeg")).alias("contrib")
         )
         joined = edges.join(contrib_src, SRC)
+        cexpr = (
+            (F.col("contrib") * F.col(weight_col)) if weight_col else F.col("contrib")
+        )
         if salt_mod > 1:
             partial = (
                 joined.withColumn("__salt", F.pmod(F.xxhash64(SRC), F.lit(salt_mod)))
                 .groupBy(DST, "__salt")
-                .agg(F.sum("contrib").alias("__p"))
+                .agg(F.sum(cexpr).alias("__p"))
             )
             contribs = partial.groupBy(DST).agg(F.sum("__p").alias("contrib_sum"))
         else:
-            contribs = joined.groupBy(DST).agg(F.sum("contrib").alias("contrib_sum"))
+            contribs = joined.groupBy(DST).agg(F.sum(cexpr).alias("contrib_sum"))
 
+        if vec_path:
+            base_expr = (
+                F.lit(1.0 - alpha) * F.col("p")
+                + F.lit(carry["dangling"]) * F.col("d")
+            )
+        else:
+            base_expr = F.lit((1.0 - alpha) / n + carry["dangling"] / n)
         return (
-            state.select(ID, "outdeg", F.col("rank").alias("prev"))
+            state.select(*state_cols, F.col("rank").alias("prev"))
             .join(contribs.withColumnRenamed(DST, ID), ID, "left")
             .select(
-                ID,
-                "outdeg",
+                *state_cols,
                 (
-                    F.lit(base)
+                    base_expr
                     + F.lit(alpha) * F.coalesce("contrib_sum", F.lit(0.0))
                 ).alias("rank"),
                 "prev",

@@ -132,6 +132,97 @@ SELECT id, ROUND(rank, 6) AS rank FROM r{rounds}"""
     )
 
 
+def pagerank_personalized_sql(
+    rounds: int, alpha: float = 0.85, w1: float = 0.7, w2: float = 0.3
+) -> str:
+    """Unrolled personalized PageRank over G1: reset vector p puts
+    w1/w2 (normalized) on the two smallest vertex ids, 0 elsewhere;
+    dangling vector defaults to p (NX semantics)."""
+    t = w1 + w2
+    p1, p2 = w1 / t, w2 / t
+    ctes = [
+        f"edges AS MATERIALIZED ({G1_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        """outdeg AS MATERIALIZED (
+            SELECT v.id, CAST(COUNT(e.src) AS DOUBLE) AS outdeg
+            FROM verts v LEFT JOIN edges e ON e.src = v.id GROUP BY v.id)""",
+        """s AS MATERIALIZED (SELECT MIN(id) AS s1,
+            (SELECT MIN(id) FROM verts
+              WHERE id > (SELECT MIN(id) FROM verts)) AS s2 FROM verts)""",
+        f"""r0 AS MATERIALIZED (
+            SELECT o.id, o.outdeg,
+                   CASE WHEN o.id = (SELECT s1 FROM s) THEN {p1}
+                        WHEN o.id = (SELECT s2 FROM s) THEN {p2}
+                        ELSE 0.0 END AS p,
+                   1.0/(SELECT n FROM n) AS rank
+            FROM outdeg o)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) * {alpha} AS ds
+                 FROM {prev} WHERE outdeg = 0)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank / p.outdeg) AS contrib
+                 FROM edges e JOIN {prev} p ON p.id = e.src AND p.outdeg > 0
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                 SELECT v.id, v.outdeg, v.p,
+                        (1.0 - {alpha}) * v.p
+                        + (SELECT ds FROM d{i}) * v.p
+                        + {alpha} * COALESCE(c.contrib, 0.0) AS rank
+                 FROM r0 v LEFT JOIN c{i} c ON c.id = v.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, ROUND(rank, 6) AS rank FROM r{rounds}"""
+    )
+
+
+def pagerank_weighted_sql(rounds: int, alpha: float = 0.85) -> str:
+    """Unrolled weighted PageRank over the undirected weighted G2:
+    contributions are rank·w/Σw(out) along the symmetrized fabric."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({G2W_SQL})",
+        """edges AS MATERIALIZED (SELECT src, dst, w FROM e0
+                     UNION ALL SELECT dst, src, w FROM e0)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)",
+        "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        """outw AS MATERIALIZED (
+            SELECT v.id, COALESCE(SUM(e.w), 0.0) AS outdeg
+            FROM verts v LEFT JOIN edges e ON e.src = v.id GROUP BY v.id)""",
+        "r0 AS MATERIALIZED (SELECT id, outdeg, 1.0/(SELECT n FROM n) AS rank FROM outw)",
+    ]
+    for i in range(rounds):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) * {alpha} AS ds
+                 FROM {prev} WHERE outdeg = 0)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+                 SELECT e.dst AS id, SUM(p.rank / p.outdeg * e.w) AS contrib
+                 FROM edges e JOIN {prev} p ON p.id = e.src AND p.outdeg > 0
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                 SELECT v.id, v.outdeg,
+                        (1.0 - {alpha})/(SELECT n FROM n)
+                        + (SELECT ds FROM d{i})/(SELECT n FROM n)
+                        + {alpha} * COALESCE(c.contrib, 0.0) AS rank
+                 FROM r0 v LEFT JOIN c{i} c ON c.id = v.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, ROUND(rank, 6) AS rank FROM r{rounds}"""
+    )
+
+
 def wcc_sql(rounds: int) -> str:
     """Unrolled hash-min over G1's undirected closure (§2.4.2).
     Plain hash-min (no pointer shortcut) so each SQL round mirrors one

@@ -28,27 +28,46 @@ def oracle_pagerank(
     tol: float = 1e-06,
     max_iter: int = 100,
     fixed_rounds: int | None = None,
+    personalization: dict | None = None,
+    dangling: dict | None = None,
+    nstart: dict | None = None,
+    weights: list[float] | None = None,
 ) -> dict[int, float]:
-    """apps/pagerank/pagerank_networkx.h:54-151 semantics."""
+    """apps/pagerank/pagerank_networkx.h:54-151 semantics, generalized
+    to the NX wrapper's full option surface (personalization / dangling
+    / nstart vectors, edge weights parallel to `edges`)."""
     if vertices is None:
         vertices = sorted({v for e in edges for v in e})
     idx = {v: i for i, v in enumerate(vertices)}
     n = len(vertices)
-    out_deg = np.zeros(n)
-    adj: dict[int, list[int]] = defaultdict(list)
-    for s, d in edges:
-        out_deg[idx[s]] += 1
-        adj[idx[s]].append(idx[d])
-    rank = np.full(n, 1.0 / n)
+    out_w = np.zeros(n)
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for k, (s, d) in enumerate(edges):
+        w = 1.0 if weights is None else float(weights[k])
+        out_w[idx[s]] += w
+        adj[idx[s]].append((idx[d], w))
+
+    def vec(dic: dict | None, default_uniform: np.ndarray | None) -> np.ndarray:
+        if dic is None:
+            return default_uniform
+        v = np.zeros(n)
+        total = float(sum(dic.values()))
+        for k, x in dic.items():
+            v[idx[k]] = float(x) / total
+        return v
+
+    uniform = np.full(n, 1.0 / n)
+    p = vec(personalization, uniform)
+    d = vec(dangling, p)
+    rank = vec(nstart, uniform).copy()
     rounds = fixed_rounds if fixed_rounds is not None else max_iter
     for _ in range(rounds):
-        dangling_sum = alpha * rank[out_deg == 0].sum()
-        base = (1 - alpha) / n + dangling_sum / n
-        new = np.full(n, base)
-        contrib = np.where(out_deg > 0, rank / np.maximum(out_deg, 1), 0.0)
+        ds = alpha * rank[out_w == 0].sum()
+        new = (1 - alpha) * p + ds * d
+        contrib = np.where(out_w > 0, rank / np.maximum(out_w, 1e-300), 0.0)
         for i, nbrs in adj.items():
-            for j in nbrs:
-                new[j] += alpha * contrib[i]
+            for j, w in nbrs:
+                new[j] += alpha * contrib[i] * w
         eps = np.abs(new - rank).sum()
         rank = new
         if fixed_rounds is None and eps < tol * n:

@@ -60,6 +60,61 @@ def test_pagerank_salted_matches_unsalted(toy_graph):
     )
 
 
+def _close(got: dict, exp: dict, atol=1e-6):
+    ids = sorted(exp)
+    assert set(got) == set(exp)
+    assert np.allclose(
+        np.array([got[v] for v in ids]), np.array([exp[v] for v in ids]), atol=atol
+    )
+
+
+def test_pagerank_personalization(toy_graph):
+    pers = {0: 2.0, 3: 1.0, 9: 1.0}
+    got = _as_dict(pagerank(toy_graph, fixed_rounds=6, personalization=pers))
+    exp = oracle_pagerank(
+        TOY_EDGES, vertices=TOY_VERTICES, fixed_rounds=6, personalization=pers
+    )
+    _close(got, exp)
+
+
+def test_pagerank_dangling_nstart(toy_graph):
+    dang = {6: 1.0, 7: 3.0}
+    nst = {v: float(v + 1) for v in TOY_VERTICES}
+    got = _as_dict(pagerank(toy_graph, fixed_rounds=6, dangling=dang, nstart=nst))
+    exp = oracle_pagerank(
+        TOY_EDGES, vertices=TOY_VERTICES, fixed_rounds=6, dangling=dang, nstart=nst
+    )
+    _close(got, exp)
+
+
+def test_pagerank_weighted_undirected(spark):
+    # Small undirected weighted graph incl. an isolated (dangling) vertex.
+    wedges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 4.0), (2, 3, 0.5)]
+    from graphscope_spark.graph import LinkGraph
+
+    e = spark.createDataFrame(wedges, "src long, dst long, w double")
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    g = LinkGraph(vertices=v, edges=e, directed=False).build(4)
+    got = _as_dict(pagerank(g, fixed_rounds=8, weight_col="w"))
+    sym = wedges + [(d, s, w) for s, d, w in wedges]
+    exp = oracle_pagerank(
+        [(s, d) for s, d, _ in sym],
+        vertices=list(range(5)),
+        fixed_rounds=8,
+        weights=[w for _, _, w in sym],
+    )
+    _close(got, exp)
+
+
+def test_pagerank_convergence_with_personalization(toy_graph):
+    pers = {0: 1.0, 6: 1.0}
+    got = _as_dict(pagerank(toy_graph, max_iter=100, tol=1e-8, personalization=pers))
+    exp = oracle_pagerank(
+        TOY_EDGES, vertices=TOY_VERTICES, max_iter=100, tol=1e-8, personalization=pers
+    )
+    _close(got, exp, atol=1e-5)
+
+
 # ---------------------------------------------------------------- wcc
 def test_wcc_toy(toy_graph):
     got = _as_dict(wcc(toy_graph))
