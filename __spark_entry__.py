@@ -156,6 +156,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(H.load(spark, sf_dir, "documents"))
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH candidates → Jaccard verify →
+    WCC duplicate clusters → (doc_id, keep_id)."""
+    return D.fuzzy_dedup(
+        H.load(spark, sf_dir, "documents"),
+        num_hashes=8, band_size=2, n=3, threshold=0.2,
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(H.load(spark, sf_dir, "documents"))
 
@@ -642,6 +651,49 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 """
 
+# Fuzzy-dedup twin: same shingles/minhash/bands CTEs, Jaccard-verified
+# candidate pairs, then duplicate clusters via RECURSIVE transitive
+# closure (round-free exact components — the Spark side's WCC runs to
+# convergence, so both compute the exact same clusters).
+FUZZY_DEDUP_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS bkey
+  FROM sig GROUP BY doc_id, seed // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+verified AS (
+  SELECT p.a, p.b
+  FROM pairs p
+  JOIN cand c ON c.a = p.a AND c.b = p.b
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  WHERE ROUND(p.common * 1.0 / (sa.sz + sb.sz - p.common), 6) >= 0.2),
+esym AS (SELECT a AS s, b AS d FROM verified
+         UNION SELECT b, a FROM verified),
+reach AS (
+  SELECT s, d FROM esym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN esym e ON r.d = e.s),
+comp AS (SELECT s AS doc_id, MIN(d) AS mn FROM reach GROUP BY s)
+SELECT dd.doc_id,
+       LEAST(dd.doc_id, COALESCE(c.mn, dd.doc_id)) AS keep_id
+FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+"""
+
 KNN_COSINE_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
@@ -772,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_boundary_g1": q_node_boundary,
         "induced_subgraph_g1": q_induced_subgraph,
         "dedup_exact": q_dedup_exact,
+        "fuzzy_dedup": q_fuzzy_dedup,
         "token_stats": q_token_stats,
         "repetition_ratio": q_repetition_ratio,
         "corpus_filter": q_corpus_filter,
@@ -829,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "node_boundary_g1": H.NODE_BOUNDARY_SQL,
         "induced_subgraph_g1": H.INDUCED_SUBGRAPH_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
+        "fuzzy_dedup": FUZZY_DEDUP_SQL,
         "token_stats": TOKEN_STATS_SQL,
         "repetition_ratio": REPETITION_RATIO_SQL,
         "corpus_filter": CORPUS_FILTER_SQL,

@@ -163,6 +163,51 @@ def minhash_lsh_pairs(
     )
 
 
+def fuzzy_dedup(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end fuzzy deduplication: the canonical corpus-curation
+    pipeline (LSH candidates → Jaccard verify → duplicate-cluster
+    closure → canonical representative).
+
+    1. MinHash + banded LSH proposes candidate pairs (bucketed — only
+       (band, bkey) groups shuffle, never doc pairs);
+    2. n-gram Jaccard verifies candidates against `threshold`
+       (quadratic work restricted to the LSH output);
+    3. verified pairs form a duplicate graph; connected components
+       (hash-min WCC over the engine's own LinkGraph) glue transitive
+       near-dups — A~B, B~C ⇒ {A,B,C} one cluster even if A,C never
+       collided;
+    4. every doc maps to keep_id = min doc_id of its cluster
+       (singletons map to themselves).
+
+    Returns (id_col, keep_id). Scale: stages 1-2 are the bucketed
+    plans documented above; stage 3's WCC input is only the verified
+    pair set (≪ corpus size), so the superstep loop runs on a graph
+    orders of magnitude smaller than the corpus.
+    """
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.graph import LinkGraph
+
+    cand = minhash_lsh_pairs(docs, num_hashes, band_size, n, text_col, id_col)
+    verified = ngram_jaccard_pairs(
+        docs, n, threshold, text_col, id_col, candidates=cand
+    )
+    all_ids = docs.select(F.col(id_col).cast("long").alias("id"))
+    g = LinkGraph.from_edges(
+        verified.select("a", "b"), vertices=all_ids, directed=False,
+        src="a", dst="b",
+    )
+    comp = wcc(g)  # (id, comp) — comp = min id in cluster
+    return comp.select(F.col("id").alias(id_col), F.col("comp").alias("keep_id"))
+
+
 def _simhash64_py(text: str | None) -> int | None:
     """64-bit SimHash over whitespace tokens with md5 token hashes —
     signed int64 (Spark LongType has no unsigned)."""
