@@ -232,6 +232,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_exact(emb, threshold=0.4)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path: hyperplane-LSH buckets generate
+    candidates (4 bands × 4 planes OR-construction), exact cosine
+    verifies — only same-(band,bucket) groups shuffle, never the full
+    pair space."""
+    emb = H.load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_lsh(emb, threshold=0.4, num_planes=4, num_bands=4)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = H.load(spark, sf_dir, "events")
     return (
@@ -737,6 +746,44 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
 
+def _embedding_near_dup_lsh_sql(
+    num_planes: int = 4, num_bands: int = 4, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """SQL twin of embedding_near_dup_lsh: the md5-parity sign matrix
+    (hyperplane_signs — engine-portable by construction) is embedded as
+    list literals; per-band bucket = sign-bit concatenation, candidates
+    share any band's bucket, exact cosine verifies."""
+    from graphscope_spark.functions.similarity import hyperplane_signs
+
+    planes = hyperplane_signs(num_bands * num_planes, dim)
+    rows = ",\n    ".join(
+        f"({p // num_planes}, {p % num_planes}, "
+        f"[{', '.join(str(s) for s in planes[p])}]::DOUBLE[])"
+        for p in range(num_bands * num_planes)
+    )
+    return f"""
+WITH signs(band, plane, s) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+proj AS (
+  SELECT e.vec_id, sg.band, sg.plane, list_dot_product(e.v, sg.s) AS p
+  FROM e CROSS JOIN signs sg),
+bits AS (
+  SELECT vec_id, band,
+         CAST(SUM(CASE WHEN p >= 0
+                  THEN CAST(POW(2, {num_planes - 1} - plane) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, band),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bits a JOIN bits b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.a, c.b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
+
+
 EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
@@ -836,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_ivf_label": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
         "events_sessions": q_events_sessions,
@@ -894,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": KNN_COSINE_SQL,
         "knn_ivf_label": KNN_IVF_SQL,
         "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh_sql(),
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_hourly_stream": EVENTS_HOURLY_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,

@@ -130,12 +130,21 @@ def knn_ivf(
     )
 
 
-def _plane_sign(vec_col: str, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component sign for
-    (plane, dim): ±1 from xxhash64 parity — no stored model."""
-    return F.when(
-        F.pmod(F.xxhash64(F.lit(plane), F.lit(dim)), F.lit(2)) == 0, F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 component matrix for num_planes deterministic hyperplanes:
+    sign(p, d) = parity of md5(f"{p}|{d}")'s first byte. Plain md5 so
+    any engine (Spark, DuckDB, NumPy) reproduces the exact planes with
+    no stored model — same portability rule as the minhash family
+    (dedup.py)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}|{d}".encode()).digest()[0] % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
 
 
 def lsh_hyperplane_bucket(
@@ -146,30 +155,70 @@ def lsh_hyperplane_bucket(
     dim: int | None = None,
 ) -> DataFrame:
     """(id_col, bucket): sign-concatenation bucket over num_planes
-    deterministic ±1 hyperplanes. Buckets reproduce across runs and
-    engines that share xxhash64."""
+    deterministic ±1 hyperplanes (hyperplane_signs). The sign matrix is
+    folded into the plan as literals — Catalyst constant-folds it, the
+    projection stays whole-stage-codegen array math."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    planes = hyperplane_signs(num_planes, dim)
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        signs = F.array(*[_plane_sign(vec_col, p, d) for d in range(dim)])
+        signs = F.array(*[F.lit(s) for s in planes[p]])
         proj = dot(F.col(vec_col), signs)
         bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         bucket = bucket * 2 + bit
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def lsh_hyperplane_bands(
+    df: DataFrame,
+    num_planes: int = 8,
+    num_bands: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_col, band, bucket): one bucket per band, band b using planes
+    [b·num_planes, (b+1)·num_planes) of the global deterministic family
+    — the OR-construction (multiple hash tables): more bands → higher
+    recall, more candidates. One pass over the data; all bands' dot
+    products fold into a single codegen projection."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplane_signs(num_bands * num_planes, dim)
+    buckets = []
+    for b in range(num_bands):
+        bucket = F.lit(0).cast("long")
+        for p in range(b * num_planes, (b + 1) * num_planes):
+            signs = F.array(*[F.lit(s) for s in planes[p]])
+            proj = dot(F.col(vec_col), signs)
+            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            bucket = bucket * 2 + bit
+        buckets.append(bucket)
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     num_planes: int = 8,
+    num_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(a, b) candidate pairs sharing an LSH bucket."""
-    b = lsh_hyperplane_bucket(df, num_planes, id_col, vec_col)
-    l = b.select(F.col(id_col).alias("a"), "bucket")
-    r = b.select(F.col(id_col).alias("b"), "bucket")
-    return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    """(a, b) candidate pairs sharing any band's LSH bucket. The join
+    shuffles on (band, bucket) — bounded by bucket sizes, never the
+    full pair space."""
+    b = lsh_hyperplane_bands(df, num_planes, num_bands, id_col, vec_col)
+    l = b.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = b.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def embedding_near_dup_exact(
@@ -213,14 +262,15 @@ def embedding_near_dup_lsh(
     df: DataFrame,
     threshold: float = 0.9,
     num_planes: int = 8,
+    num_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH-bucketed near-dup: hyperplane buckets generate candidates,
-    exact cosine verifies — the 100 TB path (approximate: pairs split
-    across all buckets are missed; raise num_planes bands to trade
-    recall for cost)."""
-    cand = lsh_candidate_pairs(df, num_planes, id_col, vec_col)
+    exact cosine verifies — the 100 TB path (approximate: pairs that
+    collide in no band are missed; raise num_bands to trade recall for
+    candidate volume, num_planes for the opposite)."""
+    cand = lsh_candidate_pairs(df, num_planes, num_bands, id_col, vec_col)
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
     return (

@@ -1,0 +1,114 @@
+"""Similarity search (functions/similarity.py): cosine kNN vs a NumPy
+oracle, and the hyperplane-LSH near-dup path — candidates are exact
+(subset of brute force with identical scores), banding (OR-construction)
+only adds recall, and the md5-parity sign matrix is engine-portable
+(pure-Python twin reproduces the exact buckets)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from graphscope_spark.functions.similarity import (
+    embedding_near_dup_exact,
+    embedding_near_dup_lsh,
+    hyperplane_signs,
+    knn_cosine,
+    lsh_hyperplane_bands,
+)
+
+DIM = 8
+N = 40
+
+
+def _vecs():
+    # deterministic pseudo-random unit-ish vectors + planted near-dups
+    out = []
+    for i in range(N):
+        h = hashlib.md5(f"vec{i}".encode()).digest()
+        v = [((b % 64) - 32) / 32.0 for b in h[:DIM]]
+        out.append((i, v))
+    # planted near-duplicates of vec 0 and vec 7
+    base0 = out[0][1]
+    base7 = out[7][1]
+    out.append((100, [x * 1.01 + 0.001 for x in base0]))
+    out.append((101, [x * 0.99 - 0.002 for x in base0]))
+    out.append((102, [x * 1.02 for x in base7]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        _vecs(), "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def _np_cos(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_knn_cosine_matches_numpy(spark, emb):
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in _vecs()[:3]], "query_id long, qvec array<double>"
+    )
+    got = knn_cosine(emb, queries, k=4).collect()
+    vecs = dict(_vecs())
+    for qid in range(3):
+        exp = sorted(
+            ((round(_np_cos(vecs[qid], v), 4), -i) for i, v in vecs.items() if i != qid),
+            reverse=True,
+        )[:4]
+        mine = sorted(
+            ((r["cos"], -r["vec_id"]) for r in got if r["query_id"] == qid),
+            reverse=True,
+        )
+        assert [c for c, _ in mine] == pytest.approx([c for c, _ in exp], abs=1e-4)
+
+
+def test_lsh_near_dup_subset_of_exact(emb):
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_exact(emb, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_dup_lsh(
+            emb, threshold=0.8, num_planes=4, num_bands=4
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # planted near-dups collide in some band with overwhelming odds
+    assert (0, 100) in lsh and (0, 101) in lsh and (7, 102) in lsh
+
+
+def test_lsh_banding_monotone_recall(emb):
+    one = embedding_near_dup_lsh(emb, 0.8, num_planes=4, num_bands=1)
+    four = embedding_near_dup_lsh(emb, 0.8, num_planes=4, num_bands=4)
+    p1 = {(r["a"], r["b"]) for r in one.collect()}
+    p4 = {(r["a"], r["b"]) for r in four.collect()}
+    assert p1 <= p4  # band 0 of the global family is the 1-band table
+
+
+def test_hyperplane_signs_portable(emb):
+    # pure-Python twin of the bucket computation reproduces Spark's
+    planes = hyperplane_signs(8, DIM)
+    vecs = dict(_vecs())
+    exp = {}
+    for i, v in vecs.items():
+        for band in range(2):
+            bucket = 0
+            for p in range(band * 4, (band + 1) * 4):
+                proj = sum(x * s for x, s in zip(v, planes[p]))
+                bucket = bucket * 2 + (1 if proj >= 0 else 0)
+            exp[(i, band)] = bucket
+    got = {
+        (r["vec_id"], r["band"]): r["bucket"]
+        for r in lsh_hyperplane_bands(emb, num_planes=4, num_bands=2).collect()
+    }
+    assert got == exp
