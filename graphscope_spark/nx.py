@@ -1,0 +1,720 @@
+"""NetworkX-compatibility layer — the reference's ``graphscope.nx``
+module re-expressed over LinkGraph.
+
+Reference surface: ``python/graphscope/nx/classes/graph.py`` /
+``digraph.py`` (DynamicFragment-backed mutable graphs) and
+``python/graphscope/nx/algorithms/builtin.py:36-1048`` (NX-signature
+wrappers that run the builtin distributed apps and hand results back in
+NX shapes — dicts keyed by node, node sets, tree graphs).
+
+Design: the NX API contract itself (hashable node objects, dict-shaped
+results, in-place mutation) is driver-bound, so ``Graph``/``DiGraph``
+keep a driver-side adjacency as the *edit log* and flush it to an
+immutable, distributed :class:`~graphscope_spark.graph.LinkGraph` the
+moment an algorithm runs — mirroring how the reference's NX classes are
+a thin client over a distributed DynamicFragment. Algorithm execution
+is fully distributed; only the result dict materializes on the driver
+(exactly what the reference's wrappers do: run app → context →
+``to_dataframe`` → dict).
+
+Scale note: a mutable NX graph is the *convenience* path (wiki-scale,
+not web-scale). For 100 TB graphs, wrap an existing distributed
+LinkGraph with :meth:`Graph.from_link_graph` — node keys are then the
+raw int64 vertex ids, mutation is disabled, and every algorithm below
+runs on the distributed plan unchanged.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Hashable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, ID, SRC, LinkGraph
+from graphscope_spark import algorithms as A
+
+__all__ = [
+    "Graph", "DiGraph",
+    "pagerank", "hits", "degree_centrality", "in_degree_centrality",
+    "out_degree_centrality", "eigenvector_centrality", "katz_centrality",
+    "has_path", "shortest_path", "single_source_dijkstra_path_length",
+    "average_shortest_path_length", "bfs_edges", "bfs_predecessors",
+    "bfs_successors", "bfs_tree", "all_pairs_shortest_path_length",
+    "closeness_centrality", "k_core", "clustering", "triangles",
+    "transitivity", "average_clustering", "weakly_connected_components",
+    "connected_components", "degree_assortativity_coefficient",
+    "node_boundary", "edge_boundary", "is_simple_path", "louvain_communities",
+]
+
+# non-int node objects get synthetic ids from this base upward; int
+# nodes keep their value (the reference likewise keeps int64 oids
+# 1:1 and maps other oid types through the vertex map,
+# core/vertex_map/global_vertex_map.h:78-108).
+_SYNTH_BASE = 1 << 40
+
+
+class Graph:
+    """Undirected NX-compatible graph (reference nx/classes/graph.py).
+
+    Nodes are arbitrary hashables; node/edge attributes are dicts.
+    ``weight``-named (or any numeric) edge attributes are flushed into
+    the distributed edge table on demand.
+    """
+
+    _directed = False
+
+    def __init__(self, incoming_graph_data=None, spark: SparkSession | None = None,
+                 **graph_attrs):
+        self._spark = spark
+        self.graph: dict = dict(graph_attrs)
+        self._node: dict[Hashable, dict] = {}
+        # adjacency: u -> {v: attr}; for undirected both directions are
+        # stored (NX convention), sharing one attr dict per edge.
+        self._succ: dict[Hashable, dict[Hashable, dict]] = {}
+        self._pred: dict[Hashable, dict[Hashable, dict]] = {}
+        self._id_of: dict[Hashable, int] = {}
+        self._oid_of: dict[int, Hashable] = {}
+        self._next_synth = itertools.count(_SYNTH_BASE)
+        self._base_lg: LinkGraph | None = None  # from_link_graph mode
+        self._version = 0
+        self._flush_cache: tuple[int, str | None, LinkGraph] | None = None
+        if incoming_graph_data is not None:
+            self.add_edges_from(incoming_graph_data)
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def from_link_graph(cls, lg: LinkGraph) -> "Graph | DiGraph":
+        """Wrap an existing distributed LinkGraph (the 100 TB path).
+
+        Node keys are the raw int64 vertex ids; the graph is read-only
+        (mutation raises) and never materializes vertices/edges on the
+        driver."""
+        g = DiGraph() if lg.directed else Graph()
+        g._base_lg = lg
+        g._spark = lg.vertices.sparkSession
+        return g
+
+    # -- id mapping -----------------------------------------------------
+    def _intern(self, n: Hashable) -> int:
+        if n in self._id_of:
+            return self._id_of[n]
+        if isinstance(n, bool) or not isinstance(n, int):
+            i = next(self._next_synth)
+        else:
+            i = n
+            if i in self._oid_of and self._oid_of[i] is not n and self._oid_of[i] != n:
+                i = next(self._next_synth)  # int colliding with a synth id
+        self._id_of[n] = i
+        self._oid_of[i] = n
+        return i
+
+    def _check_mutable(self) -> None:
+        if self._base_lg is not None:
+            raise TypeError(
+                "graph wraps a distributed LinkGraph and is read-only; "
+                "mutate the LinkGraph (add_vertices/add_edges/induce_subgraph) instead"
+            )
+
+    # -- mutation (reference nx/classes/graph.py add_*/remove_*) --------
+    def add_node(self, n: Hashable, **attr) -> None:
+        self._check_mutable()
+        self._intern(n)
+        self._node.setdefault(n, {}).update(attr)
+        self._succ.setdefault(n, {})
+        self._pred.setdefault(n, {})
+        self._version += 1
+
+    def add_nodes_from(self, nodes: Iterable, **attr) -> None:
+        for n in nodes:
+            if isinstance(n, tuple) and len(n) == 2 and isinstance(n[1], dict):
+                self.add_node(n[0], **{**attr, **n[1]})
+            else:
+                self.add_node(n, **attr)
+
+    def add_edge(self, u: Hashable, v: Hashable, **attr) -> None:
+        self._check_mutable()
+        for n in (u, v):
+            if n not in self._node:
+                self.add_node(n)
+        d = self._succ[u].get(v, {})
+        d.update(attr)
+        self._succ[u][v] = d
+        self._pred[v][u] = d
+        if not self._directed:
+            self._succ[v][u] = d
+            self._pred[u][v] = d
+        self._version += 1
+
+    def add_edges_from(self, ebunch: Iterable, **attr) -> None:
+        for e in ebunch:
+            if len(e) == 3:
+                u, v, d = e
+                self.add_edge(u, v, **{**attr, **d})
+            else:
+                u, v = e
+                self.add_edge(u, v, **attr)
+
+    def add_weighted_edges_from(self, ebunch: Iterable, weight: str = "weight") -> None:
+        for u, v, w in ebunch:
+            self.add_edge(u, v, **{weight: w})
+
+    def remove_node(self, n: Hashable) -> None:
+        self._check_mutable()
+        if n not in self._node:
+            raise KeyError(n)
+        for v in list(self._succ.get(n, ())):
+            self._pred[v].pop(n, None)
+        for u in list(self._pred.get(n, ())):
+            self._succ[u].pop(n, None)
+        self._succ.pop(n, None)
+        self._pred.pop(n, None)
+        del self._node[n]
+        i = self._id_of.pop(n)
+        self._oid_of.pop(i, None)
+        self._version += 1
+
+    def remove_nodes_from(self, nodes: Iterable) -> None:
+        for n in nodes:
+            if n in self._node:
+                self.remove_node(n)
+
+    def remove_edge(self, u: Hashable, v: Hashable) -> None:
+        self._check_mutable()
+        if v not in self._succ.get(u, {}):
+            raise KeyError((u, v))
+        self._succ[u].pop(v, None)
+        self._pred[v].pop(u, None)
+        if not self._directed:
+            self._succ[v].pop(u, None)
+            self._pred[u].pop(v, None)
+        self._version += 1
+
+    def remove_edges_from(self, ebunch: Iterable) -> None:
+        for u, v, *_ in ebunch:
+            if v in self._succ.get(u, {}):
+                self.remove_edge(u, v)
+
+    def clear(self) -> None:
+        self._check_mutable()
+        self._node.clear(); self._succ.clear(); self._pred.clear()
+        self._id_of.clear(); self._oid_of.clear()
+        self._version += 1
+
+    # -- inspection (reference nx/classes/graph.py) ---------------------
+    def is_directed(self) -> bool:
+        return self._directed
+
+    @property
+    def nodes(self) -> list:
+        return list(self._node)
+
+    @property
+    def edges(self) -> list[tuple]:
+        if self._directed:
+            return [(u, v) for u, nbrs in self._succ.items() for v in nbrs]
+        seen = set()
+        out = []
+        for u, nbrs in self._succ.items():
+            for v in nbrs:
+                k = (self._id_of[u], self._id_of[v])
+                if (k[1], k[0]) not in seen:
+                    seen.add(k)
+                    out.append((u, v))
+        return out
+
+    def number_of_nodes(self) -> int:
+        if self._base_lg is not None:
+            return self._base_lg.num_vertices()
+        return len(self._node)
+
+    order = number_of_nodes
+
+    def number_of_edges(self) -> int:
+        if self._base_lg is not None:
+            return self._base_lg.num_edges()
+        if self._directed:
+            return sum(len(n) for n in self._succ.values())
+        loops = sum(1 for u, nbrs in self._succ.items() if u in nbrs)
+        return (sum(len(n) for n in self._succ.values()) + loops) // 2
+
+    size = number_of_edges
+
+    def __len__(self) -> int:
+        return self.number_of_nodes()
+
+    def __contains__(self, n) -> bool:
+        return self.has_node(n)
+
+    def __iter__(self) -> Iterator:
+        return iter(self._node)
+
+    def has_node(self, n: Hashable) -> bool:
+        if self._base_lg is not None:
+            return self._base_lg.has_node(int(n))
+        return n in self._node
+
+    def has_edge(self, u: Hashable, v: Hashable) -> bool:
+        if self._base_lg is not None:
+            return self._base_lg.has_edge(int(u), int(v))
+        return v in self._succ.get(u, {})
+
+    def neighbors(self, n: Hashable) -> list:
+        if self._base_lg is not None:
+            return [r[0] for r in self._base_lg.neighbors(int(n)).collect()]
+        if n not in self._node:
+            raise KeyError(n)
+        return list(self._succ[n])
+
+    def degree(self, n: Hashable | None = None):
+        """Degree of one node, or dict node→degree (self-loops count
+        twice on undirected graphs, the NX convention)."""
+        def deg_of(u):
+            d = len(self._succ[u]) + (0 if self._directed else (u in self._succ[u]))
+            if self._directed:
+                d += len(self._pred[u])
+            return d
+        if n is not None:
+            return deg_of(n)
+        return {u: deg_of(u) for u in self._node}
+
+    def get_edge_data(self, u, v, default=None):
+        return self._succ.get(u, {}).get(v, default)
+
+    def subgraph(self, nodes: Iterable) -> "Graph":
+        ns = set(nodes)
+        g = type(self)(spark=self._spark)
+        for n in ns:
+            if n in self._node:
+                g.add_node(n, **self._node[n])
+        for u, v in self.edges:
+            if u in ns and v in ns:
+                g.add_edge(u, v, **self._succ[u][v])
+        return g
+
+    def copy(self) -> "Graph":
+        return self.subgraph(self._node)
+
+    def to_directed(self) -> "DiGraph":
+        g = DiGraph(spark=self._spark)
+        for n, d in self._node.items():
+            g.add_node(n, **d)
+        for u, v in self.edges:
+            a = self._succ[u][v]
+            g.add_edge(u, v, **a)
+            g.add_edge(v, u, **a)
+        return g
+
+    def to_undirected(self) -> "Graph":
+        g = Graph(spark=self._spark)
+        for n, d in self._node.items():
+            g.add_node(n, **d)
+        for u, v in self.edges:
+            g.add_edge(u, v, **self._succ[u][v])
+        return g
+
+    # -- flush to the distributed engine --------------------------------
+    def _session(self) -> SparkSession:
+        s = self._spark or SparkSession.getActiveSession()
+        if s is None:
+            raise RuntimeError("no SparkSession: pass spark= to Graph()")
+        return s
+
+    def _flush(self, weight: str | None = None) -> LinkGraph:
+        """Edit log → LinkGraph. Undirected graphs flush the symmetric
+        closure with directed=False (matching LinkGraph.to_undirected
+        storage); weight names an edge attr copied to column 'w'
+        (missing → 1.0, the NX default)."""
+        if self._base_lg is not None:
+            if weight is not None and weight not in self._base_lg.edges.columns:
+                raise KeyError(f"edge column {weight!r} not in wrapped LinkGraph")
+            return self._base_lg
+        if self._flush_cache and self._flush_cache[0] == self._version \
+                and self._flush_cache[1] == weight:
+            return self._flush_cache[2]
+        spark = self._session()
+        erows = []
+        for u, nbrs in self._succ.items():
+            ui = self._id_of[u]
+            for v, attr in nbrs.items():
+                vi = self._id_of[v]
+                if not self._directed and ui > vi:
+                    continue  # canonical copy emitted from the other side
+                w = float(attr.get(weight, 1.0)) if weight else 1.0
+                erows.append((ui, vi, w))
+                if not self._directed and ui != vi:
+                    erows.append((vi, ui, w))
+        vrows = [(self._id_of[n],) for n in self._node]
+        v = spark.createDataFrame(vrows, f"{ID} long") if vrows else \
+            spark.createDataFrame([], f"{ID} long")
+        e = spark.createDataFrame(erows, f"{SRC} long, {DST} long, w double") if erows \
+            else spark.createDataFrame([], f"{SRC} long, {DST} long, w double")
+        lg = LinkGraph(vertices=v, edges=e, directed=self._directed)
+        self._flush_cache = (self._version, weight, lg)
+        return lg
+
+    def _back(self, i: int) -> Hashable:
+        return self._oid_of.get(i, i) if self._base_lg is None else i
+
+    def _ids_df(self, nbunch: Iterable) -> DataFrame:
+        ids = [(self._id_of[n] if self._base_lg is None else int(n),) for n in nbunch]
+        return self._session().createDataFrame(ids or [], f"{ID} long")
+
+
+class DiGraph(Graph):
+    """Directed NX-compatible graph (reference nx/classes/digraph.py)."""
+
+    _directed = True
+
+    def successors(self, n: Hashable) -> list:
+        return list(self._succ[n])
+
+    def predecessors(self, n: Hashable) -> list:
+        return list(self._pred[n])
+
+    def in_degree(self, n: Hashable | None = None):
+        if n is not None:
+            return len(self._pred[n])
+        return {u: len(p) for u, p in self._pred.items()}
+
+    def out_degree(self, n: Hashable | None = None):
+        if n is not None:
+            return len(self._succ[n])
+        return {u: len(s) for u, s in self._succ.items()}
+
+    def reverse(self) -> "DiGraph":
+        g = DiGraph(spark=self._spark)
+        for n, d in self._node.items():
+            g.add_node(n, **d)
+        for u, v in self.edges:
+            g.add_edge(v, u, **self._succ[u][v])
+        return g
+
+
+# ----------------------------------------------------------------------
+# Algorithm wrappers (reference nx/algorithms/builtin.py:55-1048).
+# Each runs the distributed builtin on the flushed LinkGraph and
+# reshapes the vertex-indexed DataFrame into the NX return shape.
+# ----------------------------------------------------------------------
+
+def _to_dict(G: Graph, df: DataFrame, val: str, key: str = ID) -> dict:
+    return {G._back(r[key]): r[val] for r in df.collect()}
+
+
+def pagerank(G: Graph, alpha: float = 0.85, personalization: dict | None = None,
+             max_iter: int = 100, tol: float = 1.0e-6, nstart: dict | None = None,
+             weight: str | None = "weight", dangling: dict | None = None) -> dict:
+    """builtin.py:56 — NX-convergence PageRank; returns {node: rank}."""
+    has_w = weight is not None and G._base_lg is None and any(
+        weight in a for nb in G._succ.values() for a in nb.values())
+    lg = G._flush(weight if has_w else None)
+    conv = (lambda d: {G._id_of[k]: v for k, v in d.items()}) if G._base_lg is None \
+        else (lambda d: {int(k): v for k, v in d.items()})
+    r = A.pagerank(
+        lg, alpha=alpha, max_iter=max_iter, tol=tol,
+        personalization=conv(personalization) if personalization else None,
+        nstart=conv(nstart) if nstart else None,
+        dangling=conv(dangling) if dangling else None,
+        weight_col="w" if has_w else None,
+    )
+    return _to_dict(G, r, "rank")
+
+
+def hits(G: Graph, max_iter: int = 100, tol: float = 1.0e-8,
+         normalized: bool = True) -> tuple[dict, dict]:
+    """builtin.py:113 — returns (hubs, authorities) dicts."""
+    r = A.hits(G._flush(), tolerance=tol, max_round=max_iter,
+               normalized=normalized).collect()
+    return ({G._back(x[ID]): x["hub"] for x in r},
+            {G._back(x[ID]): x["auth"] for x in r})
+
+
+def degree_centrality(G: Graph) -> dict:
+    """builtin.py:162. Undirected graphs store the symmetric closure, so
+    out-degree there IS the NX degree (counting each neighbor once)."""
+    kind = "both" if G.is_directed() else "out"
+    return _to_dict(G, A.degree_centrality(G._flush(), centrality_type=kind),
+                    "centrality")
+
+
+def in_degree_centrality(G: DiGraph) -> dict:
+    if not G.is_directed():
+        raise TypeError("in_degree_centrality: not defined for undirected graphs")
+    return _to_dict(G, A.degree_centrality(G._flush(), "in"), "centrality")
+
+
+def out_degree_centrality(G: DiGraph) -> dict:
+    if not G.is_directed():
+        raise TypeError("out_degree_centrality: not defined for undirected graphs")
+    return _to_dict(G, A.degree_centrality(G._flush(), "out"), "centrality")
+
+
+def eigenvector_centrality(G: Graph, max_iter: int = 100, tol: float = 1e-06,
+                           weight: str | None = None, **kw) -> dict:
+    """builtin.py:264 (unweighted; the reference app likewise projects
+    the weight away for the power iteration). Reference semantics
+    (eigenvector_centrality.h: x' = x + A^T x, per-round L2 norm), not
+    NX's."""
+    if weight is not None:
+        raise NotImplementedError("weighted eigenvector_centrality")
+    r = A.eigenvector_centrality(G._flush(), tolerance=tol, max_round=max_iter, **kw)
+    return _to_dict(G, r, "centrality")
+
+
+def katz_centrality(G: Graph, alpha: float = 0.1, beta: float = 1.0,
+                    max_iter: int = 100, tol: float = 1e-06,
+                    normalized: bool = True, weight: str | None = None,
+                    **kw) -> dict:
+    """builtin.py:315."""
+    if weight is not None:
+        raise NotImplementedError("weighted katz_centrality")
+    r = A.katz_centrality(G._flush(), alpha=alpha, beta=beta, tolerance=tol,
+                          max_round=max_iter, normalized=normalized, **kw)
+    return _to_dict(G, r, "centrality")
+
+
+def _src_id(G: Graph, n: Hashable) -> int:
+    if G._base_lg is not None:
+        return int(n)
+    if n not in G._id_of:
+        raise KeyError(n)
+    return G._id_of[n]
+
+
+def has_path(G: Graph, source: Hashable, target: Hashable) -> bool:
+    """builtin.py:404."""
+    return A.sssp_has_path(G._flush(), _src_id(G, source), _src_id(G, target))
+
+
+def single_source_dijkstra_path_length(G: Graph, source: Hashable,
+                                       weight: str = "weight") -> dict:
+    """builtin.py:427 — {node: distance} for reachable nodes."""
+    d = A.sssp(G._flush(weight), _src_id(G, source), weight_col="w")
+    return _to_dict(G, d.where(F.col("distance") != float("inf")), "distance")
+
+
+def shortest_path(G: Graph, source: Hashable, target: Hashable | None = None,
+                  weight: str | None = None):
+    """builtin.py:422 — path list source→target, or {node: path} for all
+    reachable targets when target is None. Tie-breaks are pinned to the
+    min-id optimal predecessor (deterministic; the reference's own
+    tests skip pred checks for being order-dependent,
+    app_tests.sh:320-325)."""
+    lg = G._flush(weight)
+    s = _src_id(G, source)
+    tree = A.sssp_path(lg, s, weight_col="w" if weight else None)
+    pred = {r[ID]: r["pred"] for r in tree.collect()}
+
+    def path_to(t: int) -> list | None:
+        if t == s:
+            return [G._back(s)]
+        if t not in pred:
+            return None
+        out, cur = [t], t
+        while cur != s:
+            cur = pred[cur]
+            out.append(cur)
+        return [G._back(i) for i in reversed(out)]
+
+    if target is not None:
+        p = path_to(_src_id(G, target))
+        if p is None:
+            raise ValueError(f"no path from {source!r} to {target!r}")
+        return p
+    paths = {G._back(s): [G._back(s)]}
+    for t in pred:
+        paths[G._back(t)] = path_to(t)
+    return paths
+
+
+def average_shortest_path_length(G: Graph, weight: str | None = None) -> float:
+    """builtin.py:466 — mean d(u,v) over ordered reachable pairs u≠v.
+    Exact below the landmark threshold; landmark-sampled above (the
+    scale-safe default, closeness.py)."""
+    lg = G._flush(weight)
+    pairs = A.all_pairs_shortest_path_length(lg, weight_col="w" if weight else None)
+    row = pairs.where(F.col("source") != F.col(ID)) \
+        .agg(F.avg("distance").alias("a")).collect()[0]
+    return float(row["a"] or 0.0)
+
+
+def _bfs_tree_rows(G: Graph, source: Hashable, depth_limit: int | None):
+    t = A.bfs_generic(G._flush(), _src_id(G, source), depth_limit=depth_limit,
+                      output_format="tree")
+    return sorted(t.collect(), key=lambda r: (r["depth"], r[ID]))
+
+
+def bfs_edges(G: Graph, source: Hashable, depth_limit: int | None = None) -> list:
+    """builtin.py:500 — BFS tree edges (parent, child), depth order then
+    min-id (deterministic; NX order is traversal-dependent)."""
+    return [(G._back(r["pred"]), G._back(r[ID]))
+            for r in _bfs_tree_rows(G, source, depth_limit) if r["depth"] > 0]
+
+
+def bfs_predecessors(G: Graph, source: Hashable,
+                     depth_limit: int | None = None) -> list:
+    """builtin.py:540 — [(node, predecessor)] for visited nodes ≠ source."""
+    return [(G._back(r[ID]), G._back(r["pred"]))
+            for r in _bfs_tree_rows(G, source, depth_limit) if r["depth"] > 0]
+
+
+def bfs_successors(G: Graph, source: Hashable,
+                   depth_limit: int | None = None) -> list:
+    """builtin.py:548 — [(node, [children])] in depth order."""
+    rows = _bfs_tree_rows(G, source, depth_limit)
+    kids: dict[Any, list] = {}
+    for r in rows:
+        if r["depth"] > 0:
+            kids.setdefault(r["pred"], []).append(r[ID])
+    order = [r[ID] for r in rows if r[ID] in kids]
+    return [(G._back(p), [G._back(c) for c in kids[p]]) for p in order]
+
+
+def bfs_tree(G: Graph, source: Hashable, reverse: bool = False,
+             depth_limit: int | None = None) -> "DiGraph":
+    """builtin.py:659 — the BFS tree as a DiGraph."""
+    if reverse:
+        if not isinstance(G, DiGraph):
+            raise TypeError("reverse BFS needs a DiGraph")
+        G = G.reverse() if G._base_lg is None else Graph.from_link_graph(
+            LinkGraph(vertices=G._base_lg.vertices,
+                      edges=G._base_lg.edges.select(
+                          F.col(DST).alias(SRC), F.col(SRC).alias(DST)),
+                      directed=True))
+    t = DiGraph(spark=G._spark)
+    t.add_node(source)
+    for u, v in bfs_edges(G, source, depth_limit):
+        t.add_edge(u, v)
+    return t
+
+
+def all_pairs_shortest_path_length(G: Graph, weight: str | None = None) -> dict:
+    """builtin.py:555 — {u: {v: d}} (exact below the landmark
+    threshold; landmark-sampled sources above)."""
+    lg = G._flush(weight)
+    pairs = A.all_pairs_shortest_path_length(lg, weight_col="w" if weight else None)
+    out: dict[Any, dict] = {}
+    for r in pairs.collect():
+        out.setdefault(G._back(r["source"]), {})[G._back(r[ID])] = r["distance"]
+    return out
+
+
+def closeness_centrality(G: Graph, u: Hashable | None = None,
+                         distance: str | None = None,
+                         wf_improved: bool = True) -> dict | float:
+    """builtin.py:598 (NX signature: `distance` names the weight attr)."""
+    lg = G._flush(distance)
+    c = A.closeness_centrality(lg, weight_col="w" if distance else None,
+                               wf_improve=wf_improved)
+    d = _to_dict(G, c, "centrality")
+    return d[u] if u is not None else d
+
+
+def k_core(G: Graph, k: int | None = None) -> Graph:
+    """builtin.py:696 — the k-core (max-core when k is None) as an
+    induced subgraph."""
+    lg = G._flush()
+    if k is None:
+        # max core: walk k upward until the core empties (k_max+2 passes
+        # of the distributed peel; fine at NX-compat scale)
+        core, k = lg.vertices.select(ID), 0
+        while True:
+            nxt = A.k_core(lg, k + 1)
+            if nxt.limit(1).count() == 0:
+                break
+            core, k = nxt, k + 1
+    else:
+        core = A.k_core(lg, k)
+    if G._base_lg is not None:
+        return Graph.from_link_graph(lg.induce_subgraph(core))
+    return G.subgraph([G._back(r[ID]) for r in core.collect()])
+
+
+def clustering(G: Graph, nodes: Iterable | None = None) -> dict:
+    """builtin.py:725 (undirected local clustering coefficients)."""
+    d = _to_dict(G, A.clustering(G._flush()), "clustering")
+    return d if nodes is None else {n: d[n] for n in nodes}
+
+
+def triangles(G: Graph, nodes: Iterable | None = None) -> dict:
+    """builtin.py:799."""
+    if G.is_directed():
+        raise TypeError("triangles: not defined for directed graphs")
+    d = _to_dict(G, A.triangles(G._flush()), "tricnt")
+    return d if nodes is None else {n: d[n] for n in nodes}
+
+
+def transitivity(G: Graph) -> float:
+    """builtin.py:826."""
+    return A.transitivity(G._flush())
+
+
+def average_clustering(G: Graph, nodes: Iterable | None = None,
+                       count_zeros: bool = True) -> float:
+    """builtin.py:834."""
+    if nodes is not None or not count_zeros:
+        vals = [v for v in clustering(G, nodes).values() if count_zeros or v > 0]
+        return sum(vals) / len(vals) if vals else 0.0
+    return A.avg_clustering(G._flush())
+
+
+def weakly_connected_components(G: Graph) -> Iterator[set]:
+    """builtin.py:883 — yields vertex sets, ordered by min member id."""
+    comps: dict[int, set] = {}
+    for r in A.wcc(G._flush()).collect():
+        comps.setdefault(r["comp"], set()).add(G._back(r[ID]))
+    for c in sorted(comps):
+        yield comps[c]
+
+
+def connected_components(G: Graph) -> Iterator[set]:
+    """NX connected_components for undirected graphs (same hash-min
+    plan; the symmetric closure makes weak = plain connectivity)."""
+    return weakly_connected_components(G)
+
+
+def degree_assortativity_coefficient(G: Graph, x: str = "out", y: str = "in",
+                                     weight: str | None = None) -> float:
+    """builtin.py:901."""
+    if weight is not None:
+        raise NotImplementedError("weighted assortativity")
+    return A.degree_assortativity_coefficient(G._flush(), x=x, y=y)
+
+
+def node_boundary(G: Graph, nbunch1: Iterable, nbunch2: Iterable | None = None) -> set:
+    """builtin.py:954."""
+    b = A.node_boundary(G._flush(), G._ids_df(nbunch1),
+                        G._ids_df(nbunch2) if nbunch2 is not None else None)
+    return {G._back(r[ID]) for r in b.collect()}
+
+
+def edge_boundary(G: Graph, nbunch1: Iterable,
+                  nbunch2: Iterable | None = None) -> list:
+    """builtin.py:1001."""
+    b = A.edge_boundary(G._flush(), G._ids_df(nbunch1),
+                        G._ids_df(nbunch2) if nbunch2 is not None else None)
+    return [(G._back(r[SRC]), G._back(r[DST])) for r in b.collect()]
+
+
+def is_simple_path(G: Graph, nodes: list) -> bool:
+    """builtin.py:1049."""
+    try:
+        ids = [_src_id(G, n) for n in nodes]
+    except KeyError:
+        return False
+    return A.is_simple_path(G._flush(), ids)
+
+
+def louvain_communities(G: Graph, weight: str = "weight", **kw) -> list[set]:
+    """Louvain communities in the networkx return shape (list of node
+    sets) over the distributed louvain (reference
+    apps/pregel/louvain/)."""
+    has_w = G._base_lg is None and any(
+        weight in a for nb in G._succ.values() for a in nb.values())
+    r = A.louvain(G._flush(weight if has_w else None),
+                  weight_col="w" if has_w else None, **kw)
+    comms: dict[int, set] = {}
+    for row in r.collect():
+        comms.setdefault(row["community"], set()).add(G._back(row[ID]))
+    return [comms[c] for c in sorted(comms)]

@@ -1,0 +1,278 @@
+"""NetworkX-compat layer vs the real networkx (installed in the test
+env) — the strongest possible oracle for the reference's
+nx/algorithms/builtin.py surface: identical graphs, identical
+signatures, compare dict results.
+
+Graphs are small (NX compat is the convenience path); distributed
+execution itself is covered by the driver oracle queries.
+"""
+
+from __future__ import annotations
+
+import networkx as realnx
+import pytest
+
+import graphscope_spark.nx as gnx
+from graphscope_spark import oracles as O
+
+
+def _mirror(nxg, spark):
+    """Copy a networkx graph into the compat layer."""
+    g = gnx.DiGraph(spark=spark) if nxg.is_directed() else gnx.Graph(spark=spark)
+    g.add_nodes_from(nxg.nodes)
+    for u, v, d in nxg.edges(data=True):
+        g.add_edge(u, v, **d)
+    return g
+
+
+def _sym(nxg) -> list[tuple[int, int]]:
+    """Directed edge list the NumPy oracles expect (both directions for
+    undirected graphs)."""
+    if nxg.is_directed():
+        return list(nxg.edges)
+    return [e for u, v in nxg.edges for e in ((u, v), (v, u)) if u != v] + \
+        [(u, v) for u, v in nxg.edges if u == v]
+
+
+@pytest.fixture(scope="module")
+def und(spark):
+    nxg = realnx.gnp_random_graph(40, 0.1, seed=7)
+    nxg.add_edge(100, 101)  # extra small component
+    return nxg, _mirror(nxg, spark)
+
+
+@pytest.fixture(scope="module")
+def dig(spark):
+    nxg = realnx.gnp_random_graph(36, 0.09, seed=11, directed=True)
+    return nxg, _mirror(nxg, spark)
+
+
+@pytest.fixture(scope="module")
+def wg(spark):
+    nxg = realnx.gnp_random_graph(30, 0.14, seed=3)
+    for i, (u, v) in enumerate(nxg.edges):
+        nxg[u][v]["weight"] = 1.0 + (i % 7)
+    return nxg, _mirror(nxg, spark)
+
+
+def _close(a: dict, b: dict, tol=1e-4):
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) <= tol, (k, a[k], b[k])
+
+
+def test_graph_bookkeeping(spark):
+    g = gnx.Graph(spark=spark)
+    g.add_edges_from([(1, 2), (2, 3)])
+    g.add_node("x", color="red")
+    assert g.number_of_nodes() == 4 and g.number_of_edges() == 2
+    assert g.has_edge(2, 1) and not g.has_edge(1, 3)
+    assert set(g.neighbors(2)) == {1, 3}
+    assert g.degree(2) == 2
+    g.remove_edge(1, 2)
+    assert g.number_of_edges() == 1 and not g.has_edge(1, 2)
+    g.remove_node(2)
+    assert g.number_of_nodes() == 3 and g.number_of_edges() == 0
+    d = g.to_directed()
+    assert d.is_directed() and d.number_of_nodes() == 3
+
+
+def test_pagerank_vs_oracle(und):
+    # networkx.pagerank needs scipy (absent here); the repo's NumPy
+    # oracle implements the same NX convergence semantics and is
+    # pytest-verified against NX elsewhere. max_iter capped identically
+    # on both sides: identical iterates, exact parity, fast test.
+    nxg, g = und
+    ora = O.oracle_pagerank(_sym(nxg), vertices=sorted(nxg.nodes),
+                            tol=1e-6, max_iter=12)
+    _close(gnx.pagerank(g, tol=1e-6, max_iter=12), ora, tol=1e-9)
+
+
+def test_pagerank_directed_vs_oracle(dig):
+    nxg, g = dig
+    ora = O.oracle_pagerank(list(nxg.edges), vertices=sorted(nxg.nodes),
+                            tol=1e-6, max_iter=12)
+    _close(gnx.pagerank(g, tol=1e-6, max_iter=12), ora, tol=1e-9)
+
+
+def test_hits_vs_oracle(dig):
+    nxg, g = dig
+    h, a = gnx.hits(g, tol=1e-2, max_iter=20)
+    ora = O.oracle_hits(list(nxg.edges), vertices=sorted(nxg.nodes),
+                        tolerance=1e-2, max_round=20)
+    _close(h, {k: v[0] for k, v in ora.items()}, tol=1e-9)
+    _close(a, {k: v[1] for k, v in ora.items()}, tol=1e-9)
+
+
+def test_degree_centrality_vs_networkx(und, dig):
+    nxg, g = und
+    _close(gnx.degree_centrality(g), realnx.degree_centrality(nxg), tol=1e-12)
+    nxd, gd = dig
+    _close(gnx.degree_centrality(gd), realnx.degree_centrality(nxd), tol=1e-12)
+    _close(gnx.in_degree_centrality(gd), realnx.in_degree_centrality(nxd), tol=1e-12)
+    _close(gnx.out_degree_centrality(gd), realnx.out_degree_centrality(nxd), tol=1e-12)
+
+
+def test_eigenvector_katz_vs_oracle(dig):
+    # reference semantics (x' = x + A^T x) differ from NX's power
+    # iteration, so the repo NumPy oracles are the truth here;
+    # fixed_rounds pinned identically on both sides
+    nxg, g = dig
+    ev = gnx.eigenvector_centrality(g, fixed_rounds=6)
+    _close(ev, O.oracle_eigenvector(list(nxg.edges), sorted(nxg.nodes),
+                                    rounds=6), tol=1e-9)
+    kz = gnx.katz_centrality(g, alpha=0.05, fixed_rounds=6)
+    _close(kz, O.oracle_katz(list(nxg.edges), sorted(nxg.nodes),
+                             alpha=0.05, rounds=6), tol=1e-9)
+
+
+def test_clustering_triangles_vs_networkx(und):
+    nxg, g = und
+    _close(gnx.clustering(g), realnx.clustering(nxg), tol=1e-12)
+    tri = gnx.triangles(g)
+    assert tri == realnx.triangles(nxg)
+    assert abs(gnx.transitivity(g) - realnx.transitivity(nxg)) < 1e-12
+    assert abs(gnx.average_clustering(g) - realnx.average_clustering(nxg)) < 1e-12
+
+
+def test_sssp_vs_networkx(wg):
+    nxg, g = wg
+    src = next(iter(nxg.nodes))
+    d = gnx.single_source_dijkstra_path_length(g, src)
+    rd = realnx.single_source_dijkstra_path_length(nxg, src)
+    _close(d, rd, tol=1e-9)
+    # shortest_path: NX picks an arbitrary optimal path; check ours is
+    # optimal and valid instead of identical
+    paths = gnx.shortest_path(g, src, weight="weight")
+    for t, p in paths.items():
+        assert p[0] == src and p[-1] == t
+        cost = sum(nxg[a][b]["weight"] for a, b in zip(p, p[1:]))
+        assert abs(cost - rd[t]) < 1e-9
+        for a, b in zip(p, p[1:]):
+            assert nxg.has_edge(a, b)
+
+
+def test_has_path_and_average_length(und):
+    nxg, g = und
+    comp = max(realnx.connected_components(nxg), key=len)
+    inside = sorted(comp)[:2]
+    assert gnx.has_path(g, inside[0], inside[1])
+    assert not gnx.has_path(g, inside[0], 100)
+    sub, gsub = nxg.subgraph(comp), g.subgraph(comp)
+    assert abs(gnx.average_shortest_path_length(gsub)
+               - realnx.average_shortest_path_length(sub)) < 1e-9
+
+
+def test_bfs_family_vs_networkx(und):
+    nxg, g = und
+    src = next(iter(nxg.nodes))
+    depth = realnx.single_source_shortest_path_length(nxg, src)
+    edges = gnx.bfs_edges(g, src)
+    # every visited node appears exactly once as child, with a valid
+    # min-id parent at depth-1 (NX parent choice is traversal-dependent)
+    children = [v for _, v in edges]
+    assert sorted(children) == sorted(k for k in depth if k != src)
+    for u, v in edges:
+        assert depth[u] + 1 == depth[v] and nxg.has_edge(u, v)
+        assert u == min(w for w in nxg.neighbors(v) if depth.get(w) == depth[v] - 1)
+    preds = dict(gnx.bfs_predecessors(g, src))
+    assert set(preds) == set(children)
+    succ = dict(gnx.bfs_successors(g, src))
+    assert sorted(c for cs in succ.values() for c in cs) == sorted(children)
+    t = gnx.bfs_tree(g, src)
+    assert t.number_of_nodes() == len(depth) and t.number_of_edges() == len(depth) - 1
+    # depth_limit
+    lim_edges = gnx.bfs_edges(g, src, depth_limit=2)
+    assert {v for _, v in lim_edges} == {k for k, d in depth.items() if 0 < d <= 2}
+
+
+def test_apsp_and_closeness_vs_networkx(und):
+    nxg, g = und
+    apsp = gnx.all_pairs_shortest_path_length(g)
+    rap = dict(realnx.all_pairs_shortest_path_length(nxg))
+    assert set(apsp) == set(rap)
+    for s in rap:
+        assert {k: int(v) for k, v in apsp[s].items()} == rap[s]
+    _close(gnx.closeness_centrality(g), realnx.closeness_centrality(nxg), tol=1e-9)
+    u = next(iter(nxg.nodes))
+    assert abs(gnx.closeness_centrality(g, u=u)
+               - realnx.closeness_centrality(nxg, u)) < 1e-9
+
+
+def test_k_core_vs_networkx(und, spark):
+    nxg, g = und
+    core = gnx.k_core(g, 2)
+    rcore = realnx.k_core(nxg, 2)
+    assert sorted(core.nodes) == sorted(rcore.nodes)
+    assert sorted(map(tuple, map(sorted, core.edges))) == \
+        sorted(map(tuple, map(sorted, rcore.edges)))
+    # max-core (k=None) on a small dense graph to bound the k-walk
+    small = realnx.gnp_random_graph(16, 0.3, seed=5)
+    gs = _mirror(small, spark)
+    assert sorted(gnx.k_core(gs, None).nodes) == sorted(realnx.k_core(small).nodes)
+
+
+def test_components_vs_networkx(und, dig):
+    nxg, g = und
+    ours = list(gnx.connected_components(g))
+    theirs = list(realnx.connected_components(nxg))
+    assert sorted(map(sorted, ours)) == sorted(map(sorted, theirs))
+    nxd, gd = dig
+    ours_d = list(gnx.weakly_connected_components(gd))
+    theirs_d = list(realnx.weakly_connected_components(nxd))
+    assert sorted(map(sorted, ours_d)) == sorted(map(sorted, theirs_d))
+
+
+def test_assortativity_vs_networkx(dig):
+    nxg, g = dig
+    assert abs(gnx.degree_assortativity_coefficient(g, x="out", y="in")
+               - realnx.degree_assortativity_coefficient(nxg, x="out", y="in")) < 1e-9
+
+
+def test_boundary_vs_networkx(und):
+    nxg, g = und
+    s = sorted(nxg.nodes)[:15]
+    assert gnx.node_boundary(g, s) == realnx.node_boundary(nxg, s)
+    ours = {tuple(sorted(e)) for e in gnx.edge_boundary(g, s)}
+    theirs = {tuple(sorted(e)) for e in realnx.edge_boundary(nxg, s)}
+    assert ours == theirs
+
+
+def test_is_simple_path(und):
+    nxg, g = und
+    comp = sorted(max(realnx.connected_components(nxg), key=len))
+    u = comp[0]
+    v = next(iter(nxg.neighbors(u)))
+    assert gnx.is_simple_path(g, [u, v])
+    assert not gnx.is_simple_path(g, [u, u])
+    assert not gnx.is_simple_path(g, [u, 99999])
+
+
+def test_louvain_communities_shape(und):
+    nxg, g = und
+    comms = gnx.louvain_communities(g, fixed_levels=1, fixed_iters=2)
+    nodes = [n for c in comms for n in c]
+    assert sorted(nodes) == sorted(nxg.nodes)  # a partition
+    assert len(comms) > 1
+
+
+def test_string_nodes(spark):
+    g = gnx.Graph(spark=spark)
+    g.add_edges_from([("a", "b"), ("b", "c"), ("c", "a"), ("d", "e")])
+    pr = gnx.pagerank(g)
+    assert set(pr) == {"a", "b", "c", "d", "e"}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert gnx.triangles(g)["a"] == 1
+    comps = sorted(map(sorted, gnx.connected_components(g)))
+    assert comps == [["a", "b", "c"], ["d", "e"]]
+
+
+def test_from_link_graph_readonly(spark, toy_graph):
+    g = gnx.Graph.from_link_graph(toy_graph)
+    assert g.is_directed()  # toy_graph is directed
+    pr = gnx.pagerank(g, max_iter=5)
+    assert set(pr) == set(range(12))
+    with pytest.raises(TypeError):
+        g.add_edge(1, 2)
+    core = gnx.k_core(g, 2)
+    assert core.number_of_nodes() > 0
