@@ -504,6 +504,37 @@ def q_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(bool(ok),)], "is_path boolean")
 
 
+def q_gremlin_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin-lite correlated where (GIE rst:206-214):
+    g.V().where(__.out().count().is_(P.gte(20))) — customers with ≥20
+    distinct suppliers. Compiles to a seeded agg + semi-join plan."""
+    from graphscope_spark.traversal import P, __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V().where(__.out().count().is_(P.gte(20))).toDF()
+
+
+def q_gremlin_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V(1).repeat(__.out()).times(2).dedup() on G2 — bounded repeat
+    unrolled into one two-join plan (GIE rst:340-358)."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g2(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V(1).repeat(__.out()).times(2).dedup().toDF()
+
+
+def q_gremlin_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().out().groupCount() on G1 — arrivals per supplier (GIE
+    aggregate steps, rst:320-330): hop join + map-side-combined agg."""
+    from graphscope_spark.traversal import traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V().out().groupCount().toDF()
+
+
 # ----------------------------------------------------------------------
 # Oracle SQL (DuckDB; tables pre-registered as views)
 # ----------------------------------------------------------------------
@@ -856,6 +887,24 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Gremlin-lite traversals (graphscope_spark/traversal.py) — relational
+# twins of the step chains
+GREMLIN_HUBS_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL})
+SELECT src AS id FROM e GROUP BY src HAVING COUNT(*) >= 20
+"""
+
+GREMLIN_2HOP_SQL = f"""
+WITH e AS MATERIALIZED ({H.G2_SQL})
+SELECT DISTINCT b.dst AS id FROM e a JOIN e b ON a.dst = b.src WHERE a.src = 1
+"""
+
+GREMLIN_GROUPCOUNT_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL})
+SELECT dst AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY dst
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_g1_r5": q_pagerank,
@@ -912,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_g1_landmarks": q_closeness_landmarks,
         "multimodal_features": q_multimodal,
         "property_sssp_g1": q_property_sssp,
+        "gremlin_hubs_g1": q_gremlin_hubs,
+        "gremlin_2hop_g2": q_gremlin_2hop,
+        "gremlin_groupcount_g1": q_gremlin_groupcount,
     }
 
 
@@ -970,4 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "has_path_g2_1_2": H.has_path_sql(1, 2, 12),
         "closeness_g1_landmarks": H.closeness_landmarks_sql(15),
         "property_sssp_g1": H.property_sssp_sql(1, 15),
+        "gremlin_hubs_g1": GREMLIN_HUBS_SQL,
+        "gremlin_2hop_g2": GREMLIN_2HOP_SQL,
+        "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
     }

@@ -1,0 +1,462 @@
+"""Gremlin-lite traversal layer — the reference's interactive-engine
+step surface (GIE, docs/interactive_engine.rst:184-369) re-expressed as
+lazy DataFrame compilation over LinkGraph.
+
+The reference compiles Gremlin to a distributed dataflow
+(interactive_engine/, Java/Rust); here every step is a DataFrame
+transformation, so the *whole traversal* compiles to ONE Catalyst plan
+— filters push into the scan, hops become shuffle joins on the vertex
+key, aggregations get map-side partial combine, and AQE handles skewed
+hub vertices. Nothing materializes until a terminal (toDF/toList/n).
+
+Supported steps (GIE inventory → here):
+
+- source:     V(*ids), E()                            rst:188-196
+- flatMap:    out/in_/both(label), outE/inE, inV/outV/otherV
+- filter:     has(key, P.*/value), hasId, is_, where(__...),
+              not_(__...), dedup, limit, range_, simplePath
+- map:        values(key), id_(), constant, select(tags), path()
+- aggregate:  count, sum_, min_, max_, mean, fold, groupCount
+- modulation: as_(tag), order(by), repeat(__...).times(k).emit()
+- predicates: P.gt/gte/lt/lte/eq/neq/within/without/between,
+              Text.startingWith/containing/regex
+
+Deliberately absent (as in GIE, rst:359-369): match/sack/cap/profile,
+nested repeat; plus until() (bounded times() only — an unbounded
+distributed loop belongs to the algorithm layer's SuperstepRunner).
+
+Deviation: Gremlin enables path() retroactively; a single-pass
+DataFrame plan cannot reconstruct history, so path tracking is opted
+in at the source (`g.with_path().V()`), and paths record vertex ids.
+
+Scale notes: a k-hop traversal is k shuffle joins of E on the vertex
+key — the same fabric as one superstep of the algorithm layer, so the
+same properties hold (map-side combine on aggregations, broadcast of
+small filtered sides by AQE, skew-join splitting for hubs). Correlated
+`where(__...)` compiles to a seeded sub-plan + semi-join, never a
+driver loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, ID, SRC, LinkGraph
+
+__all__ = ["P", "Text", "__", "traversal", "Traversal"]
+
+
+class P:
+    """Gremlin predicates → Column-expression factories."""
+
+    @staticmethod
+    def gt(v):    return lambda c: c > v
+    @staticmethod
+    def gte(v):   return lambda c: c >= v
+    @staticmethod
+    def lt(v):    return lambda c: c < v
+    @staticmethod
+    def lte(v):   return lambda c: c <= v
+    @staticmethod
+    def eq(v):    return lambda c: c == v
+    @staticmethod
+    def neq(v):   return lambda c: c != v
+    @staticmethod
+    def within(*vals):  return lambda c: c.isin(list(vals))
+    @staticmethod
+    def without(*vals): return lambda c: ~c.isin(list(vals))
+    @staticmethod
+    def between(lo, hi): return lambda c: (c >= lo) & (c < hi)
+    @staticmethod
+    def not_(p):  return lambda c: ~p(c)
+
+
+class Text:
+    @staticmethod
+    def startingWith(s): return lambda c: c.startswith(s)
+    @staticmethod
+    def endingWith(s):   return lambda c: c.endswith(s)
+    @staticmethod
+    def containing(s):   return lambda c: c.contains(s)
+    @staticmethod
+    def regex(pat):      return lambda c: c.rlike(pat)
+
+
+def _as_pred(v) -> Callable[[Column], Column]:
+    return v if callable(v) else (lambda c: c == F.lit(v))
+
+
+class _Anon:
+    """Anonymous sub-traversal recorder (Gremlin's `__`): records a
+    step chain, replayed by where/not_/repeat against a seeded state."""
+
+    def __init__(self, steps=()):
+        self._steps = list(steps)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def record(*args, **kw):
+            return _Anon(self._steps + [(name, args, kw)])
+
+        return record
+
+    def _apply(self, trav: "Traversal") -> "Traversal":
+        for name, args, kw in self._steps:
+            trav = getattr(trav, name)(*args, **kw)
+        return trav
+
+
+class _AnonFactory:
+    def __getattr__(self, name):
+        return getattr(_Anon(), name)
+
+
+__ = _AnonFactory()
+
+_SEED, _PATH = "__seed", "__path"
+
+
+class Traversal:
+    """Immutable traversal state: a DataFrame plus what its rows mean
+    (kind 'v' → column e; 'e' → esrc/edst[/eprev]; 'value' → val;
+    'pairs' → key/cnt)."""
+
+    def __init__(self, graph: LinkGraph, df: DataFrame, kind: str,
+                 order_cols: tuple = (), seed_df: DataFrame | None = None,
+                 track_path: bool = False):
+        self.graph = graph
+        self.df = df
+        self.kind = kind
+        self._order = order_cols
+        self._seed_df = seed_df      # universe of seeds inside where()
+        self._track_path = track_path
+
+    def _next(self, df: DataFrame, kind: str | None = None,
+              order: tuple | None = None) -> "Traversal":
+        return Traversal(self.graph, df, kind or self.kind,
+                         self._order if order is None else order,
+                         self._seed_df, self._track_path)
+
+    def _carry(self) -> list[str]:
+        """Columns carried across steps (seed, path, tags)."""
+        keep = [c for c in self.df.columns if c.startswith("t_") or c == _SEED]
+        if self._track_path and _PATH in self.df.columns:
+            keep.append(_PATH)
+        return keep
+
+    def _need(self, kind: str, step: str) -> None:
+        if self.kind != kind:
+            raise TypeError(f"{step}() needs a {kind!r}-kind traversal, "
+                            f"have {self.kind!r}")
+
+    # -- flatMap: hops ---------------------------------------------------
+    def _edges(self, label: str | None) -> DataFrame:
+        e = self.graph.edges
+        if label is not None:
+            if "label" not in e.columns:
+                raise KeyError("graph has no edge labels")
+            e = e.where(F.col("label") == label)
+        return e.select(SRC, DST)
+
+    def _hop(self, label: str | None, reverse: bool) -> DataFrame:
+        self._need("v", "in_" if reverse else "out")
+        e = self._edges(label)
+        on, to = (DST, SRC) if reverse else (SRC, DST)
+        cols = [F.col(to).alias("e")] + [F.col(c) for c in self._carry()
+                                         if c != _PATH]
+        if self._track_path:
+            cols.append(F.concat(_PATH, F.array(F.col(to))).alias(_PATH))
+        return self.df.join(e, self.df["e"] == e[on]).select(*cols)
+
+    def out(self, label: str | None = None) -> "Traversal":
+        return self._next(self._hop(label, reverse=False))
+
+    def in_(self, label: str | None = None) -> "Traversal":
+        return self._next(self._hop(label, reverse=True))
+
+    def both(self, label: str | None = None) -> "Traversal":
+        return self._next(self._hop(label, False).unionByName(self._hop(label, True)))
+
+    def outE(self, label: str | None = None) -> "Traversal":
+        self._need("v", "outE")
+        e = self._edges(label)
+        df = self.df.join(e, self.df["e"] == e[SRC]).select(
+            F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
+            F.col("e").alias("eprev"), *[F.col(c) for c in self._carry()])
+        return self._next(df, "e")
+
+    def inE(self, label: str | None = None) -> "Traversal":
+        self._need("v", "inE")
+        e = self._edges(label)
+        df = self.df.join(e, self.df["e"] == e[DST]).select(
+            F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
+            F.col("e").alias("eprev"), *[F.col(c) for c in self._carry()])
+        return self._next(df, "e")
+
+    def _to_v(self, col: Column) -> "Traversal":
+        cols = [col.alias("e")] + [F.col(c) for c in self._carry() if c != _PATH]
+        if self._track_path:
+            cols.append(F.concat(_PATH, F.array(col)).alias(_PATH))
+        return self._next(self.df.select(*cols), "v")
+
+    def inV(self) -> "Traversal":
+        self._need("e", "inV")
+        return self._to_v(F.col("edst"))
+
+    def outV(self) -> "Traversal":
+        self._need("e", "outV")
+        return self._to_v(F.col("esrc"))
+
+    def otherV(self) -> "Traversal":
+        self._need("e", "otherV")
+        return self._to_v(F.when(F.col("eprev") == F.col("esrc"),
+                                 F.col("edst")).otherwise(F.col("esrc")))
+
+    # -- filters ---------------------------------------------------------
+    def hasId(self, *ids) -> "Traversal":
+        self._need("v", "hasId")
+        return self._next(self.df.where(F.col("e").isin([int(i) for i in ids])))
+
+    def has(self, key: str, value=None) -> "Traversal":
+        """has('key') existence / has('key', value) / has('key', P.xx)."""
+        self._need("v", "has")
+        v = self.graph.vertices
+        if key not in v.columns:
+            raise KeyError(f"vertex column {key!r} not found")
+        props = v.select(F.col(ID).alias("e"), F.col(key).alias("__p"))
+        cond = F.col("__p").isNotNull() if value is None else _as_pred(value)(F.col("__p"))
+        return self._next(self.df.join(props, "e").where(cond).drop("__p"))
+
+    def is_(self, value) -> "Traversal":
+        self._need("value", "is_")
+        return self._next(self.df.where(_as_pred(value)(F.col("val"))))
+
+    def dedup(self) -> "Traversal":
+        elem = {"v": ["e"], "e": ["esrc", "edst"], "value": ["val"]}[self.kind]
+        return self._next(self.df.dropDuplicates(elem))
+
+    def _seeded(self, sub: _Anon) -> "Traversal":
+        seeds = self.df.withColumn(_SEED, F.col({"v": "e", "value": "val"}[self.kind]))
+        inner = Traversal(self.graph, seeds, self.kind,
+                          seed_df=seeds.select(_SEED).distinct(),
+                          track_path=False)
+        return sub._apply(inner)
+
+    def where(self, sub: "_Anon") -> "Traversal":
+        """Correlated filter: keep elements whose sub-traversal is
+        non-empty (GIE `where(out().count().is(gt(4)))`,
+        rst:206-214) — a seeded sub-plan + left-semi join, fully
+        distributed."""
+        self._need("v", "where")
+        hit = self._seeded(sub).df.select(_SEED).distinct()
+        return self._next(
+            self.df.join(hit, self.df["e"] == hit[_SEED], "left_semi"))
+
+    def not_(self, sub: "_Anon") -> "Traversal":
+        self._need("v", "not_")
+        hit = self._seeded(sub).df.select(_SEED).distinct()
+        return self._next(
+            self.df.join(hit, self.df["e"] == hit[_SEED], "left_anti"))
+
+    def simplePath(self) -> "Traversal":
+        if not self._track_path:
+            raise TypeError("simplePath() needs g.with_path()")
+        return self._next(self.df.where(
+            F.size(F.array_distinct(_PATH)) == F.size(F.col(_PATH))))
+
+    # -- map -------------------------------------------------------------
+    def values(self, key: str) -> "Traversal":
+        self._need("v", "values")
+        v = self.graph.vertices
+        if key not in v.columns:
+            raise KeyError(f"vertex column {key!r} not found")
+        props = v.select(F.col(ID).alias("e"), F.col(key).alias("val"))
+        return self._next(
+            self.df.join(props, "e").select("val", *self._carry()), "value")
+
+    def id_(self) -> "Traversal":
+        self._need("v", "id_")
+        return self._next(self.df.select(F.col("e").alias("val"),
+                                         *self._carry()), "value")
+
+    def constant(self, v) -> "Traversal":
+        return self._next(self.df.select(F.lit(v).alias("val"),
+                                         *self._carry()), "value")
+
+    def as_(self, tag: str) -> "Traversal":
+        self._need("v", "as_")
+        return self._next(self.df.withColumn(f"t_{tag}", F.col("e")))
+
+    def select(self, *tags: str) -> "Traversal":
+        cols = [F.col(f"t_{t}").alias(t) for t in tags]
+        return self._next(self.df.select(*cols), "pairs")
+
+    def path(self) -> "Traversal":
+        if not self._track_path:
+            raise TypeError("path() needs g.with_path()")
+        return self._next(self.df.select(F.col(_PATH).alias("val")), "value")
+
+    # -- aggregation (seeded-aware: inside where() aggregates group by
+    #    seed and absent seeds count as 0 — Gremlin's empty-traversal
+    #    count) ------------------------------------------------------
+    def _agg(self, expr: Column, zero=None) -> "Traversal":
+        if _SEED in self.df.columns and self._seed_df is not None:
+            per = self.df.groupBy(_SEED).agg(expr.alias("val"))
+            df = self._seed_df.join(per, _SEED, "left")
+            if zero is not None:
+                df = df.select(_SEED, F.coalesce("val", F.lit(zero)).alias("val"))
+            else:
+                df = df.where(F.col("val").isNotNull())
+            return Traversal(self.graph, df, "value",
+                             seed_df=self._seed_df, track_path=False)
+        return self._next(self.df.agg(expr.alias("val")), "value")
+
+    def count(self) -> "Traversal":
+        col = {"v": "e", "e": "esrc", "value": "val"}[self.kind]
+        return self._agg(F.count(col), zero=0)
+
+    def sum_(self) -> "Traversal":
+        self._need("value", "sum_")
+        return self._agg(F.sum("val"))
+
+    def min_(self) -> "Traversal":
+        self._need("value", "min_")
+        return self._agg(F.min("val"))
+
+    def max_(self) -> "Traversal":
+        self._need("value", "max_")
+        return self._agg(F.max("val"))
+
+    def mean(self) -> "Traversal":
+        self._need("value", "mean")
+        return self._agg(F.avg("val"))
+
+    def fold(self) -> "Traversal":
+        col = {"v": "e", "value": "val"}[self.kind]
+        return self._agg(F.sort_array(F.collect_list(col)))
+
+    def groupCount(self) -> "Traversal":
+        """(key, cnt) per distinct current element — GIE groupCount."""
+        col = {"v": "e", "value": "val"}[self.kind]
+        df = self.df.groupBy(F.col(col).alias("key")).agg(
+            F.count("*").alias("cnt"))
+        return self._next(df, "pairs")
+
+    # -- order / paging --------------------------------------------------
+    def order(self, by: str | None = None, desc: bool = False) -> "Traversal":
+        col = by or {"v": "e", "value": "val", "pairs": "key"}[self.kind]
+        return self._next(self.df, order=((col, desc),))
+
+    def _ordered_df(self) -> DataFrame:
+        if not self._order:
+            return self.df
+        cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in self._order]
+        return self.df.orderBy(*cols)
+
+    def limit(self, n: int) -> "Traversal":
+        return self._next(self._ordered_df().limit(n), order=())
+
+    def range_(self, lo: int, hi: int) -> "Traversal":
+        """order()-dependent paging (Gremlin range is order-undefined;
+        here it pages the explicit order, or element order)."""
+        from pyspark.sql import Window
+        order = self._order or ((({"v": "e", "value": "val", "pairs": "key"}
+                                  [self.kind]), False),)
+        w = Window.orderBy(*[F.col(c).desc() if d else F.col(c).asc()
+                             for c, d in order])
+        df = (self.df.withColumn("__rn", F.row_number().over(w))
+              .where((F.col("__rn") > lo) & (F.col("__rn") <= hi))
+              .drop("__rn"))
+        return self._next(df, order=())
+
+    # -- loop ------------------------------------------------------------
+    def repeat(self, sub: "_Anon") -> "_Repeat":
+        return _Repeat(self, sub)
+
+    # -- terminals -------------------------------------------------------
+    def toDF(self) -> DataFrame:
+        df = self._ordered_df()
+        if self.kind == "v":
+            return df.select(F.col("e").alias(ID))
+        if self.kind == "e":
+            return df.select(F.col("esrc").alias(SRC), F.col("edst").alias(DST))
+        if self.kind == "value":
+            return df.select(*([_SEED] if _SEED in df.columns else []), "val")
+        return df
+
+    def toList(self) -> list:
+        rows = self.toDF().collect()
+        if self.kind in ("v", "value"):
+            out = [r[-1] for r in rows]
+            return out if self._order else sorted(
+                out, key=lambda x: (x is None, str(type(x)), x))
+        return [tuple(r) for r in rows]
+
+    def n(self) -> int:
+        """Terminal count (the driver-side `.count()` of Gremlin
+        consoles; `count()` the step stays in-plan)."""
+        return self.df.count()
+
+
+class _Repeat:
+    """repeat(sub).times(k)[.emit()] — bounded unrolled loop: k
+    sub-plans composed into one Catalyst plan (GIE likewise bounds
+    repeat, rst:340-358)."""
+
+    def __init__(self, trav: Traversal, sub: _Anon):
+        self._trav = trav
+        self._sub = sub
+        self._emit = False
+
+    def emit(self) -> "_Repeat":
+        self._emit = True
+        return self
+
+    def times(self, k: int) -> Traversal:
+        cur = self._trav
+        emitted = []
+        for _ in range(int(k)):
+            cur = self._sub._apply(cur)
+            if self._emit:
+                emitted.append(cur.df)
+        if self._emit:
+            df = emitted[0]
+            for d in emitted[1:]:
+                df = df.unionByName(d)
+            return cur._next(df)
+        return cur
+
+
+class GraphTraversalSource:
+    """`g = traversal(graph)` — reference: interactive session
+    `sess.gremlin(g)` returning a traversal source."""
+
+    def __init__(self, graph: LinkGraph, track_path: bool = False):
+        self.graph = graph
+        self._track_path = track_path
+
+    def with_path(self) -> "GraphTraversalSource":
+        return GraphTraversalSource(self.graph, track_path=True)
+
+    def V(self, *ids) -> Traversal:
+        df = self.graph.vertices.select(F.col(ID).alias("e"))
+        if ids:
+            df = df.where(F.col("e").isin([int(i) for i in ids]))
+        if self._track_path:
+            df = df.withColumn(_PATH, F.array(F.col("e")))
+        return Traversal(self.graph, df, "v", track_path=self._track_path)
+
+    def E(self) -> Traversal:
+        df = self.graph.edges.select(F.col(SRC).alias("esrc"),
+                                     F.col(DST).alias("edst"),
+                                     F.col(SRC).alias("eprev"))
+        return Traversal(self.graph, df, "e")
+
+
+def traversal(graph: LinkGraph) -> GraphTraversalSource:
+    return GraphTraversalSource(graph)

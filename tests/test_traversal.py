@@ -1,0 +1,133 @@
+"""Gremlin-lite traversal layer vs hand-computed truths on the toy
+graph (FIXTURES.md) — mirrors the reference's GIE step inventory
+(docs/interactive_engine.rst:184-369).
+
+Toy edges (conftest.TOY_EDGES):
+  (0,1)(1,2)(2,0)(0,2) (3,0)(3,1)(3,2)(3,4)(4,3) (3,5)(1,5)
+  (6,7)(7,8) (9,10)(10,11)(11,9)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.traversal import P, Text, __, traversal
+from tests.conftest import TOY_EDGES
+
+
+@pytest.fixture(scope="module")
+def g(toy_graph):
+    return traversal(toy_graph)
+
+
+OUT = {}
+IN = {}
+for s, d in TOY_EDGES:
+    OUT.setdefault(s, set()).add(d)
+    IN.setdefault(d, set()).add(s)
+
+
+def test_V_E_sources(g):
+    assert sorted(g.V().toList()) == list(range(12))
+    assert sorted(g.V().id_().toList()) == list(range(12))
+    assert g.V(3, 4).id_().toList() == [3, 4]
+    assert g.E().n() == len(TOY_EDGES)
+
+
+def test_out_in_both(g):
+    assert g.V(3).out().id_().toList() == sorted(OUT[3])
+    assert g.V(5).in_().id_().toList() == sorted(IN[5])
+    assert g.V(0).both().dedup().id_().toList() == sorted(OUT[0] | IN[0])
+    # multiplicity: both() without dedup keeps one row per edge
+    assert g.V(0).both().n() == len(OUT[0]) + len(IN[0])
+
+
+def test_edge_steps(g):
+    assert sorted(g.V(3).outE().toList()) == sorted((3, d) for d in OUT[3])
+    assert g.V(5).inE().outV().id_().toList() == sorted(IN[5])
+    assert g.V(3).outE().inV().id_().toList() == sorted(OUT[3])
+    # otherV from inE = the source side
+    assert g.V(2).inE().otherV().id_().toList() == sorted(IN[2])
+
+
+def test_filters(g):
+    assert g.V().hasId(1, 9, 11).id_().toList() == [1, 9, 11]
+    two_hop = g.V(3).out().out().dedup().id_().toList()
+    expect = sorted({x for d in OUT[3] for x in OUT.get(d, ())})
+    assert two_hop == expect
+    # correlated where: vertices with >= 3 out-edges
+    hubs = g.V().where(__.out().count().is_(P.gte(3))).id_().toList()
+    assert hubs == sorted(v for v, ds in OUT.items() if len(ds) >= 3)
+    # where with zero-count semantics: out-degree < 1 == sinks
+    sinks = g.V().where(__.out().count().is_(P.lt(1))).id_().toList()
+    assert sinks == sorted(set(range(12)) - set(OUT))
+    # not_: vertices with NO incoming edge
+    no_in = g.V().not_(__.in_()).id_().toList()
+    assert no_in == sorted(set(range(12)) - set(IN))
+
+
+def test_values_aggregates(g):
+    assert g.V().count().toList() == [12]
+    assert g.V(9, 10, 11).out().count().toList() == [3]
+    assert g.V(3).out().id_().sum_().toList() == [sum(OUT[3])]
+    assert g.V(3).out().id_().max_().toList() == [max(OUT[3])]
+    assert g.V(3).out().id_().fold().toList() == [sorted(OUT[3])]
+    gc = dict(g.V().out().groupCount().toList())
+    assert gc == {d: len(ss) for d, ss in IN.items()}
+
+
+def test_order_limit_range(g):
+    top3 = g.V().order(desc=True).limit(3).id_().toList()
+    assert top3 == [9, 10, 11]
+    page = g.V().order().range_(2, 5).id_().toList()
+    assert page == [2, 3, 4]
+
+
+def test_as_select(g):
+    pairs = g.V(3).as_("a").out().as_("b").select("a", "b").toList()
+    assert sorted(pairs) == sorted((3, d) for d in OUT[3])
+
+
+def test_repeat_emit(g):
+    frontier = g.V(6).repeat(__.out()).times(2).id_().toList()
+    assert frontier == [8]
+    emitted = g.V(6).repeat(__.out()).emit().times(2).id_().toList()
+    assert emitted == [7, 8]
+
+
+def test_path_simplepath(g, toy_graph):
+    gp = traversal(toy_graph).with_path()
+    paths = gp.V(9).out().out().out().path().toList()
+    assert paths == [[9, 10, 11, 9]]  # the triangle cycles back
+    assert gp.V(9).out().out().out().simplePath().n() == 0
+    assert gp.V(3).out().simplePath().n() == len(OUT[3])
+
+
+def test_has_on_properties(g, spark, toy_graph):
+    from graphscope_spark.graph import LinkGraph
+    v = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(12)],
+        "id long, parity string, score double")
+    e = toy_graph.edges
+    lg = LinkGraph(vertices=v, edges=e, directed=True)
+    t = traversal(lg)
+    assert t.V().has("parity", "even").id_().toList() == [0, 2, 4, 6, 8, 10]
+    assert t.V().has("score", P.gt(9.0)).id_().toList() == [10, 11]
+    assert t.V().has("parity", Text.startingWith("od")).count().toList() == [6]
+    assert t.V(4).out().values("parity").toList() == ["odd"]
+    # whole chain stays one plan: hub's even 2-hop neighbors
+    got = t.V(3).out().out().dedup().has("parity", "even").id_().toList()
+    expect = sorted({x for d in OUT[3] for x in OUT.get(d, ())} & {0, 2, 4, 6, 8, 10})
+    assert got == expect
+
+
+def test_errors(g):
+    with pytest.raises(TypeError):
+        g.V().inV()
+    with pytest.raises(TypeError):
+        g.E().out()
+    with pytest.raises(KeyError):
+        g.V().has("nope", 1)
+    with pytest.raises(TypeError):
+        g.V().out().path()  # path tracking not enabled
