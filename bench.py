@@ -89,6 +89,27 @@ def main() -> int:
         timings[name] = round(time.monotonic() - t0, 3)
         log(f"  {name}: {timings[name]}s")
 
+    # Host-speed calibration: a FIXED deterministic job (shuffle of 20M
+    # closed-form rows + hash agg) whose cost is independent of sf and
+    # of this repo's code. Cross-round comparisons should normalize by
+    # this — the sandbox is a VM on a shared hypervisor and measured
+    # multi-core throughput varies several-fold with host load (round 2
+    # control experiment: the identical r1 commit re-ran 6x slower than
+    # its recorded BENCH_r01 numbers on a noisy afternoon).
+    def calib() -> None:
+        (
+            spark.range(0, 20_000_000)
+            .select((F.col("id") % 65536).alias("k"),
+                    (F.xxhash64("id") % 1000000007).alias("h"))
+            .groupBy("k").agg(F.sum("h").alias("s"))
+            .agg(F.sum("s")).collect()
+        )
+
+    _t0 = time.monotonic()
+    calib()
+    extra["calib_shuffle_20m_sec"] = round(time.monotonic() - _t0, 3)
+    log(f"  calib_shuffle_20m: {extra['calib_shuffle_20m_sec']}s")
+
     # ------------------------------------------------------------------
     # North-rule headline: PageRank on the synthetic power-law web graph.
     # Prepare (generate pages -> extract links -> hash urls -> build) is

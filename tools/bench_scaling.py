@@ -123,6 +123,9 @@ def main() -> int:
         "levels": {str(lv): runs[lv]["pagerank"] for lv in levels},
         "wall": {str(lv): runs[lv]["queries"]["web_pagerank"] for lv in levels},
         "scaling_efficiency": effs,
+        "calib_shuffle_20m_sec": {
+            str(lv): runs[lv].get("calib_shuffle_20m_sec") for lv in levels
+        },
     }
     print(json.dumps(result))
 
@@ -195,6 +198,23 @@ Convergence: the same graph at tol=1e-6 (L1 < tol*N, NetworkX
 semantics) converges in ~30-40 supersteps (bench.py without
 --pr-rounds); per-vertex scores match the NumPy oracle to 1e-6
 (pytest).
+
+Host-speed caveat: the sandbox is a VM on a shared hypervisor and its
+multi-core throughput varies SEVERAL-FOLD with external host load
+(control experiment, round 2: re-running the bit-identical round-1
+commit reproduced 6x slower web_pagerank supersteps than BENCH_r01
+recorded, with the guest otherwise idle and load-average ~7 from
+phantom host contention). Every bench.py run therefore reports
+`calib_shuffle_20m_sec` — a fixed 20M-row shuffle+hash-agg job
+independent of sf and of this repo's code. Cross-ROUND absolute
+comparisons must normalize by it (same level config ⇒ same expected
+calib on a healthy host). Within THIS run it doubles as a scaling
+CONTROL: the calib job runs inside each level's local[N], so its
+level-to-level speedup is what a trivial, perfectly-parallel shuffle
+achieves on this host right now — if PageRank's speedup tracks the
+calib speedup, the gap to ideal is the host, not the plan.
+
+calib_shuffle_20m_sec per level: {result["calib_shuffle_20m_sec"]}
 """)
     print(f"wrote {md}", file=sys.stderr)
     return 0
