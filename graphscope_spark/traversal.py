@@ -363,7 +363,12 @@ class Traversal:
 
     def range_(self, lo: int, hi: int) -> "Traversal":
         """order()-dependent paging (Gremlin range is order-undefined;
-        here it pages the explicit order, or element order)."""
+        here it pages the explicit order, or element order).
+
+        Scale note: row_number over an unpartitioned window funnels the
+        state through one task — fine for result paging (post-filter,
+        small), wrong mid-pipeline on full-graph states; prefer
+        limit()."""
         from pyspark.sql import Window
         order = self._order or ((({"v": "e", "value": "val", "pairs": "key"}
                                   [self.kind]), False),)
