@@ -504,6 +504,16 @@ def q_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(bool(ok),)], "is_path boolean")
 
 
+def q_sampling_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (algorithms/walks.py): hash-draw
+    neighbor selection — reproducible across engines, so fully
+    hash-checkable against the DuckDB twin."""
+    from graphscope_spark.algorithms import sampling_path
+
+    g = H.g2(spark, sf_dir).build()
+    return sampling_path(g, srcs=[1, 2, 3, 4, 5], path_len=4, seed=42)
+
+
 def q_gremlin_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gremlin-lite correlated where (GIE rst:206-214):
     g.V().where(__.out().count().is_(P.gte(20))) — customers with ≥20
@@ -964,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_hubs_g1": q_gremlin_hubs,
         "gremlin_2hop_g2": q_gremlin_2hop,
         "gremlin_groupcount_g1": q_gremlin_groupcount,
+        "sampling_path_g2": q_sampling_path,
     }
 
 
@@ -1025,4 +1036,5 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_hubs_g1": GREMLIN_HUBS_SQL,
         "gremlin_2hop_g2": GREMLIN_2HOP_SQL,
         "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
+        "sampling_path_g2": H.sampling_path_sql([1, 2, 3, 4, 5], 4, 42),
     }

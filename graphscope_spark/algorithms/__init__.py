@@ -40,6 +40,7 @@ from graphscope_spark.algorithms.closeness import (
 )
 from graphscope_spark.algorithms.louvain import louvain
 from graphscope_spark.algorithms.property import property_bfs, property_sssp
+from graphscope_spark.algorithms.walks import sampling_path
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -51,5 +52,5 @@ __all__ = [
     "eigenvector_centrality", "katz_centrality",
     "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
     "closeness_centrality", "all_pairs_shortest_path_length",
-    "louvain", "property_sssp", "property_bfs",
+    "louvain", "property_sssp", "property_bfs", "sampling_path",
 ]

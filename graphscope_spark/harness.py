@@ -990,3 +990,29 @@ SELECT l.label, l.id,
        CASE WHEN d.dist >= 1e17 THEN -1.0 ELSE ROUND(d.dist, 6) END AS distance
 FROM labels l JOIN d{rounds} d ON d.id = l.id"""
     )
+
+
+def sampling_path_sql(srcs: list[int], path_len: int, seed: int = 42) -> str:
+    """Deterministic random-walk twin of algorithms/walks.sampling_path
+    on G2: at step t walk w picks arg_min over out-neighbors v of
+    md5(seed|w|t|v) — identical draws to the Spark side (md5 hex is
+    engine-portable, same family as the MinHash oracle)."""
+    src_vals = ",".join(f"({int(s)})" for s in srcs)
+    ctes = [
+        f"edges AS MATERIALIZED ({G2_SQL})",
+        f"""s0 AS MATERIALIZED (
+             SELECT walk, 0 AS pos, walk AS id
+             FROM (VALUES {src_vals}) t(walk)
+             WHERE walk IN (SELECT src FROM edges UNION SELECT dst FROM edges))""",
+    ]
+    for t in range(1, int(path_len) + 1):
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+                 SELECT p.walk, {t} AS pos,
+                        arg_min(e.dst, md5(concat_ws('|', {int(seed)}, p.walk, {t}, e.dst))) AS id
+                 FROM s{t - 1} p JOIN edges e ON e.src = p.id
+                 GROUP BY p.walk)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM s{t}" for t in range(int(path_len) + 1))
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT walk, pos, id FROM ({union})"""

@@ -122,6 +122,16 @@ def test_has_on_properties(g, spark, toy_graph):
     assert got == expect
 
 
+def test_empty_graph(spark):
+    from graphscope_spark.graph import LinkGraph
+    t = traversal(LinkGraph.empty(spark))
+    assert t.V().id_().toList() == []
+    assert t.V().out().count().toList() == [0]
+    assert t.V().where(__.out()).n() == 0
+    assert t.V().out().groupCount().toList() == []
+    assert t.E().n() == 0
+
+
 def test_errors(g):
     with pytest.raises(TypeError):
         g.V().inV()
