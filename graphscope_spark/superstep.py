@@ -139,6 +139,22 @@ class SuperstepRunner:
         # localCheckpoint: truncates lineage without disk I/O (fast path).
         return df.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL), None
 
+    @staticmethod
+    def _partition_lineage(path: str | None) -> list[dict]:
+        """Per-partition lineage of a durable checkpoint: one record per
+        written part file (file name + bytes). This is what makes a
+        resume auditable partition-by-partition (north rule:
+        'per-iteration checkpointing … with per-partition lineage and
+        metrics') — on a real cluster the same listing comes from the
+        Iceberg/parquet manifest instead of the local FS."""
+        if not path or not os.path.isdir(path):
+            return []
+        return [
+            {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
+            for f in sorted(os.listdir(path))
+            if f.startswith("part-")
+        ]
+
     # -- main loop -----------------------------------------------------
     def run(
         self,
@@ -195,6 +211,7 @@ class SuperstepRunner:
             state, path = self._checkpoint(state, history[-1]["iteration"])
             history[-1]["path"] = path
             history[-1]["complete"] = True
+            history[-1]["partitions"] = self._partition_lineage(path)
             self._append_manifest(history[-1])
         return SuperstepResult(
             state=state, iterations=it + 1 - start_iter, converged=converged, history=history
@@ -241,6 +258,7 @@ class SuperstepRunner:
                 "seconds": round(elapsed, 4),
                 "path": path,
                 "complete": bool(path),
+                "partitions": self._partition_lineage(path),
                 **metrics,
             }
             history.append(rec)

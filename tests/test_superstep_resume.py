@@ -38,6 +38,21 @@ def test_manifest_written_and_resume(spark, tmp_path):
     complete = [r for r in recs if r.get("complete")]
     assert complete and complete[-1]["iteration"] == 3
     assert os.path.exists(complete[-1]["path"])
+    # per-partition lineage: one record per written part file, with
+    # sizes, for every durable checkpoint; absent on non-ckpt rounds
+    for r in recs:
+        if r.get("complete"):
+            assert r["partitions"], r
+            assert all(
+                p["file"].startswith("part-") and p["bytes"] > 0
+                for p in r["partitions"]
+            )
+            assert all(
+                os.path.exists(os.path.join(r["path"], p["file"]))
+                for p in r["partitions"]
+            )
+        else:
+            assert r["partitions"] == []
 
     # resume continues from the last complete iteration, not from scratch
     r2 = SuperstepRunner(max_iter=6, checkpoint_every=2, checkpoint_dir=ckpt)
