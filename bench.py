@@ -108,7 +108,17 @@ def main() -> int:
     _t0 = time.monotonic()
     calib()
     extra["calib_shuffle_20m_sec"] = round(time.monotonic() - _t0, 3)
-    log(f"  calib_shuffle_20m: {extra['calib_shuffle_20m_sec']}s")
+    # Warm repeat: the first run is JIT/codegen-warmup-dominated (~5-7s
+    # at ANY core count on a healthy host), so it cannot distinguish
+    # host contention from warmup. The warm run is ~1-2.4s healthy at
+    # local[2..32] (measured 2026-08-17 quiet-host) and 4-14s under the
+    # round-2 hypervisor contention — the scaling driver gates level
+    # acceptance on THIS number (tools/bench_scaling.py --calib-cap).
+    _t0 = time.monotonic()
+    calib()
+    extra["calib_warm_20m_sec"] = round(time.monotonic() - _t0, 3)
+    log(f"  calib_shuffle_20m: {extra['calib_shuffle_20m_sec']}s "
+        f"(warm {extra['calib_warm_20m_sec']}s)")
 
     # ------------------------------------------------------------------
     # North-rule headline: PageRank on the synthetic power-law web graph.
