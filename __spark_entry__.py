@@ -398,6 +398,26 @@ def q_kshell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_shell(H.g1(spark, sf_dir), k=12)
 
 
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition in ONE distributed h-index fixpoint
+    (kmax=47 on G1 at sf0.01, fixpoint in 4 rounds) — replaces
+    O(k_max) peel invocations when all core numbers are wanted."""
+    from graphscope_spark.algorithms import core_numbers
+
+    return core_numbers(H.g1(spark, sf_dir))
+
+
+def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS visitation rank (apps/dfs/dfs.h token walk) from customer 1
+    over undirected G1 — driver-side walk of the collected (guarded)
+    component, min-id child order. No SQL oracle (sequential visit
+    order is not SQL-expressible); pytest carries an independent
+    recursive-Python twin."""
+    from graphscope_spark.algorithms import dfs
+
+    return dfs(H.g1(spark, sf_dir), source=1, directed=False)
+
+
 def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering(H.g2(spark, sf_dir)).select(
         "id", F.round("clustering", 6).alias("clustering")
@@ -543,6 +563,32 @@ def q_gremlin_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g1(spark, sf_dir).build()
     t = traversal(g)
     return t.V().out().groupCount().toDF()
+
+
+def q_gremlin_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().group().by().by(__.out().id_().fold()) on G1 — per-vertex
+    sorted out-neighbor list (GIE group().by().by(), rst:320-330):
+    prefix sub-plan + ONE hash-aggregate on the key, empty keys kept
+    as [] (Gremlin fold-of-empty)."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return (t.V().group().by().by(__.out().id_().fold()).toDF()
+            .select(F.col("key").alias("id"), F.col("val").alias("succ")))
+
+
+def q_gremlin_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V(1).repeat(__.out().dedup()).until(__.not_(__.out())) on G1 —
+    unbounded repeat with a post-condition (GIE repeat().until(),
+    rst:340-358): frontier loop with checkpoint-cut rounds; elements
+    whose until-predicate holds (no outgoing edges) exit the loop."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return (t.V(1).repeat(__.out().dedup())
+            .until(__.not_(__.out())).dedup().toDF())
 
 
 # ----------------------------------------------------------------------
@@ -914,6 +960,19 @@ WITH e AS MATERIALIZED ({H.G1_SQL})
 SELECT dst AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY dst
 """
 
+GREMLIN_GROUP_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+folded AS (SELECT src AS id, LIST(dst ORDER BY dst) AS succ FROM e GROUP BY src)
+SELECT v.id, COALESCE(f.succ, CAST([] AS BIGINT[])) AS succ
+FROM verts v LEFT JOIN folded f ON f.id = v.id
+"""
+
+GREMLIN_UNTIL_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL})
+SELECT DISTINCT dst AS id FROM e WHERE src = 1
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -974,7 +1033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_hubs_g1": q_gremlin_hubs,
         "gremlin_2hop_g2": q_gremlin_2hop,
         "gremlin_groupcount_g1": q_gremlin_groupcount,
+        "gremlin_group_g1": q_gremlin_group,
+        "gremlin_until_g1": q_gremlin_until,
         "sampling_path_g2": q_sampling_path,
+        "core_numbers_g1": q_core_numbers,
+        "dfs_g1_src1": q_dfs,
     }
 
 
@@ -1036,5 +1099,10 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_hubs_g1": GREMLIN_HUBS_SQL,
         "gremlin_2hop_g2": GREMLIN_2HOP_SQL,
         "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
+        "gremlin_group_g1": GREMLIN_GROUP_SQL,
+        "gremlin_until_g1": GREMLIN_UNTIL_SQL,
         "sampling_path_g2": H.sampling_path_sql([1, 2, 3, 4, 5], 4, 42),
+        "core_numbers_g1": H.core_numbers_sql(6),
+        # dfs_g1_src1: sequential visit order not SQL-expressible →
+        # rows-only; pytest has the recursive-Python twin
     }

@@ -16,7 +16,12 @@ from graphscope_spark.algorithms.degree import (
     degree_assortativity_coefficient,
 )
 from graphscope_spark.algorithms.hits import hits
-from graphscope_spark.algorithms.kcore import k_core, k_shell
+from graphscope_spark.algorithms.kcore import (
+    core_numbers,
+    k_core,
+    k_shell,
+    max_core,
+)
 from graphscope_spark.algorithms.clustering import (
     avg_clustering,
     clustering,
@@ -41,16 +46,17 @@ from graphscope_spark.algorithms.closeness import (
 from graphscope_spark.algorithms.louvain import louvain
 from graphscope_spark.algorithms.property import property_bfs, property_sssp
 from graphscope_spark.algorithms.walks import sampling_path
+from graphscope_spark.algorithms.dfs import dfs
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
     "degree_centrality", "degree_assortativity_coefficient",
-    "hits", "k_core", "k_shell",
+    "hits", "k_core", "k_shell", "core_numbers", "max_core",
     "clustering", "avg_clustering", "transitivity",
     "bfs", "bfs_generic", "sssp", "sssp_average_length", "sssp_has_path",
     "sssp_path",
     "eigenvector_centrality", "katz_centrality",
     "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
     "closeness_centrality", "all_pairs_shortest_path_length",
-    "louvain", "property_sssp", "property_bfs", "sampling_path",
+    "louvain", "property_sssp", "property_bfs", "sampling_path", "dfs",
 ]

@@ -47,6 +47,17 @@ def _effective_sources(
         return sources
     if graph.num_vertices() <= landmark_threshold:
         return None
+    import warnings
+
+    warnings.warn(
+        f"graph has > {landmark_threshold} vertices: closeness/APSP "
+        f"auto-switches to {auto_landmarks} sampled landmark sources — "
+        "results cover landmarks only and are approximations of the "
+        "all-pairs values. Pass `sources=` explicitly (or all vertex "
+        "ids) to override.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
     return (
         graph.vertices.select(ID)
         .orderBy(F.xxhash64(ID), F.asc(ID))

@@ -104,8 +104,12 @@ def hits(
             .agg(
                 F.first("__mh").alias("mh"),
                 F.first("__ma").alias("ma"),
+                # greatest(·, 1e-300) keeps an all-zero round (edgeless
+                # graph) from producing NaN eps, which would never
+                # compare <= tolerance and burn max_round iterations
                 F.sum(
-                    F.abs(F.col("hub") / F.col("__mh") - F.col("hub_norm"))
+                    F.abs(F.col("hub") / F.greatest(F.col("__mh"), F.lit(1e-300))
+                          - F.col("hub_norm"))
                 ).alias("eps"),
             )
             .collect()[0]

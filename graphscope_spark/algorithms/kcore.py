@@ -1,26 +1,39 @@
-"""k-core / k-shell — reference parity: apps/kcore/kcore.h:27-129
-(iterative peel :79-90) and apps/kshell/kshell.h; python wrappers
-analytical/app/k_core.py:29-55, k_shell.py:29-56.
+"""k-core / k-shell / core decomposition — reference parity:
+apps/kcore/kcore.h:27-129 (iterative peel :79-90) and
+apps/kshell/kshell.h; python wrappers analytical/app/k_core.py:29-55,
+k_shell.py:29-56.
 
 k-core: maximal subgraph in which every vertex has (undirected simple)
 degree ≥ k. Spark plan: peel loop — compute degrees, drop vertices
 below k, semi-join edges, repeat until no vertex is dropped. Each round
 is one groupBy + two semi-joins; rounds bounded by peel depth (small on
 web graphs).
+
+core_numbers: the FULL decomposition (core number = max k such that the
+vertex is in the k-core) in ONE fixpoint, via the distributed h-index
+iteration (Montresor/Lü semantics: h_0 = degree;
+h_{t+1}(v) = H-index of {h_t(u) : u ∈ N(v)}; the fixpoint is exactly
+the core number). This replaces O(k_max) invocations of the peel when
+all core numbers (or the max core) are needed, and yields every
+k-shell in the same pass. Each superstep is one shuffle join + two
+hash aggregates + a per-vertex window whose partitions are bounded by
+the number of DISTINCT neighbor h-values (≤ h(v)+1), so mega-hubs
+never materialize adjacency arrays.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, ID, SRC, LinkGraph
-from graphscope_spark.superstep import _CKPT_LEVEL
+from graphscope_spark.superstep import SuperstepRunner, _CKPT_LEVEL
 
 
 def k_core(graph: LinkGraph, k: int, max_iter: int = 1000) -> DataFrame:
     """Vertices of the k-core: DataFrame(id long)."""
     edges = graph.simple_edges().localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    before = edges.count()
     for _ in range(max_iter):
         deg = (
             edges.select(F.col(SRC).alias(ID))
@@ -34,10 +47,13 @@ def k_core(graph: LinkGraph, k: int, max_iter: int = 1000) -> DataFrame:
             .join(keep.withColumnRenamed(ID, DST), DST, "left_semi")
             .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         )
-        before, after = edges.count(), new_edges.count()
+        # one driver action per round: last round's `after` IS this
+        # round's `before` (carried, not recounted)
+        after = new_edges.count()
         edges = new_edges
         if after == before:
             break
+        before = after
     return (
         edges.select(F.col(SRC).alias(ID))
         .unionAll(edges.select(F.col(DST).alias(ID)))
@@ -45,8 +61,86 @@ def k_core(graph: LinkGraph, k: int, max_iter: int = 1000) -> DataFrame:
     )
 
 
+def core_numbers(graph: LinkGraph, max_iter: int = 10_000, **kw) -> DataFrame:
+    """Core number of every vertex: DataFrame(id long, core long).
+
+    Distributed h-index fixpoint (one pass for ALL k): h starts at the
+    simple undirected degree and each superstep replaces it with the
+    H-index of the neighbors' current values; the sequence decreases
+    monotonically to the core number. Convergence is locality-bounded
+    (rounds ≤ graph-dependent, typically O(10) on web graphs).
+
+    The per-vertex H-index is computed WITHOUT collecting neighbor
+    arrays: neighbor values are capped at the vertex's own h (the
+    H-index can never exceed it), grouped to (id, value, count) — at
+    most h(v)+1 rows per vertex — then a per-id cumulative window gives
+    H = max(min(value, #neighbors with value ≥ value)). Hub-safe: a
+    10^6-degree hub contributes ≤ h+1 grouped rows, not 10^6 array
+    elements.
+
+    Reference semantics: generalizes apps/kcore/kcore.h:79-90 — the
+    k-core(k) = {v : core(v) ≥ k} for every k at once.
+    """
+    edges = graph.simple_edges()
+    und = edges.unionAll(
+        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+
+    init = (
+        und.groupBy(F.col(SRC).alias(ID))
+        .agg(F.count("*").cast("long").alias("h"))
+    )
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        # neighbor values arriving at each vertex, capped at its own h
+        nbr = (
+            und.join(state.select(F.col(ID).alias(DST), F.col("h").alias("hv")), DST)
+            .select(F.col(SRC).alias(ID), "hv")
+            .join(state.select(ID, F.col("h").alias("hcur")), ID)
+            .select(ID, "hcur", F.least("hv", "hcur").alias("val"))
+        )
+        cnt = nbr.groupBy(ID, "hcur", "val").agg(F.count("*").alias("c"))
+        w = (
+            Window.partitionBy(ID)
+            .orderBy(F.desc("val"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        hidx = (
+            cnt.withColumn("cum", F.sum("c").over(w))
+            .groupBy(ID, "hcur")
+            .agg(F.max(F.least(F.col("val"), F.col("cum"))).alias("hnew"))
+        )
+        return hidx.select(
+            ID,
+            F.least("hnew", "hcur").cast("long").alias("h"),
+            (F.col("hnew") < F.col("hcur")).alias("__chg"),
+        )
+
+    def until(new: DataFrame, old: DataFrame, it: int):
+        changed = new.where(F.col("__chg")).count()
+        return changed == 0, {"changed": changed}
+
+    runner = SuperstepRunner(max_iter=max_iter, **kw)
+    result = runner.run(init.withColumn("__chg", F.lit(True)), step, until)
+    core = result.state.select(ID, F.col("h").alias("core"))
+    und.unpersist()
+    # vertices with no simple edges have core 0
+    return (
+        graph.vertices.select(ID)
+        .join(core, ID, "left")
+        .select(ID, F.coalesce("core", F.lit(0)).cast("long").alias("core"))
+    )
+
+
+def max_core(graph: LinkGraph) -> DataFrame:
+    """Vertices of the maximum-k core (one decomposition pass, not an
+    upward walk of peels): DataFrame(id long)."""
+    c = core_numbers(graph)
+    kmax = c.agg(F.max("core").alias("m")).collect()[0]["m"] or 0
+    return c.where(F.col("core") == int(kmax)).select(ID)
+
+
 def k_shell(graph: LinkGraph, k: int) -> DataFrame:
-    """Vertices in the k-shell = k-core minus (k+1)-core (kshell.h)."""
-    core_k = k_core(graph, k)
-    core_k1 = k_core(graph, k + 1)
-    return core_k.join(core_k1, ID, "left_anti")
+    """Vertices in the k-shell = k-core minus (k+1)-core (kshell.h) =
+    {v : core(v) = k} — one decomposition pass instead of two peels."""
+    return core_numbers(graph).where(F.col("core") == int(k)).select(ID)

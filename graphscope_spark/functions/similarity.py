@@ -58,6 +58,19 @@ def knn_cosine(
     queries: DataFrame(query_id, qvec). Deterministic tie-break on
     vec_id. candidates: optional pre-filtered candidate set replacing
     the full cross join (IVF/LSH output)."""
+    if candidates is None:
+        # the no-candidates path broadcasts the FULL embedding table —
+        # the documented small-baseline/verify use. Guard it: a large
+        # table here would be a driver-killing broadcast, and the right
+        # tool is the bucketed path.
+        cap = 200_000
+        if embeddings.limit(cap + 1).count() > cap:
+            raise ValueError(
+                f"knn_cosine without `candidates` broadcasts the whole "
+                f"embedding table (> {cap:,} rows found); use knn_ivf() "
+                "or lsh_candidate_pairs() to generate a bounded "
+                "candidate set, then pass it as `candidates`"
+            )
     cand = (candidates if candidates is not None else embeddings).select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn")
     )

@@ -637,6 +637,36 @@ SELECT id FROM ({kcore_sql(k + 1, rounds, edges_sql)})
 """
 
 
+def core_numbers_sql(rounds: int, edges_sql: str | None = None) -> str:
+    """Full core decomposition via the unrolled h-index fixpoint
+    (h0 = degree; h_{t+1}(v) = H-index of neighbor h_t values; the
+    fixpoint is the core number — Lü et al. 2016). Formulated
+    differently from the Spark plan (per-neighbor-row ROW_NUMBER here
+    vs grouped cumulative-count window there); extra rounds past the
+    fixpoint are no-ops, and `rounds` is checked against networkx in
+    tests/test_extended_algorithms.py. Default graph G1 (kmax=47 at
+    sf0.01, fixpoint in 4 rounds)."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql or G1_SQL}) WHERE src <> dst)",
+        "u AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        "h0 AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS h FROM u GROUP BY src)",
+    ]
+    for t in range(rounds):
+        prev, cur = f"h{t}", f"h{t + 1}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+          SELECT id, MAX(LEAST(hv, rn)) AS h FROM (
+            SELECT u.src AS id, n.h AS hv,
+                   ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY n.h DESC) AS rn
+            FROM u JOIN {prev} n ON n.id = u.dst)
+          GROUP BY id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(h AS BIGINT) AS core FROM h{rounds}"
+    )
+
+
 # Shared triangle-count CTE block over G2 (same text as TRIANGLES_SQL)
 _TRI_CTES = f"""
 edges0 AS MATERIALIZED ({G2_SQL}),

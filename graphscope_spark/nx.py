@@ -46,6 +46,11 @@ __all__ = [
     "transitivity", "average_clustering", "weakly_connected_components",
     "connected_components", "degree_assortativity_coefficient",
     "node_boundary", "edge_boundary", "is_simple_path", "louvain_communities",
+    # generators (nx/generators/classic.py, random_graphs.py)
+    "empty_graph", "path_graph", "cycle_graph", "complete_graph",
+    "star_graph", "gnp_random_graph",
+    # readwrite (nx/readwrite/edgelist.py)
+    "read_edgelist", "write_edgelist",
 ]
 
 # non-int node objects get synthetic ids from this base upward; int
@@ -208,10 +213,20 @@ class Graph:
 
     @property
     def nodes(self) -> list:
+        if self._base_lg is not None:
+            raise NotImplementedError(
+                "nodes/edges lists would materialize the distributed graph "
+                "on the driver; read base LinkGraph.vertices/edges DataFrames"
+            )
         return list(self._node)
 
     @property
     def edges(self) -> list[tuple]:
+        if self._base_lg is not None:
+            raise NotImplementedError(
+                "nodes/edges lists would materialize the distributed graph "
+                "on the driver; read base LinkGraph.vertices/edges DataFrames"
+            )
         if self._directed:
             return [(u, v) for u, nbrs in self._succ.items() for v in nbrs]
         seen = set()
@@ -269,7 +284,29 @@ class Graph:
 
     def degree(self, n: Hashable | None = None):
         """Degree of one node, or dict node→degree (self-loops count
-        twice on undirected graphs, the NX convention)."""
+        twice on undirected graphs, the NX convention). In
+        from_link_graph mode degrees come from distributed aggregates
+        (the driver-side adjacency is empty there — returning {} would
+        be silently wrong)."""
+        if self._base_lg is not None:
+            lg = self._base_lg
+            loops = lg.edges.where(F.col(SRC) == F.col(DST)) \
+                .groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("l"))
+            if self._directed:
+                d = lg.out_degrees().join(lg.in_degrees(), ID).select(
+                    ID, (F.col("out_degree") + F.col("in_degree")).alias("d"))
+            else:
+                # stored symmetric closure: out-degree counts each
+                # neighbor once; NX counts self-loops twice
+                d = lg.out_degrees().join(loops, ID, "left").select(
+                    ID, (F.col("out_degree") + F.coalesce("l", F.lit(0))).alias("d"))
+            if n is not None:
+                row = d.where(F.col(ID) == int(n)).collect()
+                if not row:
+                    raise KeyError(n)
+                return int(row[0]["d"])
+            return {int(r[ID]): int(r["d"]) for r in d.collect()}
+
         def deg_of(u):
             d = len(self._succ[u]) + (0 if self._directed else (u in self._succ[u]))
             if self._directed:
@@ -603,29 +640,27 @@ def all_pairs_shortest_path_length(G: Graph, weight: str | None = None) -> dict:
 def closeness_centrality(G: Graph, u: Hashable | None = None,
                          distance: str | None = None,
                          wf_improved: bool = True) -> dict | float:
-    """builtin.py:598 (NX signature: `distance` names the weight attr)."""
+    """builtin.py:598 (NX signature: `distance` names the weight attr).
+
+    A single requested node is computed EXACTLY as its own source (one
+    reverse-direction SSSP), never via the auto-landmark sample — so
+    closeness_centrality(G, u) works for any node regardless of graph
+    size (ADVICE r2)."""
     lg = G._flush(distance)
+    sources = G._ids_df([u]) if u is not None else None
     c = A.closeness_centrality(lg, weight_col="w" if distance else None,
-                               wf_improve=wf_improved)
+                               wf_improve=wf_improved, sources=sources)
     d = _to_dict(G, c, "centrality")
     return d[u] if u is not None else d
 
 
 def k_core(G: Graph, k: int | None = None) -> Graph:
     """builtin.py:696 — the k-core (max-core when k is None) as an
-    induced subgraph."""
+    induced subgraph. Max-core runs the single-pass h-index core
+    decomposition (algorithms/kcore.py core_numbers), not an upward
+    walk of peels."""
     lg = G._flush()
-    if k is None:
-        # max core: walk k upward until the core empties (k_max+2 passes
-        # of the distributed peel; fine at NX-compat scale)
-        core, k = lg.vertices.select(ID), 0
-        while True:
-            nxt = A.k_core(lg, k + 1)
-            if nxt.limit(1).count() == 0:
-                break
-            core, k = nxt, k + 1
-    else:
-        core = A.k_core(lg, k)
+    core = A.max_core(lg) if k is None else A.k_core(lg, k)
     if G._base_lg is not None:
         return Graph.from_link_graph(lg.induce_subgraph(core))
     return G.subgraph([G._back(r[ID]) for r in core.collect()])
@@ -718,3 +753,118 @@ def louvain_communities(G: Graph, weight: str = "weight", **kw) -> list[set]:
     for row in r.collect():
         comms.setdefault(row["community"], set()).add(G._back(row[ID]))
     return [comms[c] for c in sorted(comms)]
+
+
+# ----------------------------------------------------------------------
+# Generators (reference python/graphscope/nx/generators/classic.py,
+# random_graphs.py — which re-export upstream networkx's classic
+# generator surface). Driver-side construction, same scale contract as
+# the Graph class itself; gnp uses deterministic hash draws (the
+# walks.py discipline) so the same seed always builds the same graph,
+# including across retries.
+# ----------------------------------------------------------------------
+def empty_graph(n: int = 0, create_using=None) -> "Graph":
+    """generators/classic.py empty_graph."""
+    G = create_using if isinstance(create_using, Graph) else \
+        (create_using or Graph)()
+    G.add_nodes_from(range(int(n)))
+    return G
+
+
+def path_graph(n: int, create_using=None) -> "Graph":
+    """generators/classic.py path_graph: 0-1-2-…-(n-1)."""
+    G = empty_graph(n, create_using)
+    G.add_edges_from((i, i + 1) for i in range(int(n) - 1))
+    return G
+
+
+def cycle_graph(n: int, create_using=None) -> "Graph":
+    """generators/classic.py cycle_graph."""
+    G = path_graph(n, create_using)
+    if int(n) > 1:
+        G.add_edge(int(n) - 1, 0)
+    return G
+
+
+def complete_graph(n: int, create_using=None) -> "Graph":
+    """generators/classic.py complete_graph (no self-loops)."""
+    G = empty_graph(n, create_using)
+    G.add_edges_from((u, v) for u in range(int(n))
+                     for v in range(int(n)) if u != v)
+    return G
+
+
+def star_graph(n: int, create_using=None) -> "Graph":
+    """generators/classic.py star_graph: hub 0 + n leaves."""
+    G = empty_graph(int(n) + 1, create_using)
+    G.add_edges_from((0, i) for i in range(1, int(n) + 1))
+    return G
+
+
+def gnp_random_graph(n: int, p: float, seed: int = 0,
+                     directed: bool = False) -> "Graph":
+    """generators/random_graphs.py gnp_random_graph (Erdős–Rényi
+    G(n,p)) with DETERMINISTIC per-pair hash draws: pair (u,v) gets an
+    edge iff md5(seed,u,v) maps below p — same seed, same graph, on
+    any host (upstream nx uses a stateful RNG; the distributional
+    contract is identical)."""
+    import hashlib
+
+    n = int(n)
+    G = DiGraph() if directed else Graph()
+    G.add_nodes_from(range(n))
+
+    def draw(u: int, v: int) -> bool:
+        h = hashlib.md5(f"{seed}:{u}:{v}".encode()).digest()
+        return int.from_bytes(h[:8], "big") / 2**64 < p
+
+    pairs = ((u, v) for u in range(n) for v in range(n) if u != v) \
+        if directed else ((u, v) for u in range(n) for v in range(u + 1, n))
+    G.add_edges_from((u, v) for u, v in pairs if draw(u, v))
+    return G
+
+
+# ----------------------------------------------------------------------
+# Readwrite (reference python/graphscope/nx/readwrite/edgelist.py —
+# upstream networkx edgelist format). Driver-side files, NX-compat
+# scale; bulk parquet/Iceberg I/O is LinkGraph.save/load's job.
+# ----------------------------------------------------------------------
+def write_edgelist(G: "Graph", path: str, data: bool = True,
+                   delimiter: str = " ") -> None:
+    """readwrite/edgelist.py write_edgelist (networkx line format:
+    `u v` or `u v {'w': 1}`)."""
+    with open(path, "w") as f:
+        for u, nbrs in G._succ.items():
+            for v, attr in nbrs.items():
+                if not G._directed and G._id_of[u] > G._id_of[v]:
+                    continue
+                if data and attr:
+                    f.write(f"{u}{delimiter}{v}{delimiter}{attr!r}\n")
+                elif data:
+                    f.write(f"{u}{delimiter}{v}{delimiter}{{}}\n")
+                else:
+                    f.write(f"{u}{delimiter}{v}\n")
+
+
+def read_edgelist(path: str, create_using=None, nodetype=None,
+                  data: bool = True, delimiter: str = " ") -> "Graph":
+    """readwrite/edgelist.py read_edgelist (networkx semantics: `#`
+    comments skipped, optional trailing attr dict literal)."""
+    import ast
+
+    G = create_using if isinstance(create_using, Graph) else \
+        (create_using or Graph)()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(delimiter, 2)
+            u, v = parts[0], parts[1]
+            if nodetype is not None:
+                u, v = nodetype(u), nodetype(v)
+            attr = {}
+            if data and len(parts) > 2 and parts[2]:
+                attr = ast.literal_eval(parts[2])
+            G.add_edge(u, v, **attr)
+    return G

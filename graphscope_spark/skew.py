@@ -37,13 +37,22 @@ def salted_sum(
 ) -> DataFrame:
     """Two-stage sum: groupBy(key, salt) partial → groupBy(key) final.
 
-    Salt = hash of the value column (deterministic per ROW CONTENT, so a
-    recomputed/retried partition re-salts identically — a
+    Salt = hash of ALL the row's columns (deterministic per ROW
+    CONTENT, so a recomputed/retried partition re-salts identically — a
     monotonically_increasing_id or rand salt would not, and a mid-agg
     retry could then double-count rows under a different salt).
+    Hashing every column rather than just (value, key) matters for the
+    typical skewed workload — unit weights / count-style sums, where
+    the value is CONSTANT per key and a (value, key) salt would drop
+    every hub row into one bucket, no-oping the spread. Rows that are
+    bit-identical across all columns still share a bucket: no
+    deterministic function can separate indistinguishable rows.
     """
     value_col = F.col(value) if isinstance(value, str) else value
-    salt = F.pmod(F.xxhash64(value_col, F.col(key)), F.lit(salt_mod))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], value_col),
+        F.lit(salt_mod),
+    )
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key, "__salt")

@@ -15,15 +15,25 @@ Supported steps (GIE inventory → here):
 - flatMap:    out/in_/both(label), outE/inE, inV/outV/otherV
 - filter:     has(key, P.*/value), hasId, is_, where(__...),
               not_(__...), dedup, limit, range_, simplePath
-- map:        values(key), id_(), constant, select(tags), path()
-- aggregate:  count, sum_, min_, max_, mean, fold, groupCount
-- modulation: as_(tag), order(by), repeat(__...).times(k).emit()
+- map:        values(key), valueMap(*keys), id_(), constant,
+              select(tags), path(), unfold
+- aggregate:  count, sum_, min_, max_, mean, fold, groupCount,
+              group().by(key).by(value)                rst:320-330
+- branch:     branch(key).option(value, __...)         rst:296-318
+- local scope (Gremlin `count(local)` etc., rst:270-295, over folded
+  arrays): count_local, dedup_local, order_local, range_local,
+              sum_local, min_local, max_local, mean_local
+- modulation: as_(tag), order(by),
+              repeat(__...).times(k).emit(),
+              repeat(__...).until(__cond).emit()       rst:340-358
 - predicates: P.gt/gte/lt/lte/eq/neq/within/without/between,
               Text.startingWith/containing/regex
 
 Deliberately absent (as in GIE, rst:359-369): match/sack/cap/profile,
-nested repeat; plus until() (bounded times() only — an unbounded
-distributed loop belongs to the algorithm layer's SuperstepRunner).
+nested repeat. until() is the post-condition form
+(repeat(sub).until(cond)); each round is checkpoint-cut like a
+SuperstepRunner superstep, with a max_rounds guard because a
+distributed loop with a never-true condition must terminate.
 
 Deviation: Gremlin enables path() retroactively; a single-pass
 DataFrame plan cannot reconstruct history, so path tracking is opted
@@ -284,6 +294,31 @@ class Traversal:
         return self._next(self.df.select(F.col("e").alias("val"),
                                          *self._carry()), "value")
 
+    def valueMap(self, *keys: str) -> "Traversal":
+        """Per-element property map (GIE valueMap, rst:296-318),
+        flattened to one row per element with one column per property
+        (our properties are single-valued, so Gremlin's
+        Map<key, List<v>> collapses to columns). No keys → all vertex
+        property columns."""
+        self._need("v", "valueMap")
+        v = self.graph.vertices
+        ks = list(keys) or [c for c in v.columns if c != ID]
+        missing = [k for k in ks if k not in v.columns]
+        if missing:
+            raise KeyError(f"vertex columns not found: {missing}")
+        props = v.select(F.col(ID).alias("e"), *[F.col(k) for k in ks])
+        return self._next(
+            self.df.join(props, "e").select(F.col("e").alias(ID), *ks),
+            "pairs")
+
+    def unfold(self) -> "Traversal":
+        """Explode a folded array value back into elements (GIE
+        unfold, rst:296-318)."""
+        self._need("value", "unfold")
+        return self._next(
+            self.df.select(F.explode("val").alias("val"), *self._carry()),
+            "value")
+
     def constant(self, v) -> "Traversal":
         return self._next(self.df.select(F.lit(v).alias("val"),
                                          *self._carry()), "value")
@@ -340,12 +375,83 @@ class Traversal:
         col = {"v": "e", "value": "val"}[self.kind]
         return self._agg(F.sort_array(F.collect_list(col)))
 
-    def groupCount(self) -> "Traversal":
-        """(key, cnt) per distinct current element — GIE groupCount."""
+    def groupCount(self, by: str | None = None) -> "Traversal":
+        """(key, cnt) per distinct current element — GIE groupCount.
+        `by` groups by a vertex property instead of the element
+        (groupCount().by('prop') ≡ group().by('prop').by(count))."""
+        if by is not None:
+            t = self.group().by(by).by(__.count())._built()
+            return t._next(
+                t.df.select("key", F.col("val").cast("long").alias("cnt")),
+                "pairs")
         col = {"v": "e", "value": "val"}[self.kind]
         df = self.df.groupBy(F.col(col).alias("key")).agg(
             F.count("*").alias("cnt"))
         return self._next(df, "pairs")
+
+    def group(self) -> "_Group":
+        """group().by(key).by(value) (GIE group, rst:320-330).
+
+        First by(): key selector — None/omitted = the element itself,
+        or a vertex property name. Second by(): the per-key value —
+        None = sorted fold of the elements, a property name = sorted
+        fold of that property, or an anonymous sub-traversal whose
+        LAST step is an aggregate (count/sum_/min_/max_/mean/fold);
+        the reduction then runs over the concatenated per-key stream,
+        Gremlin's semantics. Compiles to prefix-sub-plan + one
+        hash-aggregate on the key — one Catalyst plan, no driver loop.
+        """
+        self._need("v", "group")
+        return _Group(self)
+
+    # -- local scope (Gremlin `step(local)`, rst:270-295): operate
+    #    INSIDE each folded array value — pure codegen array
+    #    expressions, zero shuffle -------------------------------------
+    def _local(self, step: str, fn) -> "Traversal":
+        self._need("value", step)
+        return self._next(
+            self.df.withColumn("val", fn(F.col("val"))), "value")
+
+    def count_local(self) -> "Traversal":
+        return self._local("count_local", F.size)
+
+    def dedup_local(self) -> "Traversal":
+        # array_distinct keeps first occurrence — Gremlin dedup(local)
+        return self._local("dedup_local", F.array_distinct)
+
+    def order_local(self, desc: bool = False) -> "Traversal":
+        return self._local(
+            "order_local", lambda c: F.sort_array(c, asc=not desc))
+
+    def range_local(self, lo: int, hi: int) -> "Traversal":
+        return self._local(
+            "range_local", lambda c: F.slice(c, int(lo) + 1, int(hi - lo)))
+
+    def sum_local(self) -> "Traversal":
+        return self._local("sum_local", lambda c: F.aggregate(
+            c, F.lit(0).cast("double"), lambda a, x: a + x))
+
+    def min_local(self) -> "Traversal":
+        return self._local("min_local", F.array_min)
+
+    def max_local(self) -> "Traversal":
+        return self._local("max_local", F.array_max)
+
+    def mean_local(self) -> "Traversal":
+        return self._local("mean_local", lambda c: F.aggregate(
+            c, F.lit(0).cast("double"), lambda a, x: a + x)
+            / F.size(c).cast("double"))
+
+    # -- branch ----------------------------------------------------------
+    def branch(self, key: str | None = None) -> "_Branch":
+        """branch(key).option(v1, __...).option(v2, __...) (GIE
+        branch().option(), rst:296-318): route each element by its
+        selector value (None = the element id, str = a vertex
+        property); unmatched elements are dropped (Gremlin's behavior
+        without a Pick.none option). Compiles to one filtered sub-plan
+        per option unioned into a single Catalyst plan."""
+        self._need("v", "branch")
+        return _Branch(self, key)
 
     # -- order / paging --------------------------------------------------
     def order(self, by: str | None = None, desc: bool = False) -> "Traversal":
@@ -365,16 +471,28 @@ class Traversal:
         """order()-dependent paging (Gremlin range is order-undefined;
         here it pages the explicit order, or element order).
 
-        Scale note: row_number over an unpartitioned window funnels the
-        state through one task — fine for result paging (post-filter,
-        small), wrong mid-pipeline on full-graph states; prefer
-        limit()."""
+        Scale note: a global page needs a total order, which ends in a
+        single-task window — but the window's INPUT is pre-trimmed
+        per partition first (no partition ships more than `hi` rows in
+        the page order), so the single task sees ≤ partitions×hi rows
+        instead of the full state. Mid-pipeline ranges on full-graph
+        states are therefore bounded; still prefer limit() when lo=0.
+        """
         from pyspark.sql import Window
         order = self._order or ((({"v": "e", "value": "val", "pairs": "key"}
                                   [self.kind]), False),)
-        w = Window.orderBy(*[F.col(c).desc() if d else F.col(c).asc()
-                             for c, d in order])
-        df = (self.df.withColumn("__rn", F.row_number().over(w))
+        ocols = [F.col(c).desc() if d else F.col(c).asc() for c, d in order]
+        # per-partition pre-trim: each input partition contributes at
+        # most `hi` candidates to the global page
+        wp = Window.partitionBy("__pid").orderBy(*ocols)
+        trimmed = (
+            self.df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__prn", F.row_number().over(wp))
+            .where(F.col("__prn") <= hi)
+            .drop("__pid", "__prn")
+        )
+        w = Window.orderBy(*ocols)
+        df = (trimmed.withColumn("__rn", F.row_number().over(w))
               .where((F.col("__rn") > lo) & (F.col("__rn") <= hi))
               .drop("__rn"))
         return self._next(df, order=())
@@ -411,7 +529,11 @@ class Traversal:
 class _Repeat:
     """repeat(sub).times(k)[.emit()] — bounded unrolled loop: k
     sub-plans composed into one Catalyst plan (GIE likewise bounds
-    repeat, rst:340-358)."""
+    repeat, rst:340-358) — and repeat(sub).until(cond)[.emit()] — the
+    unbounded post-condition loop (rst:340-358), driven round-by-round
+    with the same checkpoint discipline as a SuperstepRunner superstep
+    (each round's frontier is localCheckpoint-cut so lineage stays
+    O(1), one driver count per round for the emptiness test)."""
 
     def __init__(self, trav: Traversal, sub: _Anon):
         self._trav = trav
@@ -435,6 +557,160 @@ class _Repeat:
                 df = df.unionByName(d)
             return cur._next(df)
         return cur
+
+    def until(self, cond: _Anon, max_rounds: int = 64) -> Traversal:
+        """Post-condition loop: each round applies `sub` to the active
+        frontier, exits the elements whose `cond` sub-traversal is
+        non-empty (same seeded-semi-join fabric as where()), and keeps
+        looping on the rest until the frontier empties or max_rounds
+        (a distributed loop with a never-true condition must
+        terminate; GIE likewise bounds repeat)."""
+        from graphscope_spark.superstep import _CKPT_LEVEL
+
+        active = self._trav
+        out_parts: list[DataFrame] = []
+        for _ in range(int(max_rounds)):
+            stepped = self._sub._apply(active)
+            ck = stepped.df.localCheckpoint(eager=True,
+                                            storageLevel=_CKPT_LEVEL)
+            stepped = stepped._next(ck)
+            if self._emit:
+                out_parts.append(stepped.df)
+            exited = stepped.where(cond)
+            if not self._emit:
+                out_parts.append(exited.df)
+            active = stepped.not_(cond)
+            if active.df.limit(1).count() == 0:
+                break
+        df = out_parts[0]
+        for d in out_parts[1:]:
+            df = df.unionByName(d)
+        return self._trav._next(df, stepped.kind)
+
+
+_GROUP_AGGS = {
+    "count": lambda c: F.count(c).cast("long"),
+    "fold": lambda c: F.sort_array(F.collect_list(c)),
+    "sum_": F.sum,
+    "min_": F.min,
+    "max_": F.max,
+    "mean": F.avg,
+}
+
+
+class _Group:
+    """group().by(key).by(value) builder (see Traversal.group).
+    Terminals/further steps build the (key, val) pairs traversal and
+    delegate to it, so the group composes mid-chain."""
+
+    def __init__(self, trav: Traversal):
+        self._trav = trav
+        self._mods: list = []
+
+    def by(self, mod=None) -> "_Group":
+        if len(self._mods) >= 2:
+            raise TypeError("group() takes at most two by() modulators")
+        self._mods.append(mod)
+        return self
+
+    def _built(self) -> Traversal:
+        t = self._trav
+        key_mod = self._mods[0] if self._mods else None
+        val_mod = self._mods[1] if len(self._mods) > 1 else None
+
+        # element -> key mapping
+        if key_mod is None:
+            keyed = t.df.select(F.col("e"), F.col("e").alias("key"))
+        elif isinstance(key_mod, str):
+            v = t.graph.vertices
+            if key_mod not in v.columns:
+                raise KeyError(f"vertex column {key_mod!r} not found")
+            props = v.select(F.col(ID).alias("e"),
+                             F.col(key_mod).alias("key"))
+            keyed = t.df.join(props, "e").select("e", "key")
+        else:
+            raise TypeError("group().by(key): key must be None or a "
+                            "vertex property name")
+
+        # per-key value: reduce the CONCATENATED stream of per-element
+        # sub-results (Gremlin semantics), as one hash-aggregate
+        if val_mod is None or isinstance(val_mod, str):
+            sub = __.id_() if val_mod is None else __.values(val_mod)
+            steps, agg = sub, "fold"
+        elif isinstance(val_mod, _Anon):
+            if not val_mod._steps or val_mod._steps[-1][0] not in _GROUP_AGGS:
+                raise TypeError(
+                    "group().by(value): sub-traversal must end in one of "
+                    f"{sorted(_GROUP_AGGS)}")
+            steps = _Anon(val_mod._steps[:-1])
+            agg = val_mod._steps[-1][0]
+        else:
+            raise TypeError("group().by(value): None, property name, or "
+                            "__ sub-traversal ending in an aggregate")
+
+        stream = t._seeded(steps)
+        col = {"v": "e", "value": "val", "e": "esrc"}[stream.kind]
+        per_key = (
+            stream.df.select(F.col(_SEED).alias("e"),
+                             F.col(col).alias("__x"))
+            .join(keyed, "e")
+            .groupBy("key")
+            .agg(_GROUP_AGGS[agg](F.col("__x")).alias("val"))
+        )
+        # keys whose stream is empty still appear (count→0, fold→[])
+        zero = None
+        if agg == "count":
+            zero = F.lit(0).cast("long")
+        elif agg == "fold":
+            zero = F.expr(
+                f"CAST(array() AS {per_key.schema['val'].dataType.simpleString()})")
+        all_keys = keyed.select("key").distinct()
+        out = all_keys.join(per_key, "key", "left")
+        if zero is not None:
+            out = out.select("key", F.coalesce("val", zero).alias("val"))
+        else:
+            out = out.where(F.col("val").isNotNull())
+        return Traversal(t.graph, out, "pairs")
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._built(), name)
+
+
+class _Branch:
+    """branch(key).option(value, __...) builder (see
+    Traversal.branch): one filtered sub-plan per option, unioned."""
+
+    def __init__(self, trav: Traversal, key: str | None):
+        self._trav = trav
+        self._key = key
+        self._opts: list[tuple[Any, _Anon]] = []
+
+    def option(self, value, sub: _Anon) -> "_Branch":
+        self._opts.append((value, sub))
+        return self
+
+    def _built(self) -> Traversal:
+        if not self._opts:
+            raise TypeError("branch() needs at least one option()")
+        outs: list[Traversal] = []
+        for value, sub in self._opts:
+            picked = (self._trav.hasId(value) if self._key is None
+                      else self._trav.has(self._key, value))
+            outs.append(sub._apply(picked))
+        kinds = {o.kind for o in outs}
+        if len(kinds) > 1:
+            raise TypeError(f"branch options end in mixed kinds {kinds}")
+        df = outs[0].df
+        for o in outs[1:]:
+            df = df.unionByName(o.df)
+        return outs[0]._next(df)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._built(), name)
 
 
 class GraphTraversalSource:

@@ -276,3 +276,92 @@ def test_from_link_graph_readonly(spark, toy_graph):
         g.add_edge(1, 2)
     core = gnx.k_core(g, 2)
     assert core.number_of_nodes() > 0
+
+
+# ----------------------------------------------------------------------
+# round 3: generators + readwrite (reference nx/generators/classic.py,
+# random_graphs.py, nx/readwrite/edgelist.py)
+# ----------------------------------------------------------------------
+def test_generators_vs_networkx():
+    for ours, real, args in [
+        (gnx.path_graph, realnx.path_graph, (7,)),
+        (gnx.cycle_graph, realnx.cycle_graph, (6,)),
+        (gnx.complete_graph, realnx.complete_graph, (5,)),
+        (gnx.star_graph, realnx.star_graph, (4,)),
+        (gnx.empty_graph, realnx.empty_graph, (3,)),
+    ]:
+        g, r = ours(*args), real(*args)
+        assert sorted(g.nodes) == sorted(r.nodes), ours.__name__
+        assert sorted(map(tuple, map(sorted, g.edges))) == \
+            sorted(map(tuple, map(sorted, r.edges))), ours.__name__
+
+
+def test_complete_graph_directed_edge_count():
+    g = gnx.complete_graph(6, gnx.DiGraph())
+    assert g.number_of_edges() == 30
+
+
+def test_gnp_deterministic_and_plausible():
+    a = gnx.gnp_random_graph(60, 0.2, seed=5)
+    b = gnx.gnp_random_graph(60, 0.2, seed=5)
+    assert sorted(map(tuple, map(sorted, a.edges))) == \
+        sorted(map(tuple, map(sorted, b.edges)))
+    c = gnx.gnp_random_graph(60, 0.2, seed=6)
+    assert sorted(map(tuple, map(sorted, a.edges))) != \
+        sorted(map(tuple, map(sorted, c.edges)))
+    # edge count within loose binomial bounds: n(n-1)/2 * p = 354
+    m = a.number_of_edges()
+    assert 240 < m < 480
+    # p=0 / p=1 degenerate cases exact
+    assert gnx.gnp_random_graph(10, 0.0, seed=1).number_of_edges() == 0
+    assert gnx.gnp_random_graph(10, 1.0, seed=1).number_of_edges() == 45
+
+
+def test_edgelist_roundtrip(tmp_path):
+    g = gnx.gnp_random_graph(25, 0.2, seed=9)
+    p = str(tmp_path / "el.txt")
+    gnx.write_edgelist(g, p, data=False)
+    back = gnx.read_edgelist(p, nodetype=int)
+    assert sorted(map(tuple, map(sorted, back.edges))) == \
+        sorted(map(tuple, map(sorted, g.edges)))
+    # and real networkx parses our file identically
+    rb = realnx.read_edgelist(p, nodetype=int)
+    assert sorted(map(tuple, map(sorted, rb.edges()))) == \
+        sorted(map(tuple, map(sorted, g.edges)))
+
+
+def test_edgelist_roundtrip_with_attrs(tmp_path):
+    g = gnx.Graph()
+    g.add_edge(1, 2, weight=3.5)
+    g.add_edge(2, 4, weight=1.0)
+    p = str(tmp_path / "elw.txt")
+    gnx.write_edgelist(g, p, data=True)
+    back = gnx.read_edgelist(p, nodetype=int)
+    assert back._succ[1][2]["weight"] == 3.5
+    rb = realnx.read_edgelist(p, nodetype=int)
+    assert rb[1][2]["weight"] == 3.5
+
+
+def test_closeness_single_node_any_graph(und, spark):
+    nxg, g = und
+    # single-node closeness computed exactly as its own source
+    for u in (0, 17, 100):
+        assert abs(gnx.closeness_centrality(g, u)
+                   - realnx.closeness_centrality(nxg, u)) < 1e-4
+
+
+def test_degree_distributed_in_linkgraph_mode(spark, und):
+    """from_link_graph mode computes degree() distributedly instead of
+    silently returning {} (ADVICE r2)."""
+    nxg, g = und
+    lg = g._flush()
+    wrapped = gnx.Graph.from_link_graph(lg)
+    want = dict(realnx.degree(nxg))
+    got = wrapped.degree()
+    # node keys are raw int ids in linkgraph mode (same ints here)
+    assert got == {int(k): v for k, v in want.items()}
+    assert wrapped.degree(0) == want[0]
+    with pytest.raises(KeyError):
+        wrapped.degree(424242)
+    with pytest.raises(NotImplementedError):
+        wrapped.nodes

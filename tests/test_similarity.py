@@ -112,3 +112,18 @@ def test_hyperplane_signs_portable(emb):
         for r in lsh_hyperplane_bands(emb, num_planes=4, num_bands=2).collect()
     }
     assert got == exp
+
+
+def test_knn_no_candidates_broadcast_guard(spark):
+    """A large embeddings table without `candidates` must refuse the
+    full-table broadcast and point at the bucketed paths (ADVICE r2)."""
+    import pytest
+    from graphscope_spark.functions.similarity import knn_cosine
+
+    big = spark.range(200_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    q = spark.createDataFrame([(9_999_999, [1.0, 0.0])],
+                              "query_id long, qvec array<double>")
+    with pytest.raises(ValueError, match="knn_ivf"):
+        knn_cosine(big, q, k=3)

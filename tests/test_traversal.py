@@ -141,3 +141,112 @@ def test_errors(g):
         g.V().has("nope", 1)
     with pytest.raises(TypeError):
         g.V().out().path()  # path tracking not enabled
+
+
+# ----------------------------------------------------------------------
+# round-3 steps: group().by().by(), valueMap, unfold, branch().option(),
+# local-scope steps, repeat().until() (GIE rst:270-358)
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def gp(spark, toy_graph):
+    from graphscope_spark.graph import LinkGraph
+    v = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(12)],
+        "id long, parity string, score double")
+    lg = LinkGraph(vertices=v, edges=toy_graph.edges, directed=True)
+    return traversal(lg)
+
+
+def test_group_by_element_fold(g):
+    # per-vertex sorted out-neighbor lists; sinks keep []
+    rows = {r["key"]: r["val"]
+            for r in g.V().group().by().by(__.out().id_().fold()).toDF().collect()}
+    assert rows[3] == sorted(OUT[3])
+    assert rows[5] == []
+    assert set(rows) == set(range(12))
+
+
+def test_group_by_property_count(gp):
+    # group().by('parity').by(count()) == per-parity vertex count
+    rows = {r["key"]: r["val"]
+            for r in gp.V().group().by("parity").by(__.count()).toDF().collect()}
+    assert rows == {"even": 6, "odd": 6}
+    # stream semantics: count of OUT-EDGES per parity of the source
+    rows = {r["key"]: r["val"]
+            for r in gp.V().group().by("parity").by(__.out().count()).toDF().collect()}
+    even = sum(len(OUT.get(i, ())) for i in range(0, 12, 2))
+    odd = sum(len(OUT.get(i, ())) for i in range(1, 12, 2))
+    assert rows == {"even": even, "odd": odd}
+
+
+def test_group_by_property_fold_values(gp):
+    # second by() as a property name folds that property per key
+    rows = {r["key"]: r["val"]
+            for r in gp.V().group().by("parity").by("score").toDF().collect()}
+    assert rows["even"] == [float(i) for i in range(0, 12, 2)]
+
+
+def test_groupcount_by(gp):
+    rows = {r["key"]: r["cnt"]
+            for r in gp.V().groupCount("parity").toDF().collect()}
+    assert rows == {"even": 6, "odd": 6}
+
+
+def test_valuemap(gp):
+    rows = gp.V(3, 4).valueMap("parity", "score").toDF().collect()
+    m = {r["id"]: (r["parity"], r["score"]) for r in rows}
+    assert m == {3: ("odd", 3.0), 4: ("even", 4.0)}
+    # no keys -> all property columns
+    cols = set(gp.V(3).valueMap().toDF().columns)
+    assert cols == {"id", "parity", "score"}
+
+
+def test_unfold(g):
+    vals = g.V(3).out().id_().fold().unfold().toList()
+    assert sorted(vals) == sorted(OUT[3])
+
+
+def test_local_scope_steps(g):
+    folded = g.V(3).out().id_().fold()
+    assert folded.count_local().toList() == [len(OUT[3])]
+    assert folded.order_local(desc=True).toList() == [sorted(OUT[3], reverse=True)]
+    assert folded.range_local(1, 3).toList() == [sorted(OUT[3])[1:3]]
+    assert folded.sum_local().toList() == [float(sum(OUT[3]))]
+    assert folded.min_local().toList() == [min(OUT[3])]
+    assert folded.max_local().toList() == [max(OUT[3])]
+    assert folded.mean_local().toList() == [sum(OUT[3]) / len(OUT[3])]
+    # dedup_local keeps first occurrence
+    two = g.V(0, 3).out().id_().fold().dedup_local()
+    assert two.count_local().toList() == [len(set(OUT[0]) | set(OUT[3]))]
+
+
+def test_branch_option(gp):
+    # route evens to out(), odds to in_(): same as manual union
+    got = sorted(gp.V(0, 3).branch("parity")
+                 .option("even", __.out())
+                 .option("odd", __.in_()).id_().toList())
+    assert got == sorted(list(OUT[0]) + list(IN[3]))
+    # unmatched selector values are dropped
+    got = gp.V(0, 1).branch("parity").option("even", __.out()).id_().toList()
+    assert sorted(got) == sorted(OUT[0])
+
+
+def test_repeat_until(g):
+    # walk forward until a vertex with no outgoing edges: from 6 the
+    # chain 6->7->8 exits at 8 (the only sink on that path)
+    got = g.V(6).repeat(__.out().dedup()).until(__.not_(__.out())).toList()
+    assert got == [8]
+    # with emit(): every intermediate frontier element is output
+    got = sorted(g.V(6).repeat(__.out().dedup())
+                 .until(__.not_(__.out())).emit().toList())
+    assert got == [7, 8]
+    # never-true condition terminates via max_rounds (triangle cycle)
+    got = g.V(9).repeat(__.out().dedup()).until(
+        __.not_(__.both()), max_rounds=3).toList()
+    assert got == []
+
+
+def test_range_pretrim_correct_paging(g):
+    # range_ pages the global order correctly on multi-partition input
+    ids = g.V().order().range_(2, 7).id_().toList()
+    assert ids == [2, 3, 4, 5, 6]
