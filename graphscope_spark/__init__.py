@@ -14,14 +14,17 @@ Reference parity targets (file:line cites are into /root/reference):
 - Triangles (oriented intersect):apps/clustering/triangles.h:43-158
 """
 
+from graphscope_spark.app import App, load_app, register_app
 from graphscope_spark.graph import LinkGraph
 from graphscope_spark.pie import PIEProgram, run_pie
 from graphscope_spark.pregel import PregelProgram, run_pregel
 from graphscope_spark.session import get_spark
+from graphscope_spark.traversal import traversal
 
 __version__ = "0.1.0"
 
 __all__ = [
     "LinkGraph", "get_spark", "PregelProgram", "run_pregel",
-    "PIEProgram", "run_pie", "__version__",
+    "PIEProgram", "run_pie", "App", "load_app", "register_app",
+    "traversal", "__version__",
 ]

@@ -37,9 +37,10 @@ def dfs(
     directed: bool = True,
     max_edges: int = _MAX_COLLECT_EDGES,
 ) -> DataFrame:
-    """DFS visitation rank from `source`: DataFrame(id long, rank long),
-    rank 0 for the source, ascending in preorder visit order; only
-    reached vertices appear (dfs.h records ranks for visited vertices
+    """DFS from `source`: DataFrame(id long, rank long, pred long) —
+    rank 0 for the source, ascending in preorder visit order; pred is
+    the DFS-tree parent (null for the source). Only reached vertices
+    appear (dfs.h records rank + ctx.parent for visited vertices
     only).
     """
     # raw directed edges (simple_edges() canonicalizes to undirected,
@@ -68,17 +69,20 @@ def dfs(
 
     src = int(source)
     rank: dict[int, int] = {}
-    stack = [src]
+    parent: dict[int, int | None] = {}
+    stack: list[tuple[int, int | None]] = [(src, None)]
     while stack:
-        v = stack.pop()
+        v, p = stack.pop()
         if v in rank:
             continue
         rank[v] = len(rank)
+        parent[v] = p
         for u in adj.get(v, ()):  # reversed-sorted: min id on top
             if u not in rank:
-                stack.append(u)
+                stack.append((u, v))
 
     spark = graph.edges.sparkSession
     return spark.createDataFrame(
-        [(int(v), int(r)) for v, r in rank.items()], "id long, rank long"
+        [(int(v), int(r), parent[v]) for v, r in rank.items()],
+        "id long, rank long, pred long",
     )

@@ -46,6 +46,7 @@ __all__ = [
     "transitivity", "average_clustering", "weakly_connected_components",
     "connected_components", "degree_assortativity_coefficient",
     "node_boundary", "edge_boundary", "is_simple_path", "louvain_communities",
+    "dfs_preorder_nodes", "dfs_tree",
     # generators (nx/generators/classic.py, random_graphs.py)
     "empty_graph", "path_graph", "cycle_graph", "complete_graph",
     "star_graph", "gnp_random_graph",
@@ -623,6 +624,30 @@ def bfs_tree(G: Graph, source: Hashable, reverse: bool = False,
     t.add_node(source)
     for u, v in bfs_edges(G, source, depth_limit):
         t.add_edge(u, v)
+    return t
+
+
+def dfs_preorder_nodes(G: Graph, source: Hashable) -> list:
+    """NX dfs_preorder_nodes over algorithms/dfs.py (apps/dfs/dfs.h
+    rank output). Child order is ascending node id (the reference
+    walks its sorted CSR adjacency) — networkx uses adjacency
+    insertion order, so results match when edges were inserted
+    sorted."""
+    lg = G._flush()
+    rows = A.dfs(lg, _src_id(G, source),
+                 directed=G._directed).orderBy("rank").collect()
+    return [G._back(r[ID]) for r in rows]
+
+
+def dfs_tree(G: Graph, source: Hashable) -> "DiGraph":
+    """NX dfs_tree: the DFS tree (pred→id edges) as a DiGraph."""
+    lg = G._flush()
+    rows = A.dfs(lg, _src_id(G, source), directed=G._directed).collect()
+    t = DiGraph(spark=G._spark)
+    t.add_node(source)
+    for r in rows:
+        if r["pred"] is not None:
+            t.add_edge(G._back(r["pred"]), G._back(r[ID]))
     return t
 
 

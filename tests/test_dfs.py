@@ -1,6 +1,6 @@
 """dfs() vs an independent recursive-Python twin (reference
-apps/dfs/dfs.h:30-228 — per-vertex visitation rank, deterministic
-min-id child order)."""
+apps/dfs/dfs.h:30-228 — per-vertex visitation rank + DFS-tree parent
+(ctx.rank / ctx.parent), deterministic min-id child order)."""
 
 from __future__ import annotations
 
@@ -20,31 +20,38 @@ def _twin(edges, source, directed):
             if not directed:
                 adj.setdefault(d, []).append(s)
     rank: dict[int, int] = {}
+    parent: dict[int, int | None] = {}
     sys.setrecursionlimit(100_000)
 
-    def visit(v):
+    def visit(v, p):
         rank[v] = len(rank)
+        parent[v] = p
         for u in sorted(set(adj.get(v, ()))):
             if u not in rank:
-                visit(u)
+                visit(u, v)
 
-    visit(source)
-    return rank
+    visit(source, None)
+    return rank, parent
+
+
+def _got(graph, source, directed=True):
+    rows = dfs(graph, source, directed=directed).collect()
+    return ({r["id"]: r["rank"] for r in rows},
+            {r["id"]: r["pred"] for r in rows})
 
 
 def test_dfs_toy_directed(toy_graph):
-    got = {r["id"]: r["rank"] for r in dfs(toy_graph, 3).collect()}
-    assert got == _twin(TOY_EDGES, 3, directed=True)
+    assert _got(toy_graph, 3) == _twin(TOY_EDGES, 3, directed=True)
 
 
 def test_dfs_toy_undirected(toy_graph):
-    got = {r["id"]: r["rank"] for r in dfs(toy_graph, 6, directed=False).collect()}
-    assert got == _twin(TOY_EDGES, 6, directed=False)
+    assert _got(toy_graph, 6, directed=False) == \
+        _twin(TOY_EDGES, 6, directed=False)
 
 
 def test_dfs_p2p(p2p_graph, p2p_edges):
-    got = {r["id"]: r["rank"] for r in dfs(p2p_graph, 1, directed=False).collect()}
-    assert got == _twin(p2p_edges, 1, directed=False)
+    assert _got(p2p_graph, 1, directed=False) == \
+        _twin(p2p_edges, 1, directed=False)
 
 
 def test_dfs_size_guard(toy_graph):

@@ -206,7 +206,11 @@ def test_closeness_landmark_default(toy_graph):
             closeness_centrality(toy_graph).collect()}
     assert len(full) == 12  # below threshold: every vertex
 
-    auto = closeness_centrality(toy_graph, landmark_threshold=4, auto_landmarks=5)
+    import pytest as _pytest
+
+    with _pytest.warns(RuntimeWarning, match="landmark"):
+        auto = closeness_centrality(
+            toy_graph, landmark_threshold=4, auto_landmarks=5)
     auto_rows = {r["id"]: round(r["centrality"], 9) for r in auto.collect()}
     assert len(auto_rows) == 5  # landmark-bounded
     # landmark rows agree with the all-pairs values for those vertices
@@ -248,3 +252,39 @@ def test_property_graph_labels(spark):
 
     b = {r["id"]: r["depth"] for r in property_bfs(g, src=1).collect()}
     assert b == {1: 0, 10: 1, 2: 2, 11: 3}
+
+
+def test_salted_sum_spreads_constant_values(spark):
+    """Unit-weight hub rows (value constant per key) must spread across
+    salt buckets (ADVICE r2: a (value,key)-only salt collapses them),
+    while staying deterministic and exact."""
+    from graphscope_spark.skew import salted_sum
+
+    df = spark.createDataFrame(
+        [(1, i, 1.0) for i in range(400)] + [(2, 7, 2.0)],
+        "k long, payload long, v double")
+    out = {r["k"]: r["sum_value"]
+           for r in salted_sum(df, "k", "v", salt_mod=8).collect()}
+    assert out == {1: 400.0, 2: 2.0}
+    # the hub key's rows occupy several salt buckets
+    from pyspark.sql import functions as F
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.col("v")),
+                  F.lit(8))
+    n_buckets = df.where(F.col("k") == 1).select(
+        salt.alias("s")).distinct().count()
+    assert n_buckets >= 4
+
+
+def test_hits_edgeless_graph_no_nan_spin(spark):
+    """All-zero hub round (edgeless graph) must converge immediately
+    instead of NaN-burning max_round iterations (ADVICE r2)."""
+    from graphscope_spark import LinkGraph
+
+    v = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    e = spark.createDataFrame([], "src long, dst long")
+    g = LinkGraph(vertices=v, edges=e, directed=True)
+    out = hits(g, max_round=50)
+    rows = {r["id"]: (r["hub"], r["auth"]) for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    for h, a in rows.values():
+        assert h == h and a == a  # not NaN

@@ -365,3 +365,19 @@ def test_degree_distributed_in_linkgraph_mode(spark, und):
         wrapped.degree(424242)
     with pytest.raises(NotImplementedError):
         wrapped.nodes
+
+
+def test_dfs_wrappers_vs_networkx(spark):
+    # build BOTH graphs with sorted edge insertion so networkx's
+    # adjacency-insertion order equals our min-id child order
+    base = realnx.gnp_random_graph(30, 0.12, seed=13)
+    edges = sorted(map(tuple, map(sorted, base.edges())))
+    nxg = realnx.Graph()
+    nxg.add_nodes_from(range(30))
+    nxg.add_edges_from(edges)
+    g = _mirror(nxg, spark)
+    src = 0
+    assert gnx.dfs_preorder_nodes(g, src) == \
+        list(realnx.dfs_preorder_nodes(nxg, src))
+    t, rt = gnx.dfs_tree(g, src), realnx.dfs_tree(nxg, src)
+    assert sorted(map(tuple, t.edges)) == sorted(map(tuple, rt.edges()))
