@@ -177,6 +177,11 @@ def main() -> int:
             "edges_per_sec_superstep_median": round(web["E"] / median),
             "setup_sec": round(dt - loop_sec, 3),
             "top_rank": round(top[0]["rank"], 8),
+            # chronological per-superstep seconds — lets a scaling run
+            # distinguish a uniform slowdown from stall bursts
+            "superstep_seconds": [
+                round(h["seconds"], 3) for h in info["history"]
+            ],
         }
         log(f"  web_pagerank: V={web['V']} E={web['E']} supersteps={k} "
             f"edges/s/superstep={extra['pagerank']['edges_per_sec_superstep']}")
