@@ -43,9 +43,13 @@ def get_spark(
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         if env_p:
             # explicit override: scaling runs (tools/bench_scaling.py)
-            # set this to the level's core count — partitions scale
-            # with cores, exactly as a spark-submit launch scales them
-            # with executor count when cluster size changes
+            # set this per level — either to the level's core count
+            # (what a production launcher/job template does when
+            # executor count changes; bare spark-submit would default
+            # to a STATIC 200 regardless of cluster size) or to a
+            # pinned value via --pinned-partitions so every level runs
+            # a byte-identical plan. BENCH/BASELINE.md reports both
+            # protocols side by side (ADVICE r2).
             shuffle_partitions = int(env_p)
         elif inner.isdigit():
             # default local[N] → N partitions
@@ -79,6 +83,20 @@ def get_spark(
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch: production executors write shuffle files
+    # to node-local NVMe, which scales with the number of nodes. In
+    # this single-box sandbox the default (/tmp) is one shared virtual
+    # disk whose bandwidth does NOT scale with cores — a measurement
+    # artifact, not a plan property — so tmpfs stands in for
+    # node-local storage when available. Override with
+    # SPARK_GRAFT_LOCAL_DIR (set it to a disk path to model
+    # disk-bound shuffle).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-graft-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
         # e.g. -XX:ParallelGCThreads=N for scaling runs: a local[N]
