@@ -30,9 +30,15 @@ def _power_loop(
     checkpoint_every: int,
     checkpoint_dir: str | None,
     fixed_rounds: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     n = graph.num_vertices()
-    edges = graph.edges.select(SRC, DST).cache()
+    if weight_col is not None:
+        edges = graph.edges.select(
+            SRC, DST, F.col(weight_col).cast("double").alias("w")
+        ).cache()
+    else:
+        edges = graph.edges.select(SRC, DST).cache()
     edges.count()
     verts = graph.vertices.select(ID).cache()
     init = verts.select(ID, F.lit(init_val).alias("x"))
@@ -72,15 +78,20 @@ def eigenvector_centrality(
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
     fixed_rounds: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """DataFrame(id long, centrality double), L2-normalized."""
+    """DataFrame(id long, centrality double), L2-normalized.
+
+    With weight_col, the incoming sum is Σ w(u,v)·x[u] (NetworkX's
+    weighted semantics; the reference app projects weights away)."""
     n = graph.num_vertices()
+    xw = (F.col("x") * F.col("w")) if weight_col is not None else F.col("x")
 
     def update(state: DataFrame, edges: DataFrame, verts: DataFrame) -> DataFrame:
         inc = (
             edges.join(state.select(F.col(ID).alias(SRC), "x"), SRC)
             .groupBy(DST)
-            .agg(F.sum("x").alias("inc"))
+            .agg(F.sum(xw).alias("inc"))
             .withColumnRenamed(DST, ID)
         )
         # x' = x + Σ_in x (the reference keeps the self term,
@@ -92,7 +103,7 @@ def eigenvector_centrality(
 
     out = _power_loop(
         graph, update, 1.0 / n, tolerance, max_round, True, checkpoint_every,
-        checkpoint_dir, fixed_rounds,
+        checkpoint_dir, fixed_rounds, weight_col,
     )
     return out.withColumnRenamed("x", "centrality")
 
@@ -107,14 +118,19 @@ def katz_centrality(
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
     fixed_rounds: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """DataFrame(id long, centrality double)."""
+    """DataFrame(id long, centrality double).
+
+    With weight_col, x' = alpha·Σ w(u,v)·x[u] + beta (NetworkX's
+    weighted semantics; the reference app projects weights away)."""
+    xw = (F.col("x") * F.col("w")) if weight_col is not None else F.col("x")
 
     def update(state: DataFrame, edges: DataFrame, verts: DataFrame) -> DataFrame:
         inc = (
             edges.join(state.select(F.col(ID).alias(SRC), "x"), SRC)
             .groupBy(DST)
-            .agg(F.sum("x").alias("inc"))
+            .agg(F.sum(xw).alias("inc"))
             .withColumnRenamed(DST, ID)
         )
         return verts.join(inc, ID, "left").select(
@@ -124,7 +140,7 @@ def katz_centrality(
 
     out = _power_loop(
         graph, update, 1.0, tolerance, max_round, False, checkpoint_every,
-        checkpoint_dir, fixed_rounds,
+        checkpoint_dir, fixed_rounds, weight_col,
     )
     if normalized:
         norm = out.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n")).collect()[0]["n"]

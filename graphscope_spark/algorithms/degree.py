@@ -38,20 +38,29 @@ def degree_centrality(graph: LinkGraph, centrality_type: str = "both") -> DataFr
 
 
 def degree_assortativity_coefficient(
-    graph: LinkGraph, x: str = "out", y: str = "in"
+    graph: LinkGraph, x: str = "out", y: str = "in", weight: str | None = None
 ) -> float:
     """Pearson correlation of (x-degree(src), y-degree(dst)) over edges —
-    a single corr() aggregate after two broadcast-sized degree joins."""
+    a single corr() aggregate after two broadcast-sized degree joins.
+
+    With ``weight``, degree means weighted degree (strength = Σ edge
+    weight) while every edge still contributes once to the correlation
+    (reference degree_assortativity_coefficient.h:155-196
+    computeWeightedDegree + unit degreeMixingCount; same as NetworkX)."""
 
     def deg_of(kind: str) -> DataFrame:
+        agg = (
+            F.sum(F.col(weight).cast("double")) if weight is not None else F.count("*")
+        ).alias("d")
         if kind == "out":
-            return graph.edges.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d"))
+            return graph.edges.groupBy(F.col(SRC).alias(ID)).agg(agg)
         if kind == "in":
-            return graph.edges.groupBy(F.col(DST).alias(ID)).agg(F.count("*").alias("d"))
-        both = graph.edges.select(F.col(SRC).alias(ID)).unionAll(
-            graph.edges.select(F.col(DST).alias(ID))
+            return graph.edges.groupBy(F.col(DST).alias(ID)).agg(agg)
+        cols = [SRC, DST] + ([weight] if weight is not None else [])
+        both = graph.edges.select(F.col(SRC).alias(ID), *cols[2:]).unionAll(
+            graph.edges.select(F.col(DST).alias(ID), *cols[2:])
         )
-        return both.groupBy(ID).agg(F.count("*").alias("d"))
+        return both.groupBy(ID).agg(agg)
 
     dx = deg_of(x).select(F.col(ID).alias(SRC), F.col("d").alias("deg_x"))
     dy = deg_of(y).select(F.col(ID).alias(DST), F.col("d").alias("deg_y"))

@@ -440,12 +440,27 @@ def _to_dict(G: Graph, df: DataFrame, val: str, key: str = ID) -> dict:
     return {G._back(r[key]): r[val] for r in df.collect()}
 
 
+def _weight_col(G: Graph, weight: str | None) -> str | None:
+    """Resolve an NX edge-attr name to the LinkGraph weight column to
+    use after ``G._flush(weight)``: the attr is copied to 'w' in
+    edit-log mode; in from_link_graph mode the existing column is used
+    as-is (``_flush`` validates it exists)."""
+    if weight is None:
+        return None
+    return weight if G._base_lg is not None else "w"
+
+
 def pagerank(G: Graph, alpha: float = 0.85, personalization: dict | None = None,
              max_iter: int = 100, tol: float = 1.0e-6, nstart: dict | None = None,
              weight: str | None = "weight", dangling: dict | None = None) -> dict:
     """builtin.py:56 — NX-convergence PageRank; returns {node: rank}."""
-    has_w = weight is not None and G._base_lg is None and any(
-        weight in a for nb in G._succ.values() for a in nb.values())
+    if G._base_lg is not None:
+        # honor an existing weight column; NX's default "weight" attr
+        # silently means unit weights when absent
+        has_w = weight is not None and weight in G._base_lg.edges.columns
+    else:
+        has_w = weight is not None and any(
+            weight in a for nb in G._succ.values() for a in nb.values())
     lg = G._flush(weight if has_w else None)
     conv = (lambda d: {G._id_of[k]: v for k, v in d.items()}) if G._base_lg is None \
         else (lambda d: {int(k): v for k, v in d.items()})
@@ -454,7 +469,7 @@ def pagerank(G: Graph, alpha: float = 0.85, personalization: dict | None = None,
         personalization=conv(personalization) if personalization else None,
         nstart=conv(nstart) if nstart else None,
         dangling=conv(dangling) if dangling else None,
-        weight_col="w" if has_w else None,
+        weight_col=_weight_col(G, weight if has_w else None),
     )
     return _to_dict(G, r, "rank")
 
@@ -490,13 +505,12 @@ def out_degree_centrality(G: DiGraph) -> dict:
 
 def eigenvector_centrality(G: Graph, max_iter: int = 100, tol: float = 1e-06,
                            weight: str | None = None, **kw) -> dict:
-    """builtin.py:264 (unweighted; the reference app likewise projects
-    the weight away for the power iteration). Reference semantics
-    (eigenvector_centrality.h: x' = x + A^T x, per-round L2 norm), not
-    NX's."""
-    if weight is not None:
-        raise NotImplementedError("weighted eigenvector_centrality")
-    r = A.eigenvector_centrality(G._flush(), tolerance=tol, max_round=max_iter, **kw)
+    """builtin.py:264. Reference semantics (eigenvector_centrality.h:
+    x' = x + A^T x, per-round L2 norm); with weight, Σ is over
+    w(u,v)·x[u] (NX semantics — the reference app is unweighted)."""
+    r = A.eigenvector_centrality(
+        G._flush(weight), tolerance=tol, max_round=max_iter,
+        weight_col=_weight_col(G, weight), **kw)
     return _to_dict(G, r, "centrality")
 
 
@@ -504,11 +518,11 @@ def katz_centrality(G: Graph, alpha: float = 0.1, beta: float = 1.0,
                     max_iter: int = 100, tol: float = 1e-06,
                     normalized: bool = True, weight: str | None = None,
                     **kw) -> dict:
-    """builtin.py:315."""
-    if weight is not None:
-        raise NotImplementedError("weighted katz_centrality")
-    r = A.katz_centrality(G._flush(), alpha=alpha, beta=beta, tolerance=tol,
-                          max_round=max_iter, normalized=normalized, **kw)
+    """builtin.py:315; weighted variant sums w(u,v)·x[u] (NX
+    semantics — the reference app is unweighted)."""
+    r = A.katz_centrality(G._flush(weight), alpha=alpha, beta=beta, tolerance=tol,
+                          max_round=max_iter, normalized=normalized,
+                          weight_col=_weight_col(G, weight), **kw)
     return _to_dict(G, r, "centrality")
 
 
@@ -736,10 +750,10 @@ def connected_components(G: Graph) -> Iterator[set]:
 
 def degree_assortativity_coefficient(G: Graph, x: str = "out", y: str = "in",
                                      weight: str | None = None) -> float:
-    """builtin.py:901."""
-    if weight is not None:
-        raise NotImplementedError("weighted assortativity")
-    return A.degree_assortativity_coefficient(G._flush(), x=x, y=y)
+    """builtin.py:901; weighted = strength-valued degrees, unit edge
+    contribution (degree_assortativity_coefficient.h:155-196)."""
+    return A.degree_assortativity_coefficient(
+        G._flush(weight), x=x, y=y, weight=_weight_col(G, weight))
 
 
 def node_boundary(G: Graph, nbunch1: Iterable, nbunch2: Iterable | None = None) -> set:

@@ -295,18 +295,21 @@ def oracle_katz(
     beta: float = 1.0,
     rounds: int = 5,
     normalized: bool = True,
+    weights: list[float] | None = None,
 ) -> dict[int, float]:
-    """katz_centrality.h: x' = alpha*Σ_in x + beta; final L2 norm."""
+    """katz_centrality.h: x' = alpha*Σ_in x + beta; final L2 norm.
+    weights (aligned with edges) makes the sum Σ w·x (NX semantics)."""
     if vertices is None:
         vertices = sorted({v for e in edges for v in e})
     idx = {v: i for i, v in enumerate(vertices)}
     n = len(vertices)
     x = np.ones(n)
     e_idx = [(idx[s], idx[d]) for s, d in edges]
+    ws = weights if weights is not None else [1.0] * len(e_idx)
     for _ in range(rounds):
         inc = np.zeros(n)
-        for s, d in e_idx:
-            inc[d] += x[s]
+        for (s, d), w in zip(e_idx, ws):
+            inc[d] += w * x[s]
         x = alpha * inc + beta
     if normalized:
         x = x / (np.sqrt((x * x).sum()) or 1.0)
@@ -317,18 +320,21 @@ def oracle_eigenvector(
     edges: list[tuple[int, int]],
     vertices: list[int] | None = None,
     rounds: int = 5,
+    weights: list[float] | None = None,
 ) -> dict[int, float]:
-    """eigenvector_centrality.h: x' = x + Σ_in x; per-round L2 norm."""
+    """eigenvector_centrality.h: x' = x + Σ_in x; per-round L2 norm.
+    weights (aligned with edges) makes the sum Σ w·x (NX semantics)."""
     if vertices is None:
         vertices = sorted({v for e in edges for v in e})
     idx = {v: i for i, v in enumerate(vertices)}
     n = len(vertices)
     x = np.full(n, 1.0 / n)
     e_idx = [(idx[s], idx[d]) for s, d in edges]
+    ws = weights if weights is not None else [1.0] * len(e_idx)
     for _ in range(rounds):
         inc = np.zeros(n)
-        for s, d in e_idx:
-            inc[d] += x[s]
+        for (s, d), w in zip(e_idx, ws):
+            inc[d] += w * x[s]
         x = x + inc
         x = x / (np.sqrt((x * x).sum()) or 1.0)
     return {v: float(x[idx[v]]) for v in vertices}

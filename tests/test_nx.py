@@ -126,6 +126,32 @@ def test_eigenvector_katz_vs_oracle(dig):
                              alpha=0.05, rounds=6), tol=1e-9)
 
 
+def test_weighted_eigenvector_katz_vs_oracle(spark):
+    nxg = realnx.gnp_random_graph(30, 0.12, seed=19, directed=True)
+    for i, (u, v) in enumerate(nxg.edges):
+        nxg[u][v]["weight"] = 0.5 + (i % 5)
+    g = _mirror(nxg, spark)
+    edges = list(nxg.edges)
+    ws = [nxg[u][v]["weight"] for u, v in edges]
+    ev = gnx.eigenvector_centrality(g, weight="weight", fixed_rounds=6)
+    _close(ev, O.oracle_eigenvector(edges, sorted(nxg.nodes), rounds=6,
+                                    weights=ws), tol=1e-9)
+    kz = gnx.katz_centrality(g, alpha=0.02, weight="weight", fixed_rounds=6)
+    _close(kz, O.oracle_katz(edges, sorted(nxg.nodes), alpha=0.02, rounds=6,
+                             weights=ws), tol=1e-9)
+
+
+def test_weighted_assortativity_vs_networkx(spark):
+    nxg = realnx.gnp_random_graph(30, 0.12, seed=23, directed=True)
+    for i, (u, v) in enumerate(nxg.edges):
+        nxg[u][v]["weight"] = 1.0 + (i % 4)
+    g = _mirror(nxg, spark)
+    assert abs(
+        gnx.degree_assortativity_coefficient(g, x="out", y="in", weight="weight")
+        - realnx.degree_assortativity_coefficient(nxg, x="out", y="in",
+                                                  weight="weight")) < 1e-9
+
+
 def test_clustering_triangles_vs_networkx(und):
     nxg, g = und
     _close(gnx.clustering(g), realnx.clustering(nxg), tol=1e-12)
