@@ -117,7 +117,8 @@ def test_hyperplane_signs_portable(emb):
 def test_knn_no_candidates_broadcast_guard(spark):
     """A large embeddings table without `candidates` must refuse the
     full-table broadcast and point at the bucketed paths (ADVICE r2)."""
-    import pytest
+    from pyspark.sql import functions as F
+
     from graphscope_spark.functions.similarity import knn_cosine
 
     big = spark.range(200_001).select(
