@@ -558,13 +558,20 @@ class _Repeat:
             return cur._next(df)
         return cur
 
-    def until(self, cond: _Anon, max_rounds: int = 64) -> Traversal:
+    def until(self, cond: _Anon, max_rounds: int = 64) -> "Traversal":
         """Post-condition loop: each round applies `sub` to the active
         frontier, exits the elements whose `cond` sub-traversal is
         non-empty (same seeded-semi-join fabric as where()), and keeps
         looping on the rest until the frontier empties or max_rounds
         (a distributed loop with a never-true condition must
-        terminate; GIE likewise bounds repeat)."""
+        terminate; GIE likewise bounds repeat).
+
+        Returns lazily so the Gremlin modulator order
+        ``repeat(x).until(c).emit()`` works: the driver loop runs on
+        first use of the result (df access / further step / terminal)."""
+        return _LazyUntil(self, cond, int(max_rounds))
+
+    def _run_until(self, cond: _Anon, max_rounds: int) -> Traversal:
         from graphscope_spark.superstep import _CKPT_LEVEL
 
         active = self._trav
@@ -586,6 +593,43 @@ class _Repeat:
         for d in out_parts[1:]:
             df = df.unionByName(d)
         return self._trav._next(df, stepped.kind)
+
+
+class _LazyUntil(Traversal):
+    """Result of repeat(sub).until(cond): defers the driver loop until
+    first use so a trailing .emit() (Gremlin's modulator order) can
+    still flip emission. After materialization it behaves exactly like
+    the Traversal the loop produced."""
+
+    def __init__(self, repeat: "_Repeat", cond: _Anon, max_rounds: int):
+        t = repeat._trav
+        self.graph = t.graph
+        self._order = t._order
+        self._seed_df = t._seed_df
+        self._track_path = t._track_path
+        self._repeat = repeat
+        self._cond = cond
+        self._max_rounds = max_rounds
+        self._mat: Traversal | None = None
+
+    def emit(self) -> "_LazyUntil":
+        if self._mat is not None:
+            raise TypeError("emit(): the until() loop already ran")
+        self._repeat._emit = True
+        return self
+
+    def _materialize(self) -> Traversal:
+        if self._mat is None:
+            self._mat = self._repeat._run_until(self._cond, self._max_rounds)
+        return self._mat
+
+    @property
+    def df(self) -> DataFrame:
+        return self._materialize().df
+
+    @property
+    def kind(self) -> str:
+        return self._materialize().kind
 
 
 _GROUP_AGGS = {

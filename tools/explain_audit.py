@@ -94,6 +94,50 @@ def main() -> int:
         plan_of(two_hop),
     ))
 
+    # core-decomposition superstep body (h-index round)
+    from pyspark.sql import Window
+
+    und = g1.simple_edges()
+    und = und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    state = und.groupBy(F.col("src").alias("id")).agg(F.count("*").cast("long").alias("h"))
+    nbr = (
+        und.join(state.select(F.col("id").alias("dst"), F.col("h").alias("hv")), "dst")
+        .select(F.col("src").alias("id"), "hv")
+        .join(state.select("id", F.col("h").alias("hcur")), "id")
+        .select("id", "hcur", F.least("hv", "hcur").alias("val"))
+    )
+    cnt = nbr.groupBy("id", "hcur", "val").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("id").orderBy(F.desc("val")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    hidx = (
+        cnt.withColumn("cum", F.sum("c").over(w))
+        .groupBy("id", "hcur")
+        .agg(F.max(F.least(F.col("val"), F.col("cum"))).alias("hnew"))
+    )
+    sections.append((
+        "core-decomposition h-index superstep",
+        "expect: one shuffle join of E on the vertex key, partial+final "
+        "hash agg down to (id,hcur,val) groups (≤ h+1 rows per vertex — "
+        "hub-safe, no adjacency arrays), then a window whose partitions "
+        "are those bounded groups; WholeStageCodegen, no Python",
+        plan_of(hidx),
+    ))
+
+    # gremlin group().by(key).by(value) — one hash-aggregate
+    from graphscope_spark.traversal import __ as G_, traversal as traversal2
+    grp = (
+        traversal2(g1).V().out()
+        .group().by().by(G_.out().count())
+        .toDF()
+    )
+    sections.append((
+        "gremlin-lite group().by().by()",
+        "expect: the whole step chain in ONE plan — hop join, then a "
+        "single partial+final hash aggregate keyed on the group key; "
+        "no window, no collect",
+        plan_of(grp),
+    ))
+
     # LSH band join (the bucketed near-dup candidate plan)
     from graphscope_spark.functions import dedup as D
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
