@@ -305,10 +305,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # multimodal plumbing end-to-end (synth media → Arrow-batched
-    # feature extraction → frame-sample plan); deterministic aggregate
-    # so the rows-only driver check still pins real numbers. No SQL
-    # oracle: the stubbed codec (sha256 features) is not in DuckDB.
+    # multimodal end-to-end (synth media with REAL BMP/WAV payloads →
+    # Arrow-batched decode + feature extraction → frame-sample plan);
+    # deterministic aggregate so the rows-only driver check still pins
+    # real numbers. No SQL oracle: BMP/WAV decode is not in DuckDB.
     from graphscope_spark.functions.multimodal import (
         extract_features,
         frame_sample_plan,
@@ -319,6 +319,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     agg = feats.agg(
         F.count("*").alias("n_media"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.sum(F.element_at("feature", 1)), 6).alias("sum_f0"),
     )
