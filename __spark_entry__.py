@@ -197,6 +197,24 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (LLM pretraining shard assembly):
+    deterministic (md5(id), id) layout, shard = exclusive running token
+    sum // budget — computed as a distributed two-phase prefix sum, not
+    a single global window."""
+    return T.pack_shards(H.load(spark, sf_dir, "documents"), budget_tokens=2000)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram → 8-gram here for the short
+    synthetic docs): docs sharing ANY word n-gram with the benchmark
+    subset (doc_id % 10 = 0) are dropped; shingling is a pure array
+    expression, the benchmark shingle set is broadcast."""
+    docs = H.load(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 10 = 0").select("text")
+    return D.decontaminate(docs, bench, n=8).select("doc_id", "lang", "n_chars")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         H.load(spark, sf_dir, "documents"), n=3, threshold=0.2
@@ -704,6 +722,34 @@ SELECT k.doc_id, k.fp, CAST(k.n_tok AS BIGINT) AS n_tokens, k.quality
 FROM kept k JOIN first USING (doc_id, fp)
 """
 
+PACK_SHARDS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            // 2000 AS BIGINT) AS shard
+FROM d
+"""
+
+DECONTAMINATE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(a) - 7),
+                               i -> array_to_string(a[i:i+7], '|'))) AS sh
+  FROM t),
+b AS (
+  SELECT DISTINCT sh FROM g WHERE doc_id % 10 = 0),
+hits AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (sh))
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
 _SHINGLES_SQL = """
 toks AS (
   SELECT doc_id,
@@ -994,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "repetition_ratio": q_repetition_ratio,
         "corpus_filter": q_corpus_filter,
+        "pack_shards": q_pack_shards,
+        "decontaminate": q_decontaminate,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1061,6 +1109,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": TOKEN_STATS_SQL,
         "repetition_ratio": REPETITION_RATIO_SQL,
         "corpus_filter": CORPUS_FILTER_SQL,
+        "pack_shards": PACK_SHARDS_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,

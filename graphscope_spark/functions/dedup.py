@@ -266,3 +266,51 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def _array_shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-grams of a text column as ONE array expression —
+    zero shuffle (unlike shingles(), which pays a per-doc window for
+    its SQL-oracle twin formulation). Same values: split on single
+    space, n-gram joined with '|'."""
+    arr = F.split(text_col, " ")
+    k = F.size(arr) - F.lit(n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws("|", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # sequence(1,0) would DESCEND
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop every doc sharing ANY word
+    n-gram with the benchmark corpus (the GPT-3/PaLM-style 13-gram
+    overlap rule; no reference counterpart — training-pipeline op).
+
+    Scale shape: the benchmark (eval sets — tiny vs the corpus) folds
+    to a distinct-shingle table that is BROADCAST; the corpus streams
+    through explode → broadcast hash semi-join with NO corpus shuffle;
+    only the matched doc-id set (small) shuffles for the anti-join.
+    Shingling is a pure array expression (no window)."""
+    bsh = (
+        benchmark.select(F.explode(_array_shingles(bench_text_col, n)).alias("sh"))
+        .where(F.col("sh") != "")
+        .distinct()
+    )
+    hits = (
+        docs.select(F.col(id_col), F.explode(_array_shingles(text_col, n)).alias("sh"))
+        .join(F.broadcast(bsh), "sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hits, id_col, "left_anti")

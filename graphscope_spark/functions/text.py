@@ -170,3 +170,74 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.length(text_col).cast("long").alias("n_chars"),
         token_count(text_col).alias("n_tokens"),
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to contiguous fixed-token-budget shards (LLM
+    pretraining shard assembly; no reference counterpart —
+    training-pipeline op). Returns (id_col, n_tokens, shard).
+
+    Semantics (exactly SQL-twinnable): documents are laid out in the
+    deterministic order (md5(id), id); shard = floor(exclusive running
+    token sum / budget) — i.e. the shard where each doc's span BEGINS.
+
+    Scale shape — a distributed prefix sum, NOT one global window:
+    range-partition + sort by the order key (pinned via eager
+    localCheckpoint so both phases see identical partitions), phase 1
+    aggregates one token total per partition (≤ P rows to the driver,
+    exclusive-prefixed there), phase 2 is an Arrow-batched per-partition
+    cumsum seeded with the partition's offset (TaskContext partition id
+    → broadcast offset). A plain `sum() over (order by ...)` window
+    would funnel the corpus through ONE task; this streams each
+    partition independently."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from graphscope_spark.superstep import _CKPT_LEVEL
+
+    spark = docs.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    d = docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__key"),
+    )
+    d = (
+        d.repartitionByRange(P, "__key", id_col)
+        .sortWithinPartitions("__key", id_col)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
+    totals = {
+        r["pid"]: r["tot"]
+        for r in d.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    offsets, run = {}, 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets[pid] = run
+        run += int(totals.get(pid, 0))
+    off_bc = spark.sparkContext.broadcast(offsets)
+    budget = int(budget_tokens)
+
+    def cumsum(batches):
+        ctx = TaskContext.get()
+        run = off_bc.value.get(ctx.partitionId() if ctx else 0, 0)
+        for b in batches:
+            start = run + b["n_tokens"].cumsum() - b["n_tokens"]
+            run += int(b["n_tokens"].sum())
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_tokens": b["n_tokens"],
+                    "shard": (start // budget).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(cumsum, f"{id_col} long, n_tokens long, shard long")

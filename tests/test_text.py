@@ -72,3 +72,61 @@ def test_corpus_filter_schema_and_fp(docs):
         fingerprint(docs).where(F.col("doc_id") == 10).collect()[0]["fp"]
     )
     assert kept.where(F.col("doc_id") == 10).collect()[0]["fp"] == fp10
+
+
+def test_pack_shards_matches_global_cumsum(docs):
+    """The two-phase distributed prefix sum must equal the exact global
+    window formulation: order by (md5(id), id), shard = exclusive
+    running token sum // budget."""
+    import hashlib
+
+    from graphscope_spark.functions.text import pack_shards
+
+    got = {r["doc_id"]: (r["n_tokens"], r["shard"])
+           for r in pack_shards(docs, budget_tokens=15, num_partitions=4).collect()}
+    rows = sorted(DOCS, key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+    run, exp = 0, {}
+    for did, text in rows:
+        nt = len(text.split(" "))
+        exp[did] = (nt, run // 15)
+        run += nt
+    assert got == exp
+
+
+def test_pack_shards_budget_and_determinism(docs):
+    from graphscope_spark.functions.text import pack_shards
+
+    a = sorted(pack_shards(docs, budget_tokens=15).collect())
+    b = sorted(pack_shards(docs, budget_tokens=15, num_partitions=2).collect())
+    assert a == b  # partition count must not change the assignment
+    # shards are contiguous 0..max with every shard non-empty
+    shards = sorted({r["shard"] for r in a})
+    assert shards == list(range(len(shards)))
+
+
+def test_pack_shards_empty(spark):
+    from graphscope_spark.functions.text import pack_shards
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_shards(empty, budget_tokens=10).count() == 0
+
+
+def test_decontaminate_overlap_and_short_docs(spark):
+    from graphscope_spark.functions.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares 3-gram with bench
+            (2, "one two three four five"),          # clean
+            (3, "alpha beta"),                       # shorter than n -> survives
+            (4, "zz alpha beta gamma yy"),           # contains bench 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha beta",)], "text string")
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()}
+    assert kept == {2, 3}
+    # empty benchmark: everything survives
+    empty = spark.createDataFrame([], "text string")
+    assert decontaminate(docs, empty, n=3).count() == 4
