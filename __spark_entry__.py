@@ -215,6 +215,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(docs, bench, n=8).select("doc_id", "lang", "n_chars")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (md5 uniform draw —
+    restart-stable, parallelism-independent; strata not listed are
+    dropped, sampleBy semantics)."""
+    from graphscope_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        H.load(spark, sf_dir, "documents"),
+        "lang", {"en": 0.5, "de": 0.25, "zh": 0.1}, seed=7,
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by cumulative thresholds
+    over the same md5 draw (gen_labels re-expressed, learning/graph.py
+    :123-253)."""
+    from graphscope_spark.functions.sampling import assign_splits
+
+    return assign_splits(
+        H.load(spark, sf_dir, "documents"), seed=11,
+    ).select("doc_id", "lang", "split")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         H.load(spark, sf_dir, "documents"), n=3, threshold=0.2
@@ -722,6 +745,31 @@ SELECT k.doc_id, k.fp, CAST(k.n_tok AS BIGINT) AS n_tokens, k.quality
 FROM kept k JOIN first USING (doc_id, fp)
 """
 
+STRATIFIED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substring(md5(7 || ':' || doc_id), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents)
+SELECT doc_id, lang, n_chars FROM d
+WHERE (lang = 'en' AND u < 0.5)
+   OR (lang = 'de' AND u < 0.25)
+   OR (lang = 'zh' AND u < 0.1)
+"""
+
+ASSIGN_SPLITS_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(11 || ':' || doc_id), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM d
+"""
+
 PACK_SHARDS_SQL = """
 WITH d AS (
   SELECT doc_id,
@@ -1042,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "pack_shards": q_pack_shards,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "assign_splits": q_assign_splits,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1111,6 +1161,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": CORPUS_FILTER_SQL,
         "pack_shards": PACK_SHARDS_SQL,
         "decontaminate": DECONTAMINATE_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "assign_splits": ASSIGN_SPLITS_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "lang_id": LANG_ID_SQL,
         "doc_fingerprint": FINGERPRINT_SQL,
