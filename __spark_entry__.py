@@ -38,7 +38,9 @@ from graphscope_spark.algorithms import (
     hits,
     is_simple_path,
     all_pairs_shortest_path_length,
+    betweenness_centrality,
     closeness_centrality,
+    harmonic_centrality,
     k_core,
     k_shell,
     katz_centrality,
@@ -500,6 +502,28 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g2w(spark, sf_dir).build()
     return all_pairs_shortest_path_length(g, weight_col=None)
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness (networkx k-sample estimator
+    rescale n/k) over undirected G1 — level-synchronous multi-source
+    forward sweep + per-level backward dependency accumulation.
+    Sources = {id % 97 == 1}, the SQL-reproducible stand-in for the
+    deterministic min-xxhash64 draw (same convention as
+    closeness_g1_landmarks)."""
+    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False).build()
+    src = g.vertices.where(F.col("id") % 97 == 1)
+    b = betweenness_centrality(g, sources=src, normalized=True)
+    return b.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """networkx harmonic_centrality (sum of reciprocal shortest-path
+    distances) over undirected G1, landmark sources {id % 97 == 1}."""
+    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False).build()
+    src = g.vertices.where(F.col("id") % 97 == 1)
+    c = harmonic_centrality(g, sources=src)
+    return c.select("id", F.round("centrality", 6).alias("centrality"))
 
 
 def q_property_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_simple_path_g2": q_simple_path,
         "closeness_g2": q_closeness,
         "apsp_g2": q_apsp,
+        "betweenness_g1_s97": q_betweenness,
+        "harmonic_g1_s97": q_harmonic,
         "louvain_g2w_l1_i2": q_louvain,
         "sssp_path_g2w_src1": q_sssp_path,
         "bfs_tree_g2_src1": q_bfs_tree,
@@ -1193,6 +1219,8 @@ def oracle_sql() -> dict[str, str]:
         "is_simple_path_g2": H.simple_path_sql([1, 2, 3]),
         "closeness_g2": H.closeness_sql(12),
         "apsp_g2": H.apsp_sql(12),
+        "betweenness_g1_s97": H.betweenness_sql(14),
+        "harmonic_g1_s97": H.harmonic_sql(15),
         "louvain_g2w_l1_i2": H.louvain_sql(2),
         "sssp_path_g2w_src1": H.sssp_path_sql(1, 20),
         "bfs_tree_g2_src1": H.bfs_tree_sql(1, 12),

@@ -807,6 +807,120 @@ FROM p{rounds} WHERE dist < 1e17
 """
 
 
+def harmonic_sql(rounds: int, mod: int = 97, rem: int = 1) -> str:
+    """networkx harmonic_centrality over UNDIRECTED G1, unit weights,
+    for the deterministic source set {id % mod = rem} (the
+    SQL-reproducible landmark convention — closeness_landmarks_sql):
+    centrality(u) = SUM over v != u reachable of 1/d(v,u), symmetric
+    on the undirected fabric so the forward pair-BFS suffices."""
+    ctes = [
+        f"edges0 AS MATERIALIZED ({G1_SQL})",
+        """und AS MATERIALIZED (SELECT src, dst FROM edges0
+                     UNION SELECT dst, src FROM edges0)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"srcs AS MATERIALIZED (SELECT id FROM verts WHERE id % {mod} = {rem})",
+        """p0 AS MATERIALIZED (SELECT s.id AS s, v.id AS id,
+              CASE WHEN s.id = v.id THEN 0.0 ELSE 1e18 END AS dist
+            FROM srcs s CROSS JOIN verts v)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"p{i}", f"p{i + 1}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (SELECT p.s, e.dst AS id, MIN(p.dist + 1.0) AS cand
+                 FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < 1e17
+                 GROUP BY p.s, e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (SELECT p.s, p.id,
+                   LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                 FROM {prev} p LEFT JOIN m{i} m ON m.s = p.s AND m.id = p.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+stats AS MATERIALIZED (
+  SELECT s, SUM(1.0 / dist) AS c
+  FROM p{rounds} WHERE dist < 1e17 AND dist > 0 GROUP BY s)
+SELECT v.id, ROUND(COALESCE(t.c, 0.0), 6) AS centrality
+FROM srcs v LEFT JOIN stats t ON t.s = v.id"""
+    )
+
+
+def betweenness_sql(levels: int, mod: int = 97, rem: int = 1) -> str:
+    """Sampled-source Brandes betweenness over UNDIRECTED G1,
+    normalized (networkx k-sample estimator semantics: scale =
+    1/((n-1)(n-2)) * n/k), sources = {id % mod = rem}, unrolled
+    level-synchronously: forward CTEs f0..f{levels} carry
+    (s, id, sigma) per BFS level with sigma = sum of predecessor
+    sigmas; backward CTEs d{levels}..d1 carry Brandes' dependency
+    delta(v) = sigma_v * SUM over DAG successors w of
+    (1+delta_w)/sigma_w — the DAG condition dist_w = dist_v + 1 is
+    structural (level i joined to level i+1 through the edge table).
+    `levels` must exceed the source eccentricities; spare levels are
+    empty CTEs and contribute nothing."""
+    ctes = [
+        f"edges0 AS MATERIALIZED ({G1_SQL})",
+        """und AS MATERIALIZED (SELECT src, dst FROM edges0
+                     UNION SELECT dst, src FROM edges0)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"srcs AS MATERIALIZED (SELECT id FROM verts WHERE id % {mod} = {rem})",
+        "f0 AS MATERIALIZED (SELECT id AS s, id, 1.0 AS sigma FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT s, id FROM f0)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "kk AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs)",
+    ]
+    for i in range(levels):
+        ctes.append(
+            f"""f{i + 1} AS MATERIALIZED (
+              SELECT c.s, c.id, c.sigma FROM (
+                SELECT f.s, e.dst AS id, SUM(f.sigma) AS sigma
+                FROM und e JOIN f{i} f ON f.id = e.src
+                GROUP BY f.s, e.dst) c
+              WHERE NOT EXISTS (SELECT 1 FROM vis{i} v
+                                WHERE v.s = c.s AND v.id = c.id))"""
+        )
+        ctes.append(
+            f"""vis{i + 1} AS MATERIALIZED (
+              SELECT s, id FROM vis{i}
+              UNION ALL SELECT s, id FROM f{i + 1})"""
+        )
+    ctes.append(
+        f"d{levels} AS MATERIALIZED "
+        f"(SELECT s, id, sigma, 0.0 AS delta FROM f{levels})"
+    )
+    for i in range(levels - 1, 0, -1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+              SELECT d.s, e.src AS id, SUM((1.0 + d.delta) / d.sigma) AS m
+              FROM und e JOIN d{i + 1} d ON d.id = e.dst
+              GROUP BY d.s, e.src)"""
+        )
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT f.s, f.id, f.sigma,
+                     f.sigma * COALESCE(c.m, 0.0) AS delta
+              FROM f{i} f LEFT JOIN c{i} c ON c.s = f.s AND c.id = f.id)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT id, delta FROM d{i}" for i in range(1, levels + 1)
+    )
+    ctes.append(
+        f"bc AS MATERIALIZED (SELECT id, SUM(delta) AS c FROM ({union}) GROUP BY id)"
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT v.id,
+       ROUND(COALESCE(b.c, 0.0) *
+             CASE WHEN (SELECT n FROM nn) > 2
+                  THEN (SELECT n FROM nn)
+                       / (SELECT k FROM kk)
+                       / (((SELECT n FROM nn) - 1.0)
+                          * ((SELECT n FROM nn) - 2.0))
+                  ELSE 1.0 END,
+             6) AS centrality
+FROM verts v LEFT JOIN bc b ON b.id = v.id
+"""
+
+
 def louvain_sql(iters: int) -> str:
     """Unrolled Louvain phase-1 local-move cycles over weighted G2
     (louvain.h:228-279 semantics: ΔQ = k_i_in − k_i·σ'/m2, winner =

@@ -503,6 +503,38 @@ def out_degree_centrality(G: DiGraph) -> dict:
     return _to_dict(G, A.degree_centrality(G._flush(), "out"), "centrality")
 
 
+def betweenness_centrality(G: Graph, k: int | None = None,
+                           normalized: bool = True,
+                           weight: str | None = None,
+                           endpoints: bool = False,
+                           seed=None) -> dict:
+    """networkx betweenness_centrality (the reference forwards NX's own
+    test suite for it — nx/tests/algorithms/forward/centrality/
+    test_betweenness_centrality.py:1-7). Unweighted shortest paths
+    only; `seed` is accepted for signature parity but the k-sample is
+    a deterministic min-xxhash64 draw."""
+    if weight is not None:
+        raise NotImplementedError(
+            "betweenness_centrality: weighted shortest paths not supported"
+        )
+    r = A.betweenness_centrality(
+        G._flush(), k=k, normalized=normalized, endpoints=endpoints)
+    return _to_dict(G, r, "centrality")
+
+
+def harmonic_centrality(G: Graph, nbunch: Iterable | None = None,
+                        distance: str | None = None) -> dict:
+    """networkx harmonic_centrality (reference forwards NX's suite —
+    test_harmonic_centrality.py:1-6): sum of 1/d(v→u) over incoming
+    shortest-path distances."""
+    lg = G._flush(distance)
+    sources = G._ids_df(list(nbunch)) if nbunch is not None else None
+    r = A.harmonic_centrality(
+        lg, weight_col="w" if distance else None, sources=sources)
+    d = _to_dict(G, r, "centrality")
+    return d if nbunch is None else {n: d[n] for n in nbunch}
+
+
 def eigenvector_centrality(G: Graph, max_iter: int = 100, tol: float = 1e-06,
                            weight: str | None = None, **kw) -> dict:
     """builtin.py:264. Reference semantics (eigenvector_centrality.h:

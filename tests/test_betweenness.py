@@ -1,0 +1,142 @@
+"""betweenness_centrality / harmonic_centrality vs real networkx
+(the reference pins these semantics by forwarding networkx's own test
+suites — nx/tests/algorithms/forward/centrality/
+test_betweenness_centrality.py, test_harmonic_centrality.py)."""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import networkx as realnx
+import pytest
+from pyspark.sql import functions as F
+
+import graphscope_spark.nx as gnx
+from graphscope_spark.algorithms import (
+    betweenness_centrality,
+    harmonic_centrality,
+)
+from graphscope_spark.graph import LinkGraph
+
+
+def _mirror(nxg, spark):
+    g = gnx.DiGraph(spark=spark) if nxg.is_directed() else gnx.Graph(spark=spark)
+    g.add_nodes_from(nxg.nodes)
+    g.add_edges_from(nxg.edges)
+    return g
+
+
+@pytest.fixture(scope="module")
+def und(spark):
+    nxg = realnx.gnp_random_graph(30, 0.12, seed=5)
+    nxg.add_edge(100, 101)  # disconnected 2-clique
+    nxg.add_node(200)  # isolate
+    return nxg, _mirror(nxg, spark)
+
+
+@pytest.fixture(scope="module")
+def dig(spark):
+    nxg = realnx.gnp_random_graph(26, 0.1, seed=9, directed=True)
+    return nxg, _mirror(nxg, spark)
+
+
+def _close(a: dict, b: dict, tol=1e-9):
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=0, abs_tol=tol), (
+            k, a[k], b[k])
+
+
+def test_betweenness_undirected(und):
+    nxg, g = und
+    _close(gnx.betweenness_centrality(g),
+           realnx.betweenness_centrality(nxg))
+
+
+def test_betweenness_directed(dig):
+    nxg, g = dig
+    _close(gnx.betweenness_centrality(g),
+           realnx.betweenness_centrality(nxg))
+
+
+def test_betweenness_unnormalized(und, dig):
+    nxg, g = und
+    _close(gnx.betweenness_centrality(g, normalized=False),
+           realnx.betweenness_centrality(nxg, normalized=False))
+    nxg, g = dig
+    _close(gnx.betweenness_centrality(g, normalized=False),
+           realnx.betweenness_centrality(nxg, normalized=False))
+
+
+def test_betweenness_endpoints(und, dig):
+    nxg, g = und
+    _close(gnx.betweenness_centrality(g, endpoints=True),
+           realnx.betweenness_centrality(nxg, endpoints=True))
+    nxg, g = dig
+    _close(gnx.betweenness_centrality(g, endpoints=True),
+           realnx.betweenness_centrality(nxg, endpoints=True))
+
+
+def test_betweenness_path_graph_exact(spark):
+    # P4: inner nodes lie on 1*2=2... textbook values, exact
+    nxg = realnx.path_graph(4)
+    g = _mirror(nxg, spark)
+    _close(gnx.betweenness_centrality(g, normalized=False),
+           realnx.betweenness_centrality(nxg, normalized=False))
+
+
+def test_betweenness_sampled_k_rescale(und):
+    """k-sample estimator: deterministic draw, NX n/k rescale; on a
+    graph where k == n it must equal the exact values."""
+    nxg, g = und
+    n = nxg.number_of_nodes()
+    _close(gnx.betweenness_centrality(g, k=n),
+           realnx.betweenness_centrality(nxg))
+
+
+def test_betweenness_auto_sample_warns(spark):
+    nxg = realnx.path_graph(12)
+    g = _mirror(nxg, spark)
+    lg = g._flush()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        betweenness_centrality(lg, landmark_threshold=8, auto_k=12).count()
+    assert any("sampled-source estimator" in str(x.message) for x in w)
+
+
+def test_harmonic_undirected(und):
+    nxg, g = und
+    _close(gnx.harmonic_centrality(g), realnx.harmonic_centrality(nxg), 1e-9)
+
+
+def test_harmonic_directed_incoming(dig):
+    """directed harmonic uses INCOMING distances (NX semantics)."""
+    nxg, g = dig
+    _close(gnx.harmonic_centrality(g), realnx.harmonic_centrality(nxg), 1e-9)
+
+
+def test_harmonic_nbunch(und):
+    nxg, g = und
+    nb = [0, 3, 100]
+    _close(gnx.harmonic_centrality(g, nbunch=nb),
+           realnx.harmonic_centrality(nxg, nbunch=nb), 1e-9)
+
+
+def test_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    lg = LinkGraph.from_edges(e).build()
+    assert betweenness_centrality(lg).count() == 0
+    assert harmonic_centrality(lg).count() == 0
+
+
+def test_betweenness_multi_edges_collapse(spark):
+    """parallel edges must not multiply shortest-path counts."""
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (2, 3), (2, 3)], "src long, dst long")
+    lg = LinkGraph.from_edges(e, directed=False).build()
+    nxg = realnx.Graph([(1, 2), (2, 3)])
+    got = {r["id"]: r["centrality"]
+           for r in betweenness_centrality(lg, normalized=False).collect()}
+    want = realnx.betweenness_centrality(nxg, normalized=False)
+    assert got == pytest.approx(want)
