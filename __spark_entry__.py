@@ -341,6 +341,34 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events_hourly_stream")
 
 
+def q_simhash_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    SimHash keep-first filter over the documents stream at
+    max_hamming=0, where the sequential keep chain degenerates to
+    keep-min-doc_id per fingerprint — SQL-expressible, so the one
+    stateful-kernel path gets a full value-hash oracle. k>0 (the true
+    near-dup chain) is pinned by tests/test_streaming_state.py
+    (stream == sequential batch twin across micro-batch boundaries)."""
+    import shutil
+    import tempfile
+
+    from graphscope_spark.streaming import simhash_dedup_stream
+
+    d = tempfile.mkdtemp(prefix="gs_docs_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/part-0.parquet")
+    docs = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (
+        simhash_dedup_stream(docs, prefix_bits=16, max_hamming=0)
+        .writeStream.format("memory")
+        .queryName("simhash_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("simhash_stream_dedup")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         H.load(spark, sf_dir, "documents"), max_hamming=16, prefix_bits=8
@@ -1047,6 +1075,34 @@ FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
 """
 
+# Streaming stateful dedup oracle: at max_hamming=0 the sequential
+# keep chain = keep MIN(doc_id) per exact fingerprint; bucket = top 16
+# bits (unsigned) of the same bit-exact SimHash twin as above.
+SIMHASH_STREAM_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hnum AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks),
+bits AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hnum CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
+  GROUP BY doc_id, b.i),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 AND i < 63
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+         + CASE WHEN MAX(CASE WHEN i = 63 AND acc > 0 THEN 1 ELSE 0 END) = 1
+           THEN -9223372036854775807 - 1 ELSE 0 END AS simhash,
+         CAST(SUM(CASE WHEN acc > 0 AND i >= 48
+              THEN (CAST(1 AS BIGINT) << (i - 48)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM bits GROUP BY doc_id)
+SELECT bucket, MIN(doc_id) AS doc_id, simhash
+FROM sh GROUP BY bucket, simhash
+"""
+
 
 # ----------------------------------------------------------------------
 # Contract entry points
@@ -1129,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "events_sessions": q_events_sessions,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_stream_dedup": q_simhash_stream_dedup,
         "pages_pipeline": q_pages_pipeline,
         "bfs_g2_src1": q_bfs,
         "sssp_g2w_src1": q_sssp,
@@ -1202,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream": EVENTS_HOURLY_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "simhash_pairs": SIMHASH_PAIRS_SQL,
+        "simhash_stream_dedup": SIMHASH_STREAM_DEDUP_SQL,
         # pages_pipeline: non-SQL kernels → rows-only
         "bfs_g2_src1": H.bfs_sql(1, 12),
         "sssp_g2w_src1": H.sssp_sql(1, 20),

@@ -119,3 +119,134 @@ def incremental_edge_sink(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+# ----------------------------------------------------------------------
+# Custom stateful operator: streaming SimHash near-dup filter
+# ----------------------------------------------------------------------
+# Exact streaming dedup is built-in (dropDuplicates + watermark); NEAR-
+# dup is not — the keep/drop decision for a document depends on every
+# fingerprint KEPT so far in its bucket, which is custom per-key state.
+# This is the applyInPandasWithState shape: key = simhash prefix
+# bucket, state = the kept fingerprints of that bucket, batch kernel =
+# Arrow-batched pandas (no per-row Python at the Spark boundary).
+#
+# Semantics (deterministic): documents are processed in (doc_id)
+# order within each micro-batch and bucket; a document is kept iff its
+# 64-bit SimHash differs by MORE than `max_hamming` bits from every
+# fingerprint kept so far in its bucket. max_hamming=0 degenerates to
+# exact-fingerprint keep-first (SQL-expressible — the driver oracle);
+# k>0 is the true near-dup chain (pytest: stream ≡ sequential batch
+# twin, state survives micro-batch boundaries).
+#
+# Recall note (same trade-off as dedup.simhash_near_pairs): only
+# near-dups sharing the `prefix_bits` bucket are compared. State per
+# bucket is capped at `max_state` fingerprints; past the cap documents
+# are still compared against the retained set but no longer extend it
+# (bounded state at 10^12-doc scale; the cap is a visible parameter,
+# not a silent truncation).
+
+SIMHASH_DEDUP_OUT = "bucket long, doc_id long, simhash long"
+SIMHASH_DEDUP_STATE = "seen array<long>"
+
+
+def _hamming_keep_kernel(
+    doc_ids, fps, seen: list[int], max_hamming: int, max_state: int
+):
+    """Sequential keep/drop chain for one bucket, in doc_id order.
+    Returns (kept doc_ids, kept fps, updated seen)."""
+    mask = (1 << 64) - 1
+    seen_u = [s & mask for s in seen]
+    kept_ids, kept_fps = [], []
+    for did, fp in zip(doc_ids, fps):
+        fpu = fp & mask
+        dup = any((fpu ^ s).bit_count() <= max_hamming for s in seen_u)
+        if not dup:
+            kept_ids.append(did)
+            kept_fps.append(fp)
+            if len(seen_u) < max_state:
+                seen_u.append(fpu)
+    new_seen = [s - (1 << 64) if s >= (1 << 63) else s for s in seen_u]
+    return kept_ids, kept_fps, new_seen
+
+
+def _with_simhash(docs: DataFrame, prefix_bits: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    from graphscope_spark.functions.dedup import simhash64
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(F.col(text_col)).alias("simhash"),
+    ).withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+
+
+def simhash_dedup_stream(
+    docs: DataFrame,
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+    max_state: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming near-dup filter over a document stream: emits the
+    KEPT rows (bucket, doc_id, simhash). State = kept fingerprints per
+    bucket, carried across micro-batches by Spark's state store (the
+    checkpointed, partition-local state a 1000-executor cluster
+    shards by bucket)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        seen = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        kept_ids, kept_fps, new_seen = _hamming_keep_kernel(
+            pdf["doc_id"].tolist(), pdf["simhash"].tolist(), seen,
+            max_hamming, max_state,
+        )
+        state.update((new_seen,))
+        yield pd.DataFrame(
+            {"bucket": [key[0]] * len(kept_ids), "doc_id": kept_ids,
+             "simhash": kept_fps}
+        )
+
+    return (
+        _with_simhash(docs, prefix_bits, text_col, id_col)
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            fn, SIMHASH_DEDUP_OUT, SIMHASH_DEDUP_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def simhash_dedup_batch(
+    docs: DataFrame,
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+    max_state: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch twin of simhash_dedup_stream (same kernel, empty initial
+    state) — the sequential per-bucket chain the stream must equal
+    when fed the same rows."""
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        kept_ids, kept_fps, _ = _hamming_keep_kernel(
+            pdf["doc_id"].tolist(), pdf["simhash"].tolist(), [],
+            max_hamming, max_state,
+        )
+        return pd.DataFrame(
+            {"bucket": pdf["bucket"].iloc[:1].repeat(len(kept_ids)).tolist()
+             if len(kept_ids) else [],
+             "doc_id": kept_ids, "simhash": kept_fps}
+        )
+
+    return (
+        _with_simhash(docs, prefix_bits, text_col, id_col)
+        .groupBy("bucket")
+        .applyInPandas(fn, SIMHASH_DEDUP_OUT)
+    )
