@@ -138,6 +138,27 @@ def main() -> int:
         plan_of(grp),
     ))
 
+    # betweenness forward-sweep body (the per-level plan that repeats)
+    from graphscope_spark.algorithms.betweenness import _bfs_fabric
+    bedges = _bfs_fabric(g1)
+    frontier = g1.vertices.limit(64).select(
+        F.col("id").alias("s"), F.col("id"), F.lit(1.0).alias("sigma"))
+    settled = frontier.select("s", "id")
+    cand = (
+        bedges.join(frontier.select("s", F.col("id").alias("src"), "sigma"), "src")
+        .groupBy("s", "dst").agg(F.sum("sigma").alias("sigma"))
+        .withColumnRenamed("dst", "id")
+        .join(settled, ["s", "id"], "left_anti")
+    )
+    sections.append((
+        "betweenness forward-sweep level (multi-source Brandes)",
+        "expect: one shuffle join of E on the vertex key, partial+final "
+        "hash agg summing sigma keyed (s, dst) — map-side combine over "
+        "shortest-path counts — then a left-anti hash join against the "
+        "settled pair set; WholeStageCodegen, no Python",
+        plan_of(cand),
+    ))
+
     # LSH band join (the bucketed near-dup candidate plan)
     from graphscope_spark.functions import dedup as D
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
