@@ -273,6 +273,11 @@ class Traversal:
         return self._next(
             self.df.join(hit, self.df["e"] == hit[_SEED], "left_anti"))
 
+    def filter_(self, sub: "_Anon") -> "Traversal":
+        """GIE `filter(values("age").is(gt(20)))` (rst:204-205) —
+        same correlated-semi-join semantics as where()."""
+        return self.where(sub)
+
     def simplePath(self) -> "Traversal":
         if not self._track_path:
             raise TypeError("simplePath() needs g.with_path()")
@@ -293,6 +298,30 @@ class Traversal:
         self._need("v", "id_")
         return self._next(self.df.select(F.col("e").alias("val"),
                                          *self._carry()), "value")
+
+    def label(self) -> "Traversal":
+        """GIE `g.V().label()` / `g.E().label()` (rst:263-266): the
+        element's label as a value traverser. Vertex labels come from
+        a `label` column on the vertex table (multi-label graphs —
+        graph.py add_labels); edge labels from the edge table."""
+        if self.kind == "v":
+            v = self.graph.vertices
+            if "label" not in v.columns:
+                raise KeyError("graph has no vertex labels")
+            props = v.select(F.col(ID).alias("e"), F.col("label").alias("val"))
+            return self._next(
+                self.df.join(props, "e").select("val", *self._carry()),
+                "value")
+        if self.kind == "e":
+            if "label" not in self.graph.edges.columns:
+                raise KeyError("graph has no edge labels")
+            lab = self.graph.edges.select(
+                F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
+                F.col("label").alias("val"))
+            return self._next(
+                self.df.join(lab, ["esrc", "edst"]).select(
+                    "val", *self._carry()), "value")
+        raise TypeError("label(): needs a vertex or edge traverser")
 
     def valueMap(self, *keys: str) -> "Traversal":
         """Per-element property map (GIE valueMap, rst:296-318),

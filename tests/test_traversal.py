@@ -250,3 +250,34 @@ def test_range_pretrim_correct_paging(g):
     # range_ pages the global order correctly on multi-partition input
     ids = g.V().order().range_(2, 7).id_().toList()
     assert ids == [2, 3, 4, 5, 6]
+
+
+def test_filter_step(gp):
+    # GIE: g.V().filter(values("score").is(gt(3.0)))
+    ids = {r["id"] for r in
+           gp.V().filter_(__.values("score").is_(P.gt(3.0))).toDF().collect()}
+    assert ids == {i for i in range(12) if i > 3}
+
+
+def test_label_step(spark, toy_graph):
+    from graphscope_spark.graph import LinkGraph
+    from pyspark.sql import functions as F
+    v = toy_graph.vertices.withColumn(
+        "label", F.when(F.col("id") < 6, "page").otherwise("site"))
+    e = toy_graph.edges.withColumn(
+        "label", F.when(F.col("src") < F.col("dst"), "fwd").otherwise("back"))
+    lg = LinkGraph(vertices=v, edges=e, directed=True)
+    t = traversal(lg)
+    vl = {r["val"] for r in t.V().label().toDF().collect()}
+    assert vl == {"page", "site"}
+    el = t.E().label().groupCount().toDF().collect()
+    got = {r["key"]: r["cnt"] for r in el}
+    want = {"fwd": sum(1 for s, d in TOY_EDGES if s < d),
+            "back": sum(1 for s, d in TOY_EDGES if s > d)}
+    assert got == want
+
+
+def test_label_errors(g):
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        g.V().label().toDF()
