@@ -50,8 +50,12 @@ __all__ = [
     # generators (nx/generators/classic.py, random_graphs.py)
     "empty_graph", "path_graph", "cycle_graph", "complete_graph",
     "star_graph", "gnp_random_graph",
-    # readwrite (nx/readwrite/edgelist.py)
+    "betweenness_centrality", "harmonic_centrality",
+    # generators (continued)
+    "complete_bipartite_graph", "barbell_graph", "balanced_tree",
+    # readwrite (nx/readwrite/edgelist.py, adjlist.py)
     "read_edgelist", "write_edgelist",
+    "read_adjlist", "write_adjlist",
 ]
 
 # non-int node objects get synthetic ids from this base upward; int
@@ -938,4 +942,70 @@ def read_edgelist(path: str, create_using=None, nodetype=None,
             if data and len(parts) > 2 and parts[2]:
                 attr = ast.literal_eval(parts[2])
             G.add_edge(u, v, **attr)
+    return G
+
+
+def complete_bipartite_graph(n1: int, n2: int, create_using=None) -> "Graph":
+    """generators/classic.py complete_bipartite_graph K(n1, n2):
+    parts {0..n1-1} and {n1..n1+n2-1} (upstream networkx node
+    numbering)."""
+    n1, n2 = int(n1), int(n2)
+    G = empty_graph(n1 + n2, create_using)
+    G.add_edges_from((u, v) for u in range(n1) for v in range(n1, n1 + n2))
+    return G
+
+
+def barbell_graph(m1: int, m2: int, create_using=None) -> "Graph":
+    """generators/classic.py barbell_graph: two K(m1) cliques joined
+    by an m2-path (upstream networkx numbering: left clique 0..m1-1,
+    path m1..m1+m2-1, right clique m1+m2..2*m1+m2-1)."""
+    m1, m2 = int(m1), int(m2)
+    G = empty_graph(2 * m1 + m2, create_using)
+    G.add_edges_from((u, v) for u in range(m1) for v in range(u + 1, m1))
+    right = range(m1 + m2, 2 * m1 + m2)
+    G.add_edges_from((u, v) for u in right for v in right if u < v)
+    # the connecting path (degenerates to a bridge edge when m2 == 0)
+    chain = [m1 - 1] + list(range(m1, m1 + m2)) + [m1 + m2]
+    G.add_edges_from(zip(chain, chain[1:]))
+    return G
+
+
+def balanced_tree(r: int, h: int, create_using=None) -> "Graph":
+    """generators/classic.py balanced_tree: r-ary tree of height h,
+    BFS numbering from root 0 (upstream networkx semantics)."""
+    r, h = int(r), int(h)
+    n = (r ** (h + 1) - 1) // (r - 1) if r > 1 else h + 1
+    G = empty_graph(n, create_using)
+    G.add_edges_from((p, c) for c in range(1, n) for p in [(c - 1) // r])
+    return G
+
+
+def write_adjlist(G: "Graph", path: str, delimiter: str = " ") -> None:
+    """readwrite/adjlist.py write_adjlist (networkx line format:
+    `node nbr1 nbr2 ...`, undirected edges emitted once — at the
+    first endpoint in node order, like upstream)."""
+    seen: set = set()
+    with open(path, "w") as f:
+        for u in G.nodes:
+            nbrs = [v for v in G._succ.get(u, {})
+                    if G._directed or v not in seen]
+            seen.add(u)
+            f.write(delimiter.join(str(x) for x in [u, *nbrs]) + "\n")
+
+
+def read_adjlist(path: str, create_using=None, nodetype=None,
+                 delimiter: str = " ") -> "Graph":
+    """readwrite/adjlist.py read_adjlist (`#` comments skipped)."""
+    G = create_using if isinstance(create_using, Graph) else \
+        (create_using or Graph)()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(delimiter)
+            if nodetype is not None:
+                parts = [nodetype(p) for p in parts]
+            G.add_node(parts[0])
+            G.add_edges_from((parts[0], v) for v in parts[1:])
     return G

@@ -315,6 +315,11 @@ def test_generators_vs_networkx():
         (gnx.complete_graph, realnx.complete_graph, (5,)),
         (gnx.star_graph, realnx.star_graph, (4,)),
         (gnx.empty_graph, realnx.empty_graph, (3,)),
+        (gnx.complete_bipartite_graph, realnx.complete_bipartite_graph, (3, 4)),
+        (gnx.barbell_graph, realnx.barbell_graph, (4, 2)),
+        (gnx.barbell_graph, realnx.barbell_graph, (3, 0)),
+        (gnx.balanced_tree, realnx.balanced_tree, (2, 3)),
+        (gnx.balanced_tree, realnx.balanced_tree, (3, 2)),
     ]:
         g, r = ours(*args), real(*args)
         assert sorted(g.nodes) == sorted(r.nodes), ours.__name__
@@ -407,3 +412,30 @@ def test_dfs_wrappers_vs_networkx(spark):
         list(realnx.dfs_preorder_nodes(nxg, src))
     t, rt = gnx.dfs_tree(g, src), realnx.dfs_tree(nxg, src)
     assert sorted(map(tuple, t.edges)) == sorted(map(tuple, rt.edges()))
+
+
+def test_adjlist_roundtrip(tmp_path):
+    nxg = realnx.gnp_random_graph(25, 0.15, seed=3)
+    g = _mirror(nxg, spark=None)
+    p = str(tmp_path / "g.adjlist")
+    gnx.write_adjlist(g, p)
+    # our file is readable by REAL networkx, and vice versa
+    back_real = realnx.read_adjlist(p, nodetype=int)
+    assert sorted(map(tuple, map(sorted, back_real.edges))) == \
+        sorted(map(tuple, map(sorted, nxg.edges)))
+    p2 = str(tmp_path / "real.adjlist")
+    realnx.write_adjlist(nxg, p2)
+    back_ours = gnx.read_adjlist(p2, nodetype=int)
+    assert sorted(map(tuple, map(sorted, back_ours.edges))) == \
+        sorted(map(tuple, map(sorted, nxg.edges)))
+    assert sorted(back_ours.nodes) == sorted(nxg.nodes)
+
+
+def test_adjlist_directed(tmp_path):
+    nxg = realnx.gnp_random_graph(15, 0.2, seed=8, directed=True)
+    g = _mirror(nxg, spark=None)
+    p = str(tmp_path / "d.adjlist")
+    gnx.write_adjlist(g, p)
+    back = realnx.read_adjlist(p, nodetype=int,
+                               create_using=realnx.DiGraph)
+    assert sorted(back.edges) == sorted(nxg.edges)
