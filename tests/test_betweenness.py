@@ -10,7 +10,6 @@ import warnings
 
 import networkx as realnx
 import pytest
-from pyspark.sql import functions as F
 
 import graphscope_spark.nx as gnx
 from graphscope_spark.algorithms import (
