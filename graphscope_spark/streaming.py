@@ -18,13 +18,19 @@ of record; streaming jobs maintain its inputs incrementally:
   watermark are dropped deterministically, and sessionization uses
   the built-in session_window (gap-based), state managed by Spark.
 
-Everything is expressed with readStream/writeStream + built-in
+Everything above is expressed with readStream/writeStream + built-in
 operators (no foreachBatch Python loops in the hot path); the
 streaming plans are the same Catalyst plans as the batch twins, so
 the batch DuckDB oracles (events_hourly / events_sessions) pin the
 semantics of the streaming versions too — pytest runs each stream
 with trigger=availableNow against the SAME parquet input and asserts
 equality with the batch query.
+
+The one CUSTOM stateful operator (simhash near-dup filter, bottom of
+this module) is the documented exception: its keep/drop decision needs
+per-key state no built-in expresses, so it uses
+applyInPandasWithState with an Arrow-batched kernel — still no
+per-row Python at the Spark boundary.
 """
 
 from __future__ import annotations
