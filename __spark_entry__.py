@@ -618,6 +618,17 @@ def q_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(bool(ok),)], "is_path boolean")
 
 
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-biased deterministic walks over undirected G1
+    (p=4 -> rarely return, q=0.25 -> DFS-leaning): integer-ticket
+    weighted draws, engine-exact vs the DuckDB twin."""
+    from graphscope_spark.algorithms import node2vec_path
+
+    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False).build()
+    return node2vec_path(g, srcs=[1, 2, 3, 4, 5], path_len=4,
+                         p=4.0, q=0.25, seed=42)
+
+
 def q_sampling_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks (algorithms/walks.py): hash-draw
     neighbor selection — reproducible across engines, so fully
@@ -1218,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_group_g1": q_gremlin_group,
         "gremlin_until_g1": q_gremlin_until,
         "sampling_path_g2": q_sampling_path,
+        "node2vec_g1": q_node2vec,
         "core_numbers_g1": q_core_numbers,
         "dfs_g1_src1": q_dfs,
     }
@@ -1291,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_group_g1": GREMLIN_GROUP_SQL,
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
         "sampling_path_g2": H.sampling_path_sql([1, 2, 3, 4, 5], 4, 42),
+        "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
         # dfs_g1_src1: sequential visit order not SQL-expressible →
         # rows-only; pytest has the recursive-Python twin

@@ -45,7 +45,7 @@ from graphscope_spark.algorithms.closeness import (
 )
 from graphscope_spark.algorithms.louvain import louvain
 from graphscope_spark.algorithms.property import property_bfs, property_sssp
-from graphscope_spark.algorithms.walks import sampling_path
+from graphscope_spark.algorithms.walks import node2vec_path, sampling_path
 from graphscope_spark.algorithms.dfs import dfs
 from graphscope_spark.algorithms.betweenness import (
     betweenness_centrality,
@@ -63,5 +63,5 @@ __all__ = [
     "lpa_u2i", "node_boundary", "edge_boundary", "is_simple_path",
     "closeness_centrality", "all_pairs_shortest_path_length",
     "louvain", "property_sssp", "property_bfs", "sampling_path", "dfs",
-    "betweenness_centrality", "harmonic_centrality",
+    "betweenness_centrality", "harmonic_centrality", "node2vec_path",
 ]

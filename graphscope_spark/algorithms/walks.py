@@ -73,3 +73,107 @@ def sampling_path(
         out = out.unionByName(nxt)
         frontier = nxt
     return out
+
+
+def _node2vec_weights(p: float, q: float) -> tuple[int, int, int]:
+    """Integer ticket counts proportional to node2vec's (1/p, 1, 1/q)
+    transition biases. Integers make the weighted draw ENGINE-EXACT:
+    candidate v holds w_v lottery tickets md5(seed|walk|t|v|tick) and
+    the global minimum ticket wins — every ticket is iid uniform, so
+    P(v wins) = w_v / Σw exactly, with a pure string comparison (no
+    float RNG or libm calls that could differ across engines)."""
+    from fractions import Fraction
+    from math import lcm
+
+    fr = Fraction(1, 1) / Fraction(p).limit_denominator(100)
+    fq = Fraction(1, 1) / Fraction(q).limit_denominator(100)
+    d = lcm(fr.denominator, 1, fq.denominator)
+    return int(fr * d), d, int(fq * d)
+
+
+def node2vec_path(
+    graph: LinkGraph,
+    srcs: list[int] | DataFrame,
+    path_len: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """node2vec-biased deterministic walks (Grover & Leskovec 2016
+    semantics): from u (arrived via prev), candidate v is weighted
+    1/p if v == prev (return), 1 if prev—v is an edge (BFS-ish), 1/q
+    otherwise (DFS-ish). First hop is uniform. Returns
+    (walk long, pos int, id long); walks stop at dead ends.
+
+    Same walk surface as sampling_path (the reference's learning-engine
+    sampler family), with the second-order bias the walk-based
+    embedding pipelines (node2vec/DeepWalk-style) feed on.
+
+    Scale: per hop, one join frontier→E on the vertex key, one
+    (prev, v) edge-existence left-join (co-partitioned with E's
+    (src, dst) key), ticket explode bounded by max weight × out-degree
+    of the frontier only, then a map-side-combinable min_by per walk.
+    """
+    w_ret, w_one, w_q = _node2vec_weights(p, q)
+    spark = graph.vertices.sparkSession
+    if isinstance(srcs, DataFrame):
+        start = srcs.select(F.col(ID).cast("long"))
+    else:
+        start = spark.createDataFrame([(int(s),) for s in srcs], f"{ID} long")
+    start = start.join(graph.vertices.select(ID), ID, "left_semi")
+
+    edges = graph.edges.select(SRC, DST)
+    if not graph.directed:
+        edges = edges.unionAll(
+            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        )
+    edges = edges.distinct().cache()
+    exist = edges.select(
+        F.col(SRC).alias("__ps"), F.col(DST).alias("__pd"),
+        F.lit(True).alias("__is1"),
+    )
+
+    out = start.select(
+        F.col(ID).alias("walk"), F.lit(0).alias("pos"), F.col(ID)
+    )
+    frontier = start.select(
+        F.col(ID).alias("walk"), F.col(ID).alias("u"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    for t in range(1, int(path_len) + 1):
+        cand = (
+            frontier.join(edges, frontier["u"] == edges[SRC])
+            .join(
+                exist,
+                (F.col("prev") == F.col("__ps")) & (F.col(DST) == F.col("__pd")),
+                "left",
+            )
+            .select(
+                "walk", "u", "prev", DST,
+                F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col(DST) == F.col("prev"), F.lit(w_ret))
+                .when(F.col("__is1"), F.lit(w_one))
+                .otherwise(F.lit(w_q))
+                .alias("w"),
+            )
+        )
+        # w == 0 (p or q beyond the rational cap) = zero probability:
+        # no tickets. The filter also keeps sequence() ascending-only.
+        tickets = cand.where(F.col("w") > 0).select(
+            "walk", "u", DST,
+            F.explode(F.sequence(F.lit(0), F.col("w") - 1)).alias("tick"),
+        )
+        draw = F.md5(F.concat_ws(
+            "|", F.lit(int(seed)), F.col("walk"), F.lit(t),
+            F.col(DST), F.col("tick"),
+        ))
+        nxt = (
+            tickets.groupBy("walk")
+            .agg(F.min_by(DST, draw).alias(ID), F.any_value("u").alias("prev"))
+        )
+        out = out.unionByName(
+            nxt.select("walk", F.lit(t).alias("pos"), ID)
+        )
+        frontier = nxt.select("walk", F.col(ID).alias("u"), "prev")
+    edges.unpersist()
+    return out

@@ -1160,3 +1160,52 @@ def sampling_path_sql(srcs: list[int], path_len: int, seed: int = 42) -> str:
     union = "\nUNION ALL ".join(f"SELECT * FROM s{t}" for t in range(int(path_len) + 1))
     return "WITH " + ",\n".join(ctes) + f"""
 SELECT walk, pos, id FROM ({union})"""
+
+
+def node2vec_sql(srcs: list[int], path_len: int, p: float, q: float,
+                 seed: int = 42) -> str:
+    """DuckDB twin of algorithms/walks.node2vec_path over UNDIRECTED
+    G1: integer-ticket weighted draw (w tickets per candidate,
+    md5(seed|walk|t|v|tick), global min wins — engine-exact, no float
+    RNG). Weight classes: prev NULL -> 1 (uniform first hop),
+    v = prev -> w_ret, edge(prev, v) -> w_one, else w_q."""
+    from graphscope_spark.algorithms.walks import _node2vec_weights
+
+    w_ret, w_one, w_q = _node2vec_weights(p, q)
+    src_vals = ",".join(f"({int(s)})" for s in srcs)
+    ctes = [
+        f"edges0 AS MATERIALIZED ({G1_SQL})",
+        """edges AS MATERIALIZED (SELECT src, dst FROM edges0
+                     UNION SELECT dst, src FROM edges0)""",
+        f"""s0 AS MATERIALIZED (
+             SELECT walk, 0 AS pos, walk AS id, CAST(NULL AS BIGINT) AS prev
+             FROM (VALUES {src_vals}) t(walk)
+             WHERE walk IN (SELECT src FROM edges))""",
+    ]
+    for t in range(1, int(path_len) + 1):
+        ctes.append(
+            f"""cand{t} AS MATERIALIZED (
+                 SELECT p.walk, p.id AS u, e.dst,
+                        CASE WHEN p.prev IS NULL THEN 1
+                             WHEN e.dst = p.prev THEN {w_ret}
+                             WHEN EXISTS (SELECT 1 FROM edges x
+                                          WHERE x.src = p.prev
+                                            AND x.dst = e.dst) THEN {w_one}
+                             ELSE {w_q} END AS w
+                 FROM s{t - 1} p JOIN edges e ON e.src = p.id)"""
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+                 SELECT walk, {t} AS pos,
+                        arg_min(dst, md5(concat_ws('|', {int(seed)}, walk,
+                                {t}, dst, tick))) AS id,
+                        any_value(u) AS prev
+                 FROM (SELECT walk, u, dst,
+                              unnest(generate_series(0, w - 1)) AS tick
+                       FROM cand{t} WHERE w > 0)
+                 GROUP BY walk)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk, pos, id FROM s{t}" for t in range(int(path_len) + 1))
+    return "WITH " + ",\n".join(ctes) + f"""
+{union}"""

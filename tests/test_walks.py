@@ -56,3 +56,94 @@ def test_sampling_path_seed_sensitivity(toy_graph):
     assert a == a2
     assert a == _py_walks(TOY_EDGES, [3], 4, 1)
     assert b == _py_walks(TOY_EDGES, [3], 4, 2)
+
+
+# ----------------------------------------------------------------------
+# node2vec_path: biased walks, integer-ticket weighted draws
+# ----------------------------------------------------------------------
+def _py_node2vec(edges, srcs, path_len, p, q, seed, directed=True):
+    from graphscope_spark.algorithms.walks import _node2vec_weights
+
+    w_ret, w_one, w_q = _node2vec_weights(p, q)
+    adj = {}
+    fabric = set(edges) if directed else \
+        set(edges) | {(d, s) for s, d in edges}
+    for s, d in fabric:
+        adj.setdefault(s, set()).add(d)
+    rows = set()
+    for w in srcs:
+        cur, prev = w, None
+        rows.add((w, 0, w))
+        for t in range(1, path_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            best = None
+            for v in sorted(nbrs):
+                wt = 1 if prev is None else (
+                    w_ret if v == prev else
+                    (w_one if v in adj.get(prev, ()) else w_q))
+                for tick in range(wt):
+                    h = hashlib.md5(
+                        f"{seed}|{w}|{t}|{v}|{tick}".encode()).hexdigest()
+                    if best is None or h < best[0]:
+                        best = (h, v)
+            prev, cur = cur, best[1]
+            rows.add((w, t, cur))
+    return rows
+
+
+def test_node2vec_vs_python_twin(toy_graph):
+    from graphscope_spark.algorithms import node2vec_path
+
+    for p, q in [(1.0, 1.0), (4.0, 0.25), (0.5, 2.0)]:
+        got = {
+            (r["walk"], r["pos"], r["id"])
+            for r in node2vec_path(
+                toy_graph, [0, 3, 9], path_len=5, p=p, q=q, seed=11
+            ).collect()
+        }
+        assert got == _py_node2vec(TOY_EDGES, [0, 3, 9], 5, p, q, 11), (p, q)
+
+
+def test_node2vec_undirected_twin(spark, toy_graph):
+    from graphscope_spark.graph import LinkGraph
+    from graphscope_spark.algorithms import node2vec_path
+
+    und = LinkGraph.from_edges(toy_graph.edges, directed=False).build()
+    got = {
+        (r["walk"], r["pos"], r["id"])
+        for r in node2vec_path(und, [5, 8], path_len=4,
+                               p=2.0, q=0.5, seed=3).collect()
+    }
+    assert got == _py_node2vec(TOY_EDGES, [5, 8], 4, 2.0, 0.5, 3,
+                               directed=False)
+
+
+def test_node2vec_return_bias_direction():
+    """Statistical sanity on a fixed star graph: with p tiny (return
+    weight huge) the 2nd hop goes back to the hub far more often than
+    with p huge, across many walk seeds — checked on the Python twin
+    (the Spark path is pinned exactly to it above)."""
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)] \
+        + [(i, i % 8 + 1) for i in range(1, 9)]
+    def returns(p):
+        n = 0
+        for seed in range(60):
+            rows = _py_node2vec(edges, [0], 2, p, 1.0, seed)
+            step2 = {r[2] for r in rows if r[1] == 2}
+            n += (0 in step2)
+        return n
+    assert returns(0.1) > returns(10.0) + 10
+
+
+def test_node2vec_dead_end(spark):
+    from graphscope_spark.graph import LinkGraph
+    from graphscope_spark.algorithms import node2vec_path
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    lg = LinkGraph.from_edges(e).build()
+    rows = sorted(
+        (r["walk"], r["pos"], r["id"])
+        for r in node2vec_path(lg, [1], path_len=3, seed=1).collect())
+    assert rows == [(1, 0, 1), (1, 1, 2)]  # stops at the dead end
