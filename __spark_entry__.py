@@ -629,6 +629,19 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
                          p=4.0, q=0.25, seed=42)
 
 
+def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, offset) training pairs from the
+    node2vec walk corpus on undirected G1 — the walk→embedding-training
+    bridge (each walk a 'sentence', ±2 window)."""
+    from graphscope_spark.algorithms import node2vec_path
+    from graphscope_spark.algorithms.walks import skipgram_pairs
+
+    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False).build()
+    walks = node2vec_path(g, srcs=[1, 2, 3, 4, 5], path_len=4,
+                          p=4.0, q=0.25, seed=42)
+    return skipgram_pairs(walks, window=2)
+
+
 def q_sampling_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks (algorithms/walks.py): hash-draw
     neighbor selection — reproducible across engines, so fully
@@ -1230,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_until_g1": q_gremlin_until,
         "sampling_path_g2": q_sampling_path,
         "node2vec_g1": q_node2vec,
+        "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
         "dfs_g1_src1": q_dfs,
     }
@@ -1304,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
         "sampling_path_g2": H.sampling_path_sql([1, 2, 3, 4, 5], 4, 42),
         "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),
+        "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
         # dfs_g1_src1: sequential visit order not SQL-expressible →
         # rows-only; pytest has the recursive-Python twin

@@ -177,3 +177,30 @@ def node2vec_path(
         frontier = nxt.select("walk", F.col(ID).alias("u"), "prev")
     edges.unpersist()
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) training pairs from a walk corpus — the
+    word2vec-style consumption of sampling_path/node2vec_path output
+    (each walk is a 'sentence', contexts within ±window positions).
+
+    Returns (walk long, center long, context long, off int) with
+    off = context_pos - center_pos (never 0). Pure self-join on the
+    walk key: shuffles once on walk id; at web scale walks are short
+    (pos ≤ path_len) so the per-key blowup is bounded by 2·window per
+    row, not quadratic."""
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk") == F.col("b.walk"))
+            & (F.col("a.pos") != F.col("b.pos"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= int(window)),
+        )
+        .select(
+            F.col("a.walk").alias("walk"),
+            F.col("a.id").alias("center"),
+            F.col("b.id").alias("context"),
+            (F.col("b.pos") - F.col("a.pos")).cast("int").alias("off"),
+        )
+    )

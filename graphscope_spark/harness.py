@@ -1209,3 +1209,15 @@ def node2vec_sql(srcs: list[int], path_len: int, p: float, q: float,
         f"SELECT walk, pos, id FROM s{t}" for t in range(int(path_len) + 1))
     return "WITH " + ",\n".join(ctes) + f"""
 {union}"""
+
+
+def skipgram_sql(srcs: list[int], path_len: int, p: float, q: float,
+                 window: int, seed: int = 42) -> str:
+    """Skip-gram (center, context) pairs over the node2vec walk corpus
+    — walk twin nested as a sub-WITH, then the ±window self-join."""
+    inner = node2vec_sql(srcs, path_len, p, q, seed)
+    return f"""WITH wk AS MATERIALIZED ({inner})
+SELECT a.walk AS walk, a.id AS center, b.id AS context,
+       CAST(b.pos - a.pos AS INT) AS off
+FROM wk a JOIN wk b ON a.walk = b.walk AND a.pos <> b.pos
+  AND abs(a.pos - b.pos) <= {int(window)}"""

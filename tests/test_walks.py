@@ -147,3 +147,20 @@ def test_node2vec_dead_end(spark):
         (r["walk"], r["pos"], r["id"])
         for r in node2vec_path(lg, [1], path_len=3, seed=1).collect())
     assert rows == [(1, 0, 1), (1, 1, 2)]  # stops at the dead end
+
+
+def test_skipgram_pairs(toy_graph, spark):
+    from graphscope_spark.algorithms import sampling_path
+    from graphscope_spark.algorithms.walks import skipgram_pairs
+
+    walks = sampling_path(toy_graph, [0, 3], path_len=4, seed=7)
+    wrows = sorted((r["walk"], r["pos"], r["id"]) for r in walks.collect())
+    got = sorted(
+        (r["walk"], r["center"], r["context"], r["off"])
+        for r in skipgram_pairs(walks, window=2).collect())
+    want = sorted(
+        (wa, ia, ib, pb - pa)
+        for wa, pa, ia in wrows for wb, pb, ib in wrows
+        if wa == wb and pa != pb and abs(pa - pb) <= 2)
+    assert got == want
+    assert all(o != 0 for *_, o in got)
