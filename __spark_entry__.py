@@ -490,6 +490,27 @@ def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs(H.g1(spark, sf_dir), source=1, directed=False)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetworkX link-prediction scores (common neighbors, Jaccard,
+    Adamic-Adar, resource allocation, preferential attachment) over
+    undirected G1 — one wedge self-join + one hash aggregate
+    (algorithms/linkpred.py). Result trimmed to the
+    (u % 7 == 0 AND v % 7 == 0) stratum: 23k of the 1.1M distance-2
+    candidate pairs at sf0.01, value-checked against the full pipeline."""
+    from graphscope_spark.algorithms import link_prediction_scores
+
+    s = link_prediction_scores(H.g1(spark, sf_dir))
+    return s.where((F.col("u") % 7 == 0) & (F.col("v") % 7 == 0)).select(
+        "u",
+        "v",
+        "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "pref_attachment",
+    )
+
+
 def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering(H.g2(spark, sf_dir)).select(
         "id", F.round("clustering", 6).alias("clustering")
@@ -1246,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
         "dfs_g1_src1": q_dfs,
+        "link_prediction_g1": q_link_prediction,
     }
 
 
@@ -1320,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
+        "link_prediction_g1": H.LINK_PREDICTION_SQL,
         # dfs_g1_src1: sequential visit order not SQL-expressible →
         # rows-only; pytest has the recursive-Python twin
     }

@@ -51,6 +51,10 @@ from graphscope_spark.algorithms.betweenness import (
     betweenness_centrality,
     harmonic_centrality,
 )
+from graphscope_spark.algorithms.linkpred import (
+    common_neighbors,
+    link_prediction_scores,
+)
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -64,4 +68,5 @@ __all__ = [
     "closeness_centrality", "all_pairs_shortest_path_length",
     "louvain", "property_sssp", "property_bfs", "sampling_path", "dfs",
     "betweenness_centrality", "harmonic_centrality", "node2vec_path",
+    "link_prediction_scores", "common_neighbors",
 ]

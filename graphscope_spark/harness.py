@@ -741,6 +741,38 @@ FROM edges e
 WHERE e.src IN (SELECT id FROM s) AND e.dst NOT IN (SELECT id FROM s)
 """
 
+# Link-prediction scores (algorithms/linkpred.py) over undirected G1,
+# trimmed to the (u % 7 = 0 AND v % 7 = 0) stratum — 23k of the 1.1M
+# distance-2 candidate pairs at sf0.01.  Same wedge enumeration the
+# Spark plan uses; the anti-join against existing edges is a
+# structural no-op on bipartite G1 (distance-2 pairs are same-side),
+# and the NX-parity exclusion behavior is pytest-covered on gnp.
+LINK_PREDICTION_SQL = f"""
+WITH e AS MATERIALIZED ({G1_SQL}),
+und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+wedges AS (
+    SELECT a.dst AS u, b.dst AS v, a.src AS w
+    FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst),
+pairs AS (
+    SELECT u, v, COUNT(*) AS cn,
+           SUM(1.0 / LN(d.deg)) AS aa,
+           SUM(1.0 / d.deg) AS ra
+    FROM wedges JOIN deg d ON wedges.w = d.id
+    GROUP BY u, v),
+canon_e AS (SELECT LEAST(src, dst) AS s, GREATEST(src, dst) AS t FROM e)
+SELECT p.u, p.v, p.cn,
+       ROUND(p.cn * 1.0 / (du.deg + dv.deg - p.cn), 6) AS jaccard,
+       ROUND(p.aa, 6) AS adamic_adar,
+       ROUND(p.ra, 6) AS resource_allocation,
+       CAST(du.deg * dv.deg AS BIGINT) AS pref_attachment
+FROM pairs p
+JOIN deg du ON p.u = du.id
+JOIN deg dv ON p.v = dv.id
+LEFT JOIN canon_e x ON p.u = x.s AND p.v = x.t
+WHERE x.s IS NULL AND p.u % 7 = 0 AND p.v % 7 = 0
+"""
+
 
 def simple_path_sql(nodes: list[int]) -> str:
     """is_simple_path over undirected G2 for a fixed node list."""

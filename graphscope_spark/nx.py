@@ -830,6 +830,61 @@ def louvain_communities(G: Graph, weight: str = "weight", **kw) -> list[set]:
     return [comms[c] for c in sorted(comms)]
 
 
+# -- link prediction (upstream networkx/algorithms/link_prediction.py,
+# re-exported by the reference nx layer the same way builtin.py
+# mirrors upstream signatures). Scores run distributed over the
+# distance-2 candidate set (algorithms/linkpred.py); the default
+# ebunch (all non-edges, NX semantics) is enumerated driver-side like
+# every other compat-layer read.
+
+
+def _lp_iter(G: Graph, ebunch, col: str):
+    if G.is_directed():
+        raise TypeError("link prediction is undefined for directed graphs")
+    rows = A.link_prediction_scores(G._flush(), include_edges=True).collect()
+    score = {(r["u"], r["v"]): r[col] for r in rows}
+    deg = G.degree()
+    if ebunch is None:
+        nodes = list(G._node) if G._base_lg is None else sorted(deg)
+        ebunch = [
+            (u, v)
+            for i, u in enumerate(nodes)
+            for v in nodes[i + 1:]
+            if not G.has_edge(u, v)
+        ]
+    for u, v in ebunch:
+        ui, vi = _src_id(G, u), _src_id(G, v)
+        key = (ui, vi) if ui < vi else (vi, ui)
+        if col == "pref_attachment":
+            yield u, v, deg[u] * deg[v]
+        elif col == "cn":
+            yield u, v, int(score.get(key, 0))
+        else:
+            yield u, v, float(score.get(key, 0.0))
+
+
+def jaccard_coefficient(G: Graph, ebunch=None) -> Iterator[tuple]:
+    return _lp_iter(G, ebunch, "jaccard")
+
+
+def adamic_adar_index(G: Graph, ebunch=None) -> Iterator[tuple]:
+    return _lp_iter(G, ebunch, "adamic_adar")
+
+
+def resource_allocation_index(G: Graph, ebunch=None) -> Iterator[tuple]:
+    return _lp_iter(G, ebunch, "resource_allocation")
+
+
+def preferential_attachment(G: Graph, ebunch=None) -> Iterator[tuple]:
+    return _lp_iter(G, ebunch, "pref_attachment")
+
+
+def common_neighbors(G: Graph, u: Hashable, v: Hashable) -> list:
+    """networkx.common_neighbors — Γ(u) ∩ Γ(v) as a node list."""
+    r = A.common_neighbors(G._flush(), _src_id(G, u), _src_id(G, v))
+    return [G._back(row[ID]) for row in r.collect()]
+
+
 # ----------------------------------------------------------------------
 # Generators (reference python/graphscope/nx/generators/classic.py,
 # random_graphs.py — which re-export upstream networkx's classic
