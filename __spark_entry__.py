@@ -60,6 +60,7 @@ from graphscope_spark.algorithms import (
 from graphscope_spark.functions import dedup as D
 from graphscope_spark.functions import similarity as S
 from graphscope_spark.functions import text as T
+from graphscope_spark import web as W
 from graphscope_spark.graph import LinkGraph
 
 
@@ -508,6 +509,62 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adamic_adar", 6).alias("adamic_adar"),
         F.round("resource_allocation", 6).alias("resource_allocation"),
         "pref_attachment",
+    )
+
+
+def _synth_url_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Common-Crawl-style page-link edges synthesized
+    from orders (no URL columns exist in the testdata): messy src URLs
+    (uppercase scheme/host, default port, tracking params, trailing
+    slash, fragment) linking to CDN-style dst URLs. The DuckDB oracles
+    build the identical strings with the same arithmetic."""
+    o = H.load(spark, sf_dir, "orders")
+    c = lambda e: e.cast("string")  # noqa: E731
+    return o.select(
+        F.concat(
+            F.lit("HTTP://WWW.Site"), c(F.col("o_custkey") % 20),
+            F.lit(".COM:80/page/"), c(F.col("o_orderkey") % 11),
+            F.lit("/?utm_source=x&q="), c(F.col("o_orderkey") % 3),
+            F.lit("#frag"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("https://cdn.site"), c(F.col("o_orderkey") % 25),
+            F.lit(".com:443/asset/"), c(F.col("o_custkey") % 5),
+        ).alias("dst_url"),
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization kernels (web.py): canonical form, host,
+    registered domain, CC reversed-host — all pure Catalyst regexp /
+    array expressions, DuckDB twin reproduces each rule."""
+    urls = _synth_url_edges(spark, sf_dir).select("src_url").distinct()
+    h = W.url_host("src_url")
+    return urls.select(
+        F.col("src_url").alias("url"),
+        W.canonicalize_url("src_url").alias("canon"),
+        h.alias("host"),
+        W.registered_domain(h).alias("domain"),
+        W.reverse_host(h).alias("rhost"),
+    )
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-edge → registered-domain webgraph rollup (web.py
+    host_graph): host extraction folds into the scan projection, one
+    map-side-combined hash aggregate, self-links dropped (CC host-graph
+    convention)."""
+    return W.host_graph(
+        _synth_url_edges(spark, sf_dir), level="domain", drop_self=True
+    )
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line-level exact dedup + doc reassembly
+    (functions/dedup.py dedup_lines) over documents, space-delimited
+    tokens standing in for lines at this corpus size."""
+    return D.dedup_lines(
+        H.load(spark, sf_dir, "documents"), delim=" "
     )
 
 
@@ -1194,6 +1251,110 @@ SELECT DISTINCT dst AS id FROM e WHERE src = 1
 """
 
 
+# URL kernels (web.py twin): same regex, same rule order.
+_URL_RE_SQL = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+_TRACKING_RE_SQL = "^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$"
+
+_SYNTH_URLS_SQL = """
+SELECT 'HTTP://WWW.Site' || CAST(o_custkey % 20 AS VARCHAR)
+       || '.COM:80/page/' || CAST(o_orderkey % 11 AS VARCHAR)
+       || '/?utm_source=x&q=' || CAST(o_orderkey % 3 AS VARCHAR)
+       || '#frag' AS src_url,
+       'https://cdn.site' || CAST(o_orderkey % 25 AS VARCHAR)
+       || '.com:443/asset/' || CAST(o_custkey % 5 AS VARCHAR) AS dst_url
+FROM orders
+"""
+
+URL_CANONICAL_SQL = f"""
+WITH e AS ({_SYNTH_URLS_SQL}),
+u AS (SELECT DISTINCT src_url AS url FROM e),
+p AS (
+  SELECT url,
+         lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS auth,
+         regexp_extract(url, '{_URL_RE_SQL}', 3) AS path0,
+         regexp_extract(url, '{_URL_RE_SQL}', 4) AS query
+  FROM u),
+r AS (
+  SELECT url, scheme, auth,
+         CASE WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$',  '')
+              WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+              ELSE auth END AS chost,
+         CASE WHEN length(path0) > 1 THEN regexp_replace(path0, '/$', '')
+              ELSE path0 END AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_RE_SQL}'))),
+             '&') AS qs,
+         regexp_replace(auth, ':[0-9]+$', '') AS host
+  FROM p),
+d AS (
+  SELECT url, scheme, chost, path, qs, host,
+         string_split(host, '.') AS labels
+  FROM r)
+SELECT url,
+       CASE WHEN scheme = '' THEN url
+            ELSE scheme || '://' || chost || path ||
+                 (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+       END AS canon,
+       host,
+       CASE WHEN len(labels) >= 2
+            THEN array_to_string(list_slice(labels, len(labels) - 1,
+                                            len(labels)), '.')
+            ELSE host END AS domain,
+       array_to_string(list_reverse(labels), '.') AS rhost
+FROM d
+"""
+
+HOST_GRAPH_SQL = f"""
+WITH e AS ({_SYNTH_URLS_SQL}),
+h AS (
+  SELECT regexp_replace(lower(regexp_extract(src_url, '{_URL_RE_SQL}', 2)),
+                        ':[0-9]+$', '') AS sh,
+         regexp_replace(lower(regexp_extract(dst_url, '{_URL_RE_SQL}', 2)),
+                        ':[0-9]+$', '') AS dh
+  FROM e),
+d AS (
+  SELECT CASE WHEN len(string_split(sh, '.')) >= 2
+              THEN array_to_string(list_slice(string_split(sh, '.'),
+                   len(string_split(sh, '.')) - 1,
+                   len(string_split(sh, '.'))), '.')
+              ELSE sh END AS src_host,
+         CASE WHEN len(string_split(dh, '.')) >= 2
+              THEN array_to_string(list_slice(string_split(dh, '.'),
+                   len(string_split(dh, '.')) - 1,
+                   len(string_split(dh, '.'))), '.')
+              ELSE dh END AS dst_host
+  FROM h
+  WHERE sh <> '' AND dh <> '')
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM d
+WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+DEDUP_LINES_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS line
+  FROM documents),
+ranked AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines),
+reasm AS (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY pos) AS text,
+         CAST(COUNT(*) AS BIGINT) AS lines_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.lines_kept, 0) AS lines_kept,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS lines_orig
+FROM documents d LEFT JOIN reasm r ON r.doc_id = d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_g1_r5": q_pagerank,
@@ -1268,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers_g1": q_core_numbers,
         "dfs_g1_src1": q_dfs,
         "link_prediction_g1": q_link_prediction,
+        "url_canonical": q_url_canonical,
+        "host_graph_domains": q_host_graph,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -1343,6 +1507,9 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
         "link_prediction_g1": H.LINK_PREDICTION_SQL,
+        "url_canonical": URL_CANONICAL_SQL,
+        "host_graph_domains": HOST_GRAPH_SQL,
+        "dedup_lines": DEDUP_LINES_SQL,
         # dfs_g1_src1: sequential visit order not SQL-expressible →
         # rows-only; pytest has the recursive-Python twin
     }

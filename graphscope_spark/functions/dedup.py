@@ -6,6 +6,7 @@
 - minhash_signatures /
   minhash_lsh_pairs      — MinHash + banded LSH candidate pairs
 - simhash64              — 64-bit SimHash (the one pandas-UDF kernel)
+- dedup_lines            — C4-style global line-level dedup + doc reassembly
 
 Scale notes (100 TB corpus):
 - shingling & minhash are per-row map work — no shuffle, codegen'd;
@@ -314,3 +315,75 @@ def decontaminate(
         .distinct()
     )
     return docs.join(hits, id_col, "left_anti")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_empty: bool = False,
+) -> DataFrame:
+    """C4-style global line-level exact dedup: across the whole corpus
+    keep only the FIRST occurrence of every distinct line (ordered by
+    (doc_id, position)), drop every other occurrence, and reassemble
+    each document from its surviving lines in original order (C4 dedups
+    three-sentence spans the same way; `delim` picks the span unit —
+    no reference counterpart, training-pipeline op).
+
+    Returns (id_col, text_col deduped, lines_kept, lines_orig); docs
+    whose every line was seen earlier come back with text='' and
+    lines_kept=0 unless ``drop_empty``.
+
+    Scale shape (100 TB corpus): one posexplode (row count = total
+    lines, inherent), ONE hash aggregate on md5(line) (map-side
+    combined min-struct — boilerplate mega-lines collapse in the map
+    phase, no skew blowup), one co-partitioned join back on the line
+    hash (1 match per row, no fan-out), one per-doc hash aggregate for
+    reassembly. No windows — a global row_number() window would have
+    the same semantics but no partial aggregation.
+    """
+    import re
+
+    pat = re.escape(delim)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "line"),
+    ).withColumn("lkey", F.md5("line"))
+    first = lines.groupBy("lkey").agg(
+        F.min(F.struct(id_col, "pos")).alias("__first")
+    )
+    kept = lines.join(first, "lkey").where(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("pos") == F.col("__first.pos"))
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__ls"),
+            F.count("*").alias("lines_kept"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(delim, F.transform("__ls", lambda s: s["line"])).alias(
+                text_col
+            ),
+            "lines_kept",
+        )
+    )
+    orig = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat, -1)).cast("long").alias("lines_orig"),
+    )
+    how = "inner" if drop_empty else "left"
+    res = orig.join(out, id_col, how)
+    if not drop_empty:
+        res = res.select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            F.coalesce("lines_kept", F.lit(0)).alias("lines_kept"),
+            "lines_orig",
+        )
+    else:
+        res = res.select(id_col, text_col, "lines_kept", "lines_orig")
+    return res

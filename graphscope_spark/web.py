@@ -1,0 +1,135 @@
+"""URL canonicalization and host-level webgraph rollup.
+
+The Common-Crawl link-graph path (north rule): page-level (src_url,
+dst_url) edges roll up to the host-level webgraph — the artifact CC
+itself publishes (crawl host/domain graphs, reversed-host naming) and
+the input unit for domain-level PageRank / centrality. The reference
+builds its web graphs the same way: extract links, hash vertices,
+aggregate (SURVEY.md §2.1; ref analytical_engine loader path).
+
+Every kernel here is a pure Catalyst column expression (regexp /
+array higher-order functions) — zero Python in the hot path, folds
+into the scan projection, and is reproducible verbatim by the DuckDB
+oracle (regexp_extract group semantics and list_filter/list_sort match
+Spark's).
+
+Canonicalization rules (deterministic, order matters):
+1. lowercase scheme and authority (never the path),
+2. strip the fragment,
+3. strip the scheme-default port (http:80, https:443),
+4. drop tracking params (utm_*, fbclid, gclid, msclkid), sort the
+   survivors bytewise, drop the '?' when none survive,
+5. strip one trailing slash unless the path is exactly '/'.
+Unparseable inputs (no scheme://) pass through unchanged.
+
+`registered_domain` uses the last-two-labels heuristic — a public
+suffix list (publicsuffix.org) is the production swap-in (broadcast
+join against the PSL table); the heuristic keeps the kernel
+expression-only and is exact for .com/.org/.net-style corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme :// authority path [?query] [#fragment]
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+# tracking params dropped by canonicalize_url (key with or without =value)
+TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of a URL column (rules in the module docstring)."""
+    u = _col(url)
+    scheme = F.lower(F.regexp_extract(u, URL_RE, 1))
+    auth = F.lower(F.regexp_extract(u, URL_RE, 2))
+    path = F.regexp_extract(u, URL_RE, 3)
+    query = F.regexp_extract(u, URL_RE, 4)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.when(F.length(path) > 1, F.regexp_replace(path, "/$", "")).otherwise(
+        path
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_RE),
+    )
+    qs = F.concat_ws("&", F.array_sort(params))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased hostname of a URL column, any port stripped; '' when
+    the URL has no scheme://authority."""
+    auth = F.lower(F.regexp_extract(_col(url), URL_RE, 2))
+    return F.regexp_replace(auth, ":[0-9]+$", "")
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Last-two-labels registered domain ('news.bbc.com' → 'bbc.com');
+    single-label hosts pass through. PSL swap-in point documented in
+    the module docstring."""
+    h = _col(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2))
+    ).otherwise(h)
+
+
+def reverse_host(host: Column | str) -> Column:
+    """Common-Crawl reversed-host notation ('www.example.com' →
+    'com.example.www') — the sort key CC's host graph uses so a
+    domain's subdomains cluster under range partitioning."""
+    return F.concat_ws(".", F.reverse(F.split(_col(host), r"\.")))
+
+
+def host_graph(
+    page_edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    level: str = "host",
+    drop_self: bool = False,
+) -> DataFrame:
+    """Roll page-level URL edges up to the (src_host, dst_host,
+    n_links) host webgraph. ``level``: 'host' | 'domain' (registered
+    domain) | 'reversed_host' (CC naming). ``drop_self`` removes
+    intra-host links (CC's graphs exclude them).
+
+    Scale shape: host extraction folds into the scan projection
+    (codegen, zero shuffle); the rollup is ONE map-side-combined hash
+    aggregate — hub hosts (power-law fan-in) collapse to partial
+    counts before the shuffle, so no salting is needed here. The
+    output graph is orders of magnitude smaller than the page graph
+    (CC: ~10^8 hosts vs ~10^12 pages) and feeds LinkGraph.from_edges
+    directly.
+    """
+    key = {
+        "host": lambda c: url_host(c),
+        "domain": lambda c: registered_domain(url_host(c)),
+        "reversed_host": lambda c: reverse_host(url_host(c)),
+    }
+    if level not in key:
+        raise ValueError(f"level must be host|domain|reversed_host, got {level!r}")
+    k = key[level]
+    e = page_edges.select(
+        k(src_col).alias("src_host"), k(dst_col).alias("dst_host")
+    ).where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(F.count("*").alias("n_links"))
