@@ -568,6 +568,34 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/phones → typed placeholders + counts,
+    functions/text.py pii_redact). The synthetic docs carry no PII, so
+    deterministic PII is appended in-query — identically in the DuckDB
+    oracle — before the redaction kernel runs."""
+    c = lambda e: e.cast("string")  # noqa: E731
+    docs = H.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), c(F.col("doc_id")), F.lit("@ex.org ip 10.0."),
+            c(F.col("doc_id") % 256), F.lit("."), c(F.col("doc_id") % 100),
+            F.lit(" tel 555-000-"),
+            F.lpad(c(F.col("doc_id") % 10000), 4, "0"),
+        ).alias("text"),
+    )
+    return T.pii_redact(docs)
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-line removal (functions/dedup.py
+    remove_boilerplate): lines in more than max_df distinct docs are
+    dropped everywhere; space-delimited tokens stand in for lines."""
+    return D.remove_boilerplate(
+        H.load(spark, sf_dir, "documents"), max_df=5, delim=" "
+    )
+
+
 def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering(H.g2(spark, sf_dir)).select(
         "id", F.round("clustering", 6).alias("clustering")
@@ -1355,6 +1383,59 @@ FROM documents d LEFT JOIN reasm r ON r.doc_id = d.doc_id
 """
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+PII_REDACT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' tel 555-000-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents),
+e1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS text
+  FROM d),
+e2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+         regexp_replace(text, '{_PII_IP}', '<IP>', 'g') AS text
+  FROM e1),
+e3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         regexp_replace(text, '{_PII_PHONE}', '<PHONE>', 'g') AS text
+  FROM e2)
+SELECT doc_id, text, n_emails, n_ips, n_phones FROM e3
+"""
+
+REMOVE_BOILERPLATE_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS line
+  FROM documents),
+rare AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) <= 5),
+reasm AS (
+  SELECT l.doc_id,
+         string_agg(l.line, ' ' ORDER BY l.pos) AS text,
+         CAST(COUNT(*) AS BIGINT) AS lines_kept
+  FROM lines l JOIN rare r ON r.line = l.line
+  GROUP BY l.doc_id)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.lines_kept, 0) AS lines_kept,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS lines_orig
+FROM documents d LEFT JOIN reasm r ON r.doc_id = d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_g1_r5": q_pagerank,
@@ -1432,6 +1513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "host_graph_domains": q_host_graph,
         "dedup_lines": q_dedup_lines,
+        "pii_redact": q_pii_redact,
+        "remove_boilerplate": q_remove_boilerplate,
     }
 
 
@@ -1510,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": URL_CANONICAL_SQL,
         "host_graph_domains": HOST_GRAPH_SQL,
         "dedup_lines": DEDUP_LINES_SQL,
+        "pii_redact": PII_REDACT_SQL,
+        "remove_boilerplate": REMOVE_BOILERPLATE_SQL,
         # dfs_g1_src1: sequential visit order not SQL-expressible →
         # rows-only; pytest has the recursive-Python twin
     }

@@ -387,3 +387,67 @@ def dedup_lines(
     else:
         res = res.select(id_col, text_col, "lines_kept", "lines_orig")
     return res
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    max_df: int = 2,
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate-line removal: drop every line that
+    occurs in MORE than ``max_df`` distinct documents (nav bars, cookie
+    banners, footers repeat across a site's pages; real content does
+    not), then reassemble each document from its surviving lines in
+    original order. Unlike :func:`dedup_lines` (first occurrence wins,
+    later dropped), a boilerplate line is dropped EVERYWHERE, and an
+    intra-doc repeat of a rare line survives in full. No reference
+    counterpart — training-pipeline op.
+
+    Returns (id_col, text_col, lines_kept, lines_orig).
+
+    Scale shape (100 TB corpus): one posexplode, one hash aggregate on
+    md5(line) computing the distinct-doc frequency (count(distinct)
+    shuffles (lkey, doc_id) pairs — bounded by total lines, partial
+    dedup map-side), one co-partitioned join back, one per-doc
+    reassembly aggregate. Same two-shuffle shape as dedup_lines.
+    """
+    import re
+
+    pat = re.escape(delim)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "line"),
+    ).withColumn("lkey", F.md5("line"))
+    rare = (
+        lines.groupBy("lkey")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("lkey")
+    )
+    kept = lines.join(rare, "lkey")
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__ls"),
+            F.count("*").alias("lines_kept"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(delim, F.transform("__ls", lambda s: s["line"])).alias(
+                text_col
+            ),
+            "lines_kept",
+        )
+    )
+    orig = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat, -1)).cast("long").alias("lines_orig"),
+    )
+    return orig.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+        F.coalesce("lines_kept", F.lit(0)).alias("lines_kept"),
+        "lines_orig",
+    )

@@ -241,3 +241,43 @@ def pack_shards(
             )
 
     return d.mapInPandas(cumsum, f"{id_col} long, n_tokens long, shard long")
+
+
+# PII patterns (pii_redact). Deterministic, unambiguous shapes chosen
+# so Java-regex (Spark) and RE2 (DuckDB) replace identically: the
+# email/IP/phone forms below have no overlapping or nested matches.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction (standard webtext-pipeline scrub, e.g. what C4 /
+    CCNet-style corpora apply before release): replace emails, IPv4
+    addresses and NNN-NNN-NNNN phone numbers with typed placeholder
+    tokens and count each category. No reference counterpart —
+    training-pipeline op.
+
+    Order matters and is fixed: emails first (an email never contains
+    an IP/phone once replaced), then IPs, then phones — the DuckDB twin
+    applies the same order. Pure codegen regexp expressions, zero
+    shuffle, zero Python.
+
+    Returns (id_col, text_col redacted, n_emails, n_ips, n_phones).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).cast("long")
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), 0)).cast("long")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0)).cast("long")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        t3.alias(text_col),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
