@@ -568,6 +568,25 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl flagship composition end-to-end: page URL edges
+    → host webgraph rollup (web.py) → xxhash64 vertex hashing
+    (LinkGraph.from_url_edges, the 10^12-url scale path) → fixed-round
+    PageRank → join ranks back to host names. PageRank is
+    id-assignment-independent, so the DuckDB oracle runs the same
+    unroll directly over host-string edge keys — no hash to reproduce."""
+    hg = W.host_graph(
+        _synth_url_edges(spark, sf_dir), level="host", drop_self=True
+    )
+    g = LinkGraph.from_url_edges(
+        hg, src_url="src_host", dst_url="dst_host"
+    ).build()
+    pr = pagerank(g, alpha=0.85, fixed_rounds=5)
+    return pr.join(g.vertices, "id").select(
+        F.col("url").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/IPv4/phones → typed placeholders + counts,
     functions/text.py pii_redact). The synthetic docs carry no PII, so
@@ -1383,6 +1402,19 @@ FROM documents d LEFT JOIN reasm r ON r.doc_id = d.doc_id
 """
 
 
+# Host-string edge list for the host_pagerank oracle: same synth URLs,
+# same host extraction, DISTINCT pairs (host_graph emits one row per
+# pair), self-links dropped.
+HOST_EDGES_SQL = f"""
+SELECT DISTINCT
+  regexp_replace(lower(regexp_extract(src_url, '{_URL_RE_SQL}', 2)),
+                 ':[0-9]+$', '') AS src,
+  regexp_replace(lower(regexp_extract(dst_url, '{_URL_RE_SQL}', 2)),
+                 ':[0-9]+$', '') AS dst
+FROM ({_SYNTH_URLS_SQL})
+WHERE src <> '' AND dst <> '' AND src <> dst
+"""
+
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IP = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
 _PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
@@ -1515,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "pii_redact": q_pii_redact,
         "remove_boilerplate": q_remove_boilerplate,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -1595,6 +1628,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": DEDUP_LINES_SQL,
         "pii_redact": PII_REDACT_SQL,
         "remove_boilerplate": REMOVE_BOILERPLATE_SQL,
+        "host_pagerank": H.pagerank_sql(
+            5, graph_sql=HOST_EDGES_SQL, id_alias="host"
+        ),
         # dfs_g1_src1: sequential visit order not SQL-expressible →
         # rows-only; pytest has the recursive-Python twin
     }

@@ -96,10 +96,18 @@ def g2(spark: SparkSession, sf_dir: str) -> LinkGraph:
 # ----------------------------------------------------------------------
 # Oracle SQL generators — fixed-round supersteps unrolled as CTE chains
 # ----------------------------------------------------------------------
-def pagerank_sql(rounds: int, alpha: float = 0.85) -> str:
-    """Unrolled NetworkX-semantics PageRank over G1 (SURVEY.md §2.4.1)."""
+def pagerank_sql(
+    rounds: int,
+    alpha: float = 0.85,
+    graph_sql: str | None = None,
+    id_alias: str = "id",
+) -> str:
+    """Unrolled NetworkX-semantics PageRank (SURVEY.md §2.4.1) over
+    ``graph_sql`` — any (src, dst) edge query, numeric or string keys
+    (the unroll only ever joins on equality) — defaulting to G1.
+    ``id_alias`` renames the output id column (e.g. 'host')."""
     ctes = [
-        f"edges AS MATERIALIZED ({G1_SQL})",
+        f"edges AS MATERIALIZED ({graph_sql if graph_sql is not None else G1_SQL})",
         "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
         "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
         """outdeg AS MATERIALIZED (
@@ -128,7 +136,7 @@ def pagerank_sql(rounds: int, alpha: float = 0.85) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"""
-SELECT id, ROUND(rank, 6) AS rank FROM r{rounds}"""
+SELECT id AS {id_alias}, ROUND(rank, 6) AS rank FROM r{rounds}"""
     )
 
 
