@@ -170,6 +170,47 @@ def main() -> int:
         plan_of(cand),
     ))
 
+    # host-graph rollup: URL→host extraction folded into the projection
+    from graphscope_spark import web as W
+    li2 = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    page_edges = li2.select(
+        F.concat(F.lit("http://h"), (F.col("o_custkey") % 20).cast("string"),
+                 F.lit(".com/p")).alias("src_url"),
+        F.concat(F.lit("http://h"), (F.col("o_orderkey") % 25).cast("string"),
+                 F.lit(".com/q")).alias("dst_url"),
+    )
+    hg = W.host_graph(page_edges, level="domain", drop_self=True)
+    sections.append((
+        "host-graph rollup (url→domain + count)",
+        "expect: regexp/array host extraction fused into the scan "
+        "projection (one WholeStageCodegen span), then ONE partial+final "
+        "hash aggregate on (src_host, dst_host) — hub hosts collapse "
+        "map-side, no salting needed, no Python",
+        plan_of(hg),
+    ))
+
+    # dedup_lines: global first-occurrence line dedup
+    lines_out = D.dedup_lines(docs, delim=" ")
+    sections.append((
+        "dedup_lines (C4-style global line dedup + reassembly)",
+        "expect: posexplode projection, ONE hash agg on md5(line) with "
+        "partial min(struct) map-side, one shuffle join back on the "
+        "line hash, one per-doc objecthashagg for reassembly; no "
+        "window, no Python",
+        plan_of(lines_out),
+    ))
+
+    # pii_redact: pure codegen regexp scan
+    from graphscope_spark.functions import text as TX
+    pii = TX.pii_redact(docs)
+    sections.append((
+        "pii_redact (email/IP/phone scrub)",
+        "expect: a single Project over the scan — all six regexp "
+        "expressions in one WholeStageCodegen span, zero shuffles, "
+        "zero Python",
+        plan_of(pii),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
