@@ -798,6 +798,25 @@ def q_gremlin_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.V(1).repeat(__.out()).times(2).dedup().toDF()
 
 
+def q_gremlin_sack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.withSack(0.0).V(1).outE().sack(sum).by('w').inV().outE()
+    .sack(sum).by('w').inV().sack() on weighted G2 — accumulated
+    2-hop path weights; the sack rides the traverser row, the whole
+    chain is one Catalyst plan (two edge joins + two property joins)."""
+    from graphscope_spark.traversal import traversal
+
+    g = H.g2w(spark, sf_dir)
+    t = traversal(g).with_sack(0.0)
+    sums = (
+        t.V(1)
+        .outE().sack("sum").by("w").inV()
+        .outE().sack("sum").by("w").inV()
+        .sack()
+        .toDF()
+    )
+    return sums.select(F.round("val", 6).alias("wsum"))
+
+
 def q_gremlin_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g.V().out().groupCount() on G1 — arrivals per supplier (GIE
     aggregate steps, rst:320-330): hop join + map-side-combined agg."""
@@ -1298,6 +1317,14 @@ SELECT DISTINCT dst AS id FROM e WHERE src = 1
 """
 
 
+GREMLIN_SACK_SQL = f"""
+WITH e AS ({H.G2W_SQL})
+SELECT ROUND(e1.w + e2.w, 6) AS wsum
+FROM e e1 JOIN e e2 ON e2.src = e1.dst
+WHERE e1.src = 1
+"""
+
+
 # URL kernels (web.py twin): same regex, same rule order.
 _URL_RE_SQL = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
 _TRACKING_RE_SQL = "^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$"
@@ -1536,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_groupcount_g1": q_gremlin_groupcount,
         "gremlin_group_g1": q_gremlin_group,
         "gremlin_until_g1": q_gremlin_until,
+        "gremlin_sack_g2w": q_gremlin_sack,
         "sampling_path_g2": q_sampling_path,
         "node2vec_g1": q_node2vec,
         "skipgram_g1": q_skipgram,
@@ -1618,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
         "gremlin_group_g1": GREMLIN_GROUP_SQL,
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
+        "gremlin_sack_g2w": GREMLIN_SACK_SQL,
         "sampling_path_g2": H.sampling_path_sql([1, 2, 3, 4, 5], 4, 42),
         "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),

@@ -26,10 +26,15 @@ Supported steps (GIE inventory → here):
 - modulation: as_(tag), order(by),
               repeat(__...).times(k).emit(),
               repeat(__...).until(__cond).emit()       rst:340-358
+- sack:       g.with_sack(init) ... sack(op).by(prop), sack()
+              (sack rides the traverser row as a carried column; each
+              update is a codegen projection — the chain stays 1 plan)
+- side effect: aggregate(key) ... cap(key) (retrieve-at-end form;
+              mid-stream side-effect reads unsupported)
 - predicates: P.gt/gte/lt/lte/eq/neq/within/without/between,
               Text.startingWith/containing/regex
 
-Deliberately absent (as in GIE, rst:359-369): match/sack/cap/profile,
+Deliberately absent (as in GIE, rst:359-369): match/profile,
 nested repeat. until() is the post-condition form
 (repeat(sub).until(cond)); each round is checkpoint-cut like a
 SuperstepRunner superstep, with a max_rounds guard because a
@@ -128,7 +133,19 @@ class _AnonFactory:
 
 __ = _AnonFactory()
 
-_SEED, _PATH = "__seed", "__path"
+_SEED, _PATH, _SACK = "__seed", "__path", "__sack"
+
+# sack(op) operators (Gremlin Operator enum subset). Column-expression
+# only, so a sack update stays inside the step's codegen projection.
+_SACK_OPS: dict[str, Callable[[Column, Column], Column]] = {
+    "sum": lambda s, v: s + v,
+    "minus": lambda s, v: s - v,
+    "mult": lambda s, v: s * v,
+    "div": lambda s, v: s / v,
+    "min": F.least,
+    "max": F.greatest,
+    "assign": lambda s, v: v,
+}
 
 
 class Traversal:
@@ -138,23 +155,26 @@ class Traversal:
 
     def __init__(self, graph: LinkGraph, df: DataFrame, kind: str,
                  order_cols: tuple = (), seed_df: DataFrame | None = None,
-                 track_path: bool = False):
+                 track_path: bool = False,
+                 sides: dict[str, DataFrame] | None = None):
         self.graph = graph
         self.df = df
         self.kind = kind
         self._order = order_cols
         self._seed_df = seed_df      # universe of seeds inside where()
         self._track_path = track_path
+        self._sides = sides or {}    # aggregate(key) side-effect streams
 
     def _next(self, df: DataFrame, kind: str | None = None,
               order: tuple | None = None) -> "Traversal":
         return Traversal(self.graph, df, kind or self.kind,
                          self._order if order is None else order,
-                         self._seed_df, self._track_path)
+                         self._seed_df, self._track_path, self._sides)
 
     def _carry(self) -> list[str]:
         """Columns carried across steps (seed, path, tags)."""
-        keep = [c for c in self.df.columns if c.startswith("t_") or c == _SEED]
+        keep = [c for c in self.df.columns
+                if c.startswith("t_") or c in (_SEED, _SACK)]
         if self._track_path and _PATH in self.df.columns:
             keep.append(_PATH)
         return keep
@@ -351,6 +371,52 @@ class Traversal:
     def constant(self, v) -> "Traversal":
         return self._next(self.df.select(F.lit(v).alias("val"),
                                          *self._carry()), "value")
+
+    # -- sack (Gremlin withSack/sack, previously declared absent) -------
+    def sack(self, op: str | Callable | None = None):
+        """No arg: map each traverser to its sack value (value
+        traverser; the sack itself stays carried). With an operator
+        ('sum'/'minus'/'mult'/'div'/'min'/'max'/'assign' or a
+        two-Column callable): returns a modulator — `.by(key)` reads
+        the current element's property (edge property on an
+        edge traverser, vertex property on a vertex traverser, the
+        value itself on a value traverser with key=None) and folds it
+        into the sack. Each update is one codegen projection (plus the
+        property join the step would need anyway); the sack rides the
+        traverser row like a tag, so the whole chain stays ONE plan."""
+        if _SACK not in self.df.columns:
+            raise TypeError("sack(): start the traversal with "
+                            "g.with_sack(init)")
+        if op is None:
+            return self._next(
+                self.df.select(F.col(_SACK).alias("val"), *self._carry()),
+                "value")
+        fn = _SACK_OPS[op] if isinstance(op, str) else op
+        return _Sack(self, fn)
+
+    # -- side effects (Gremlin aggregate/cap) ---------------------------
+    def aggregate(self, key: str) -> "Traversal":
+        """Collect the current elements into side-effect ``key`` and
+        continue unchanged. Lazy where Gremlin's barrier is eager: the
+        collected stream is a DataFrame branch materialized only if a
+        later cap(key) is reached — fine for the retrieve-at-the-end
+        use; mid-stream reads of a side effect (within('x')) are not
+        supported."""
+        col = {"v": "e", "e": "esrc", "value": "val"}[self.kind]
+        t = self._next(self.df)
+        t._sides = {**self._sides,
+                    key: self.df.select(F.col(col).alias("x"))}
+        return t
+
+    def cap(self, key: str) -> "Traversal":
+        """Barrier: discard the traverser stream and emit side-effect
+        ``key`` as ONE value traverser holding the sorted fold of the
+        collected elements (our fold() convention)."""
+        if key not in self._sides:
+            raise KeyError(f"cap({key!r}): no aggregate({key!r}) upstream")
+        df = self._sides[key].agg(
+            F.array_sort(F.collect_list("x")).alias("val"))
+        return self._next(df, "value", order=())
 
     def as_(self, tag: str) -> "Traversal":
         self._need("v", "as_")
@@ -786,16 +852,63 @@ class _Branch:
         return getattr(self._built(), name)
 
 
+class _Sack:
+    """sack(op).by(key) modulator: fold the current element's property
+    (or value) into the carried sack column."""
+
+    def __init__(self, t: Traversal, fn: Callable[[Column, Column], Column]):
+        self._t = t
+        self._fn = fn
+
+    def by(self, key: str | None = None) -> Traversal:
+        t = self._t
+        keep = [c for c in t.df.columns if c != _SACK]
+        if key is None:
+            t._need("value", "sack(op).by")
+            df, val = t.df, F.col("val")
+        elif t.kind == "e":
+            if key not in t.graph.edges.columns:
+                raise KeyError(f"edge column {key!r} not found")
+            props = t.graph.edges.select(
+                F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
+                F.col(key).alias("__sv"))
+            df, val = t.df.join(props, ["esrc", "edst"]), F.col("__sv")
+        elif t.kind == "v":
+            if key not in t.graph.vertices.columns:
+                raise KeyError(f"vertex column {key!r} not found")
+            props = t.graph.vertices.select(
+                F.col(ID).alias("e"), F.col(key).alias("__sv"))
+            df, val = t.df.join(props, "e"), F.col("__sv")
+        else:
+            raise TypeError("sack(op).by(key): needs a vertex or edge "
+                            "traverser (or key=None on a value traverser)")
+        out = df.select(*[F.col(c) for c in keep],
+                        self._fn(F.col(_SACK), val).alias(_SACK))
+        return t._next(out)
+
+
 class GraphTraversalSource:
     """`g = traversal(graph)` — reference: interactive session
     `sess.gremlin(g)` returning a traversal source."""
 
-    def __init__(self, graph: LinkGraph, track_path: bool = False):
+    def __init__(self, graph: LinkGraph, track_path: bool = False,
+                 sack_init=None):
         self.graph = graph
         self._track_path = track_path
+        self._sack_init = sack_init
 
     def with_path(self) -> "GraphTraversalSource":
-        return GraphTraversalSource(self.graph, track_path=True)
+        return GraphTraversalSource(self.graph, track_path=True,
+                                    sack_init=self._sack_init)
+
+    def with_sack(self, init) -> "GraphTraversalSource":
+        """Gremlin g.withSack(init): every traverser starts with a sack
+        holding ``init`` (a literal; per-traverser supplier functions
+        are out of scope)."""
+        return GraphTraversalSource(self.graph, self._track_path,
+                                    sack_init=init)
+
+    withSack = with_sack
 
     def V(self, *ids) -> Traversal:
         df = self.graph.vertices.select(F.col(ID).alias("e"))
@@ -803,12 +916,16 @@ class GraphTraversalSource:
             df = df.where(F.col("e").isin([int(i) for i in ids]))
         if self._track_path:
             df = df.withColumn(_PATH, F.array(F.col("e")))
+        if self._sack_init is not None:
+            df = df.withColumn(_SACK, F.lit(self._sack_init))
         return Traversal(self.graph, df, "v", track_path=self._track_path)
 
     def E(self) -> Traversal:
         df = self.graph.edges.select(F.col(SRC).alias("esrc"),
                                      F.col(DST).alias("edst"),
                                      F.col(SRC).alias("eprev"))
+        if self._sack_init is not None:
+            df = df.withColumn(_SACK, F.lit(self._sack_init))
         return Traversal(self.graph, df, "e")
 
 

@@ -281,3 +281,69 @@ def test_label_errors(g):
     import pytest as _pt
     with _pt.raises(KeyError):
         g.V().label().toDF()
+
+
+# -- sack / aggregate / cap -------------------------------------------
+def test_sack_vertex_property(g):
+    # sum the visited vertex's own id into the sack: one hop from 3 →
+    # sack = dst id
+    vals = g.with_sack(0).V(3).out().sack("sum").by("id").sack().toList()
+    assert sorted(vals) == sorted(OUT[3])
+
+
+def test_sack_edge_weight_paths(spark):
+    from graphscope_spark.graph import LinkGraph
+    from graphscope_spark.traversal import traversal as trav
+
+    e = spark.createDataFrame(
+        [(1, 2, 10.0), (1, 3, 1.0), (2, 4, 5.0), (3, 4, 100.0)],
+        "src long, dst long, w double",
+    )
+    gg = trav(LinkGraph.from_edges(e))
+    sums = (
+        gg.with_sack(0.0).V(1)
+        .outE().sack("sum").by("w").inV()
+        .outE().sack("sum").by("w").inV()
+        .sack().toList()
+    )
+    # paths 1→2→4 (15) and 1→3→4 (101)
+    assert sorted(sums) == [15.0, 101.0]
+    # mult over the same paths
+    prods = (
+        gg.with_sack(1.0).V(1)
+        .outE().sack("mult").by("w").inV()
+        .outE().sack("mult").by("w").inV()
+        .sack().toList()
+    )
+    assert sorted(prods) == [50.0, 100.0]
+    # min keeps the bottleneck weight
+    mins = (
+        gg.with_sack(1e18).V(1)
+        .outE().sack("min").by("w").inV()
+        .outE().sack("min").by("w").inV()
+        .sack().toList()
+    )
+    assert sorted(mins) == [1.0, 5.0]
+
+
+def test_sack_requires_with_sack(g):
+    with pytest.raises(TypeError):
+        g.V(3).out().sack()
+
+
+def test_aggregate_cap(g):
+    # collect the mid-stream frontier, keep traversing, retrieve at end
+    got = g.V(3).out().aggregate("x").out().cap("x").toList()
+    assert got == [sorted(OUT[3])]
+    # cap without aggregate raises
+    with pytest.raises(KeyError):
+        g.V(3).out().cap("nope")
+
+
+def test_sack_with_value_traverser(g):
+    # sack(op).by() on a value traverser folds the value itself
+    vals = (
+        g.with_sack(0).V(3).out().values("id")
+        .sack("sum").by().sack().toList()
+    )
+    assert sorted(vals) == sorted(OUT[3])
