@@ -27,7 +27,7 @@ runs on the distributed plan unchanged.
 from __future__ import annotations
 
 import itertools
-from typing import Any, Hashable, Iterable, Iterator
+from typing import Any, Callable, Hashable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +56,7 @@ __all__ = [
     # readwrite (nx/readwrite/edgelist.py, adjlist.py)
     "read_edgelist", "write_edgelist",
     "read_adjlist", "write_adjlist",
+    "read_graphml", "write_graphml",
 ]
 
 # non-int node objects get synthetic ids from this base upward; int
@@ -1063,4 +1064,105 @@ def read_adjlist(path: str, create_using=None, nodetype=None,
                 parts = [nodetype(p) for p in parts]
             G.add_node(parts[0])
             G.add_edges_from((parts[0], v) for v in parts[1:])
+    return G
+
+
+# GraphML (reference python/graphscope/nx/readwrite vendors upstream
+# networkx graphml.py). Driver-side XML, NX-compat scale; attr types
+# declared per the GraphML spec so real networkx cross-parses.
+_GRAPHML_NS = "http://graphml.graphdrawing.org/xmlns"
+
+
+def _graphml_type(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
+def write_graphml(G: "Graph", path: str) -> None:
+    """readwrite/graphml.py write_graphml: one <key> declaration per
+    (node|edge, attr name, inferred type), nodes/edges with <data>
+    children, edgedefault from the graph class."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("graphml", xmlns=_GRAPHML_NS)
+    keys: dict[tuple[str, str], str] = {}  # (for, name) -> key id
+
+    def key_id(domain: str, name: str, value) -> str:
+        if (domain, name) not in keys:
+            kid = f"d{len(keys)}"
+            keys[(domain, name)] = kid
+            ET.SubElement(root, "key", id=kid, attrib={
+                "for": domain, "attr.name": name,
+                "attr.type": _graphml_type(value)})
+        return keys[(domain, name)]
+
+    graph = ET.Element("graph", edgedefault=(
+        "directed" if G._directed else "undirected"))
+    for n, attrs in G._node.items():
+        el = ET.SubElement(graph, "node", id=str(n))
+        for k, v in attrs.items():
+            d = ET.SubElement(el, "data", key=key_id("node", k, v))
+            d.text = str(v).lower() if isinstance(v, bool) else str(v)
+    seen: set[tuple] = set()
+    for u, nbrs in G._succ.items():
+        for v, attrs in nbrs.items():
+            if not G._directed:
+                k = (G._id_of[u], G._id_of[v])
+                if (k[1], k[0]) in seen:
+                    continue
+                seen.add(k)
+            el = ET.SubElement(graph, "edge", source=str(u), target=str(v))
+            for k2, val in attrs.items():
+                d = ET.SubElement(el, "data", key=key_id("edge", k2, val))
+                d.text = str(val).lower() if isinstance(val, bool) else str(val)
+    root.append(graph)  # keys must precede <graph> per the spec
+    ET.ElementTree(root).write(path, encoding="unicode",
+                               xml_declaration=True)
+
+
+def read_graphml(path: str, node_type=str) -> "Graph":
+    """readwrite/graphml.py read_graphml (networkx semantics: node ids
+    come back as ``node_type``, default str; typed <data> values cast
+    per the <key> declarations; directedness from edgedefault)."""
+    import xml.etree.ElementTree as ET
+
+    casts = {"boolean": lambda s: s == "true", "int": int, "long": int,
+             "float": float, "double": float, "string": str}
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    root = ET.parse(path).getroot()
+    keys: dict[str, tuple[str, Callable]] = {}
+    graph_el = None
+    for el in root:
+        if local(el.tag) == "key":
+            keys[el.get("id")] = (
+                el.get("attr.name", el.get("id")),
+                casts.get(el.get("attr.type", "string"), str))
+        elif local(el.tag) == "graph":
+            graph_el = el
+    if graph_el is None:
+        raise ValueError(f"{path}: no <graph> element")
+
+    def datas(el) -> dict:
+        out = {}
+        for d in el:
+            if local(d.tag) == "data" and d.get("key") in keys:
+                name, cast = keys[d.get("key")]
+                out[name] = cast(d.text or "")
+        return out
+
+    G = DiGraph() if graph_el.get("edgedefault") == "directed" else Graph()
+    for el in graph_el:
+        if local(el.tag) == "node":
+            G.add_node(node_type(el.get("id")), **datas(el))
+        elif local(el.tag) == "edge":
+            G.add_edge(node_type(el.get("source")),
+                       node_type(el.get("target")), **datas(el))
     return G

@@ -439,3 +439,52 @@ def test_adjlist_directed(tmp_path):
     back = realnx.read_adjlist(p, nodetype=int,
                                create_using=realnx.DiGraph)
     assert sorted(back.edges) == sorted(nxg.edges)
+
+
+def test_graphml_roundtrip(tmp_path):
+    g = gnx.Graph()
+    g.add_node(1, color="red", score=0.5, flag=True, count=7)
+    g.add_node(2)
+    g.add_edge(1, 2, weight=3.5)
+    g.add_edge(2, 3, weight=1.0, kind="link")
+    p = str(tmp_path / "g.graphml")
+    gnx.write_graphml(g, p)
+    back = gnx.read_graphml(p, node_type=int)
+    assert sorted(back.nodes) == [1, 2, 3]
+    assert back._node[1] == {"color": "red", "score": 0.5,
+                             "flag": True, "count": 7}
+    assert back._succ[1][2]["weight"] == 3.5
+    assert back._succ[2][3] == {"weight": 1.0, "kind": "link"}
+    assert not back._directed
+
+
+def test_graphml_directed_roundtrip(tmp_path):
+    g = gnx.DiGraph()
+    g.add_edge("a", "b", w=2.0)
+    p = str(tmp_path / "d.graphml")
+    gnx.write_graphml(g, p)
+    back = gnx.read_graphml(p)
+    assert back._directed
+    assert list(back.edges) == [("a", "b")]
+    assert back._succ["a"]["b"]["w"] == 2.0
+
+
+def test_graphml_cross_parse_with_networkx(tmp_path):
+    # real networkx reads our file, and we read real networkx's file
+    g = gnx.Graph()
+    g.add_edge(1, 2, weight=3.5)
+    g.add_node(1, color="red")
+    ours = str(tmp_path / "ours.graphml")
+    gnx.write_graphml(g, ours)
+    rb = realnx.read_graphml(ours, node_type=int)
+    assert rb[1][2]["weight"] == 3.5
+    assert rb.nodes[1]["color"] == "red"
+
+    ng = realnx.Graph()
+    ng.add_edge(1, 2, weight=3.5)
+    ng.add_node(1, color="red")
+    theirs = str(tmp_path / "theirs.graphml")
+    realnx.write_graphml(ng, theirs)
+    back = gnx.read_graphml(theirs, node_type=int)
+    assert back._succ[1][2]["weight"] == 3.5
+    assert back._node[1]["color"] == "red"
