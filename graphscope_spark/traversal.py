@@ -12,11 +12,12 @@ hub vertices. Nothing materializes until a terminal (toDF/toList/n).
 Supported steps (GIE inventory → here):
 
 - source:     V(*ids), E()                            rst:188-196
-- flatMap:    out/in_/both(label), outE/inE, inV/outV/otherV
+- flatMap:    out/in_/both(label), outE/inE, inV/outV/otherV/bothV
 - filter:     has(key, P.*/value), hasId, is_, where(__...),
               not_(__...), dedup, limit, range_, simplePath
 - map:        values(key), valueMap(*keys), id_(), constant,
-              select(tags), path(), unfold
+              select(tags), select(keys|values), path(), unfold,
+              properties(*keys).key()/.value()        rst:270-277
 - aggregate:  count, sum_, min_, max_, mean, fold, groupCount,
               group().by(key).by(value)                rst:320-330
 - branch:     branch(key).option(value, __...)         rst:296-318
@@ -247,6 +248,14 @@ class Traversal:
         return self._to_v(F.when(F.col("eprev") == F.col("esrc"),
                                  F.col("edst")).otherwise(F.col("esrc")))
 
+    def bothV(self) -> "Traversal":
+        """Both endpoints of each edge (GIE `g.V().inE().bothV()`,
+        rst:296-305): one vertex traverser per endpoint — a two-arm
+        union, still one Catalyst plan."""
+        self._need("e", "bothV")
+        return self._next(self._to_v(F.col("esrc")).df.unionByName(
+            self._to_v(F.col("edst")).df), "v")
+
     # -- filters ---------------------------------------------------------
     def hasId(self, *ids) -> "Traversal":
         self._need("v", "hasId")
@@ -360,6 +369,48 @@ class Traversal:
             self.df.join(props, "e").select(F.col("e").alias(ID), *ks),
             "pairs")
 
+    def properties(self, *keys: str) -> "Traversal":
+        """One property traverser per (element, key) (GIE
+        `g.V().properties('name').key()/.value()`, rst:270-277).
+        Columns: e / pkey / pval; pval is cast to string when the call
+        spans >1 property column so the per-key union arms share one
+        type (Gremlin property values are heterogeneous) — a
+        single-key call keeps the native type. No keys → all vertex
+        property columns. Follow with key() or value()."""
+        self._need("v", "properties")
+        v = self.graph.vertices
+        ks = list(keys) or [c for c in v.columns if c != ID]
+        missing = [k for k in ks if k not in v.columns]
+        if missing:
+            raise KeyError(f"vertex columns not found: {missing}")
+        cast = len(ks) > 1
+        joined = self.df.join(
+            v.select(F.col(ID).alias("e"), *[F.col(k) for k in ks]), "e")
+        carry = self._carry()
+        arms = [joined.select(
+                    "e", F.lit(k).alias("pkey"),
+                    (F.col(k).cast("string") if cast else F.col(k))
+                    .alias("pval"), *carry)
+                for k in ks]
+        df = arms[0]
+        for a in arms[1:]:
+            df = df.unionByName(a)
+        return self._next(df, "prop")
+
+    def key(self) -> "Traversal":
+        """Property name of each property traverser (GIE
+        `.properties('name').key()`, rst:272-273)."""
+        self._need("prop", "key")
+        return self._next(self.df.select(F.col("pkey").alias("val"),
+                                         *self._carry()), "value")
+
+    def value(self) -> "Traversal":
+        """Property value of each property traverser (GIE
+        `.properties('name').value()`, rst:275-277)."""
+        self._need("prop", "value")
+        return self._next(self.df.select(F.col("pval").alias("val"),
+                                         *self._carry()), "value")
+
     def unfold(self) -> "Traversal":
         """Explode a folded array value back into elements (GIE
         unfold, rst:296-318)."""
@@ -423,6 +474,15 @@ class Traversal:
         return self._next(self.df.withColumn(f"t_{tag}", F.col("e")))
 
     def select(self, *tags: str) -> "Traversal":
+        if (self.kind == "pairs" and len(tags) == 1
+                and tags[0] in ("keys", "values")
+                and {"key", "val"} <= set(self.df.columns)):
+            # Gremlin Column.keys / Column.values over a group() result
+            # (GIE `group().by().by(values('name')).select(values)
+            # .unfold()`, rst:310-311)
+            col = "key" if tags[0] == "keys" else "val"
+            return self._next(self.df.select(F.col(col).alias("val")),
+                              "value")
         cols = [F.col(f"t_{t}").alias(t) for t in tags]
         return self._next(self.df.select(*cols), "pairs")
 
@@ -447,7 +507,7 @@ class Traversal:
         return self._next(self.df.agg(expr.alias("val")), "value")
 
     def count(self) -> "Traversal":
-        col = {"v": "e", "e": "esrc", "value": "val"}[self.kind]
+        col = {"v": "e", "e": "esrc", "value": "val", "prop": "pval"}[self.kind]
         return self._agg(F.count(col), zero=0)
 
     def sum_(self) -> "Traversal":

@@ -347,3 +347,38 @@ def test_sack_with_value_traverser(g):
         .sack("sum").by().sack().toList()
     )
     assert sorted(vals) == sorted(OUT[3])
+
+
+def test_bothV(g):
+    # bothV on inE(2): one traverser per endpoint of each in-edge
+    got = sorted(g.V(2).inE().bothV().id_().toList())
+    expect = sorted([x for s in IN[2] for x in (s, 2)])
+    assert got == expect
+
+
+def test_properties_key_value(gp):
+    # single key keeps the native type
+    assert gp.V(3).properties("score").value().toList() == [3.0]
+    assert gp.V(3).properties("parity").key().toList() == ["parity"]
+    # multi-key: one traverser per (element, key), values cast to
+    # string so the union arms share one type
+    vals = gp.V(4).properties("parity", "score").value().toList()
+    assert sorted(vals) == sorted(["even", "4.0"])
+    # no keys -> all property columns; count() works on prop kind
+    assert gp.V(3, 4).properties().count().toList() == [4]
+    with pytest.raises(KeyError):
+        gp.V(3).properties("nope").toDF()
+
+
+def test_select_keys_values_over_group(g):
+    # GIE rst:310-311: group().by().by(...).select(values).unfold()
+    vals = (g.V(3).out().group().by().by(__.in_().count())
+            .select("values").toList())
+    expect = sorted(len(IN[d]) for d in OUT[3])
+    assert sorted(vals) == expect
+    keys = (g.V(3).out().group().by().by(__.in_().count())
+            .select("keys").toList())
+    assert sorted(keys) == sorted(OUT[3])
+    unfolded = (g.V(3).out().id_().groupCount()
+                .toDF().columns)
+    assert unfolded == ["key", "cnt"]
