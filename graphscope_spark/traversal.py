@@ -27,6 +27,8 @@ Supported steps (GIE inventory → here):
 - modulation: as_(tag), order(by),
               repeat(__...).times(k).emit(),
               repeat(__...).until(__cond).emit()       rst:340-358
+- side effects: aggregate(key)/cap(key); subgraph(key)/cap(key) — the
+  GIE docs' simplified Subgraph (rst:365), extracted to a LinkGraph
 - sack:       g.with_sack(init) ... sack(op).by(prop), sack()
               (sack rides the traverser row as a carried column; each
               update is a codegen projection — the chain stays 1 plan)
@@ -456,17 +458,40 @@ class Traversal:
         col = {"v": "e", "e": "esrc", "value": "val"}[self.kind]
         t = self._next(self.df)
         t._sides = {**self._sides,
-                    key: self.df.select(F.col(col).alias("x"))}
+                    key: ("fold", self.df.select(F.col(col).alias("x")))}
         return t
 
-    def cap(self, key: str) -> "Traversal":
+    def subgraph(self, key: str) -> "Traversal":
+        """Side-effect subgraph extraction — the GIE docs' "simplified
+        version ... to extract subgraphs" (rst:365; GIE writes the
+        subgraph to Vineyard, here the target is a LinkGraph). Valid on
+        edge traversers; the traversed edge stream is collected lazily,
+        the traversal continues unchanged, and a terminal cap(key)
+        yields the LinkGraph (Gremlin's `subgraph('sg').cap('sg')`)."""
+        self._need("e", "subgraph")
+        t = self._next(self.df)
+        t._sides = {**self._sides,
+                    key: ("graph",
+                          self.df.select(F.col("esrc").alias(SRC),
+                                         F.col("edst").alias(DST)))}
+        return t
+
+    def cap(self, key: str):
         """Barrier: discard the traverser stream and emit side-effect
-        ``key`` as ONE value traverser holding the sorted fold of the
-        collected elements (our fold() convention)."""
+        ``key`` — a value traverser holding the sorted fold of the
+        collected elements for an aggregate(key), or the extracted
+        LinkGraph for a subgraph(key)."""
         if key not in self._sides:
-            raise KeyError(f"cap({key!r}): no aggregate({key!r}) upstream")
-        df = self._sides[key].agg(
-            F.array_sort(F.collect_list("x")).alias("val"))
+            raise KeyError(f"cap({key!r}): no aggregate({key!r}) / "
+                           f"subgraph({key!r}) upstream")
+        kind, side = self._sides[key]
+        if kind == "graph":
+            # vertex set induced from the traversed edge endpoints (the
+            # reference's `_` label deduction, framework/graph.py:417-563)
+            return LinkGraph.from_edges(
+                side.distinct(),
+                directed=bool(getattr(self.graph, "directed", True)))
+        df = side.agg(F.array_sort(F.collect_list("x")).alias("val"))
         return self._next(df, "value", order=())
 
     def as_(self, tag: str) -> "Traversal":

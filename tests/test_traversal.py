@@ -382,3 +382,18 @@ def test_select_keys_values_over_group(g):
     unfolded = (g.V(3).out().id_().groupCount()
                 .toDF().columns)
     assert unfolded == ["key", "cnt"]
+
+
+def test_subgraph_cap(g, toy_graph):
+    # GIE's simplified Subgraph (rst:365): extract the traversed edges
+    # into a new graph; cap(key) yields the LinkGraph
+    sg = g.V(3).outE().subgraph("sg").cap("sg")
+    got = sorted(tuple(r) for r in sg.edges.select("src", "dst").collect())
+    assert got == sorted((3, d) for d in OUT[3])
+    # induced vertex set = endpoints only
+    vids = sorted(r[0] for r in sg.vertices.collect())
+    assert vids == sorted({3} | OUT[3])
+    # the traversal continues unchanged past subgraph()
+    assert g.V(3).outE().subgraph("x").inV().id_().toList() == sorted(OUT[3])
+    with pytest.raises(KeyError):
+        g.V(3).outE().cap("nope")
