@@ -853,6 +853,31 @@ def q_gremlin_until(spark: SparkSession, sf_dir: str) -> DataFrame:
             .until(__.not_(__.out())).dedup().toDF())
 
 
+def q_gremlin_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().where(out().count() >= 20).outE().subgraph('sg').cap('sg')
+    on G1 — the GIE docs' simplified Subgraph step (rst:365): extract
+    the hub vertices' out-edges into a LinkGraph; the result is the
+    extracted graph's deduped edge table."""
+    from graphscope_spark.traversal import P, __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    sg = (t.V().where(__.out().count().is_(P.gte(20)))
+          .outE().subgraph("sg").cap("sg"))
+    return sg.edges.select("src", "dst")
+
+
+def q_gremlin_select_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().group().by().by(__.out().count()).select(values) on G1 —
+    group + Column.values projection (GIE rst:310-311): the per-vertex
+    out-degree multiset as value traversers, sinks contributing 0."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V().group().by().by(__.out().count()).select("values").toDF()
+
+
 # ----------------------------------------------------------------------
 # Oracle SQL (DuckDB; tables pre-registered as views)
 # ----------------------------------------------------------------------
@@ -1316,6 +1341,20 @@ WITH e AS MATERIALIZED ({H.G1_SQL})
 SELECT DISTINCT dst AS id FROM e WHERE src = 1
 """
 
+GREMLIN_SUBGRAPH_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+hubs AS (SELECT src FROM e GROUP BY src HAVING COUNT(*) >= 20)
+SELECT DISTINCT e.src, e.dst FROM e JOIN hubs h ON e.src = h.src
+"""
+
+GREMLIN_SELECT_VALUES_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY src)
+SELECT CAST(COALESCE(d.c, 0) AS BIGINT) AS val
+FROM verts v LEFT JOIN deg d ON d.id = v.id
+"""
+
 
 GREMLIN_SACK_SQL = f"""
 WITH e AS ({H.G2W_SQL})
@@ -1563,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_groupcount_g1": q_gremlin_groupcount,
         "gremlin_group_g1": q_gremlin_group,
         "gremlin_until_g1": q_gremlin_until,
+        "gremlin_subgraph_g1": q_gremlin_subgraph,
+        "gremlin_select_values_g1": q_gremlin_select_values,
         "gremlin_sack_g2w": q_gremlin_sack,
         "sampling_path_g2": q_sampling_path,
         "node2vec_g1": q_node2vec,
@@ -1646,6 +1687,8 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
         "gremlin_group_g1": GREMLIN_GROUP_SQL,
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
+        "gremlin_subgraph_g1": GREMLIN_SUBGRAPH_SQL,
+        "gremlin_select_values_g1": GREMLIN_SELECT_VALUES_SQL,
         "gremlin_sack_g2w": GREMLIN_SACK_SQL,
         "sampling_path_g2": H.sampling_path_sql([1, 2, 3, 4, 5], 4, 42),
         "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),

@@ -787,6 +787,7 @@ class _LazyUntil(Traversal):
         self._order = t._order
         self._seed_df = t._seed_df
         self._track_path = t._track_path
+        self._sides = t._sides
         self._repeat = repeat
         self._cond = cond
         self._max_rounds = max_rounds
