@@ -163,9 +163,30 @@ class LinkGraph:
         )
         return replace(self, vertices=v, edges=e, _cached={})
 
-    def add_column(self, result: DataFrame, on: str = ID) -> "LinkGraph":
+    def add_column(self, result, on: "str | dict" = ID) -> "LinkGraph":
         """Join algorithm results back as vertex properties (reference
-        add_column, graph.py:573-596 / grape_instance.cc:561)."""
+        add_column, graph.py:573-596 / grape_instance.cc:561).
+
+        Two forms: add_column(df, on='id') joins a DataFrame by key;
+        the reference's add_column(ctx, {'kcore': 'r'}) form
+        (docs/getting_started.rst:219-220) takes a compat Context (or
+        its result DataFrame) plus a selector dict ('r' = the single
+        result column, 'r.<col>' = a named one)."""
+        if isinstance(on, dict):
+            df = getattr(result, "df", result)
+            vals = [c for c in df.columns if c != ID]
+            cols = [F.col(ID)]
+            for out, sel in on.items():
+                if sel == "r":
+                    if len(vals) != 1:
+                        raise ValueError(
+                            f"selector 'r' is ambiguous: result columns {vals}")
+                    cols.append(F.col(vals[0]).alias(out))
+                elif sel.startswith("r."):
+                    cols.append(F.col(sel[2:]).alias(out))
+                else:
+                    raise KeyError(f"unsupported selector {sel!r}")
+            result, on = df.select(*cols), ID
         return replace(self, vertices=self.vertices.join(result, on, "left"), _cached={})
 
     # ------------------------------------------------------------------

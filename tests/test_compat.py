@@ -90,3 +90,16 @@ def test_vertex_property_selector(sess, spark, toy_graph):
     ctx = graphscope.wcc(lg)
     pdf = ctx.to_dataframe({"id": "v.id", "score": "v.score", "comp": "r"})
     assert dict(zip(pdf["id"], pdf["score"]))[3] == 9.0
+
+
+def test_add_column_reference_form(gg):
+    # docs/getting_started.rst:219-220: g.add_column(ctx, {'col': 'r'})
+    ctx = graphscope.wcc(gg)
+    g2 = gg.add_column(ctx, {"component": "r"})
+    assert "component" in g2.vertices.columns
+    assert g2.vertices.where("component IS NULL").count() == 0
+    h = graphscope.hits(gg, max_round=3)
+    g3 = gg.add_column(h, {"hub": "r.hub"})
+    assert "hub" in g3.vertices.columns
+    with pytest.raises(ValueError):
+        gg.add_column(h, {"x": "r"})

@@ -71,9 +71,17 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.monotonic()
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # keep sweeping — report, don't abort
+            import traceback
+            traceback.print_exc()
+            print(f"{name:24s} FAIL  raised {type(exc).__name__}: {exc}",
+                  flush=True)
+            failures.append(name)
+            continue
         spark_s = time.monotonic() - t0
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(srows)} rows  ({spark_s:.1f}s)", flush=True)
