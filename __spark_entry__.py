@@ -853,6 +853,36 @@ def q_gremlin_until(spark: SparkSession, sf_dir: str) -> DataFrame:
             .until(__.not_(__.out())).dedup().toDF())
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (pages.anchor_text_index): real HTML parsing
+    (Arrow-batched _AnchorExtractor, nested inline markup folded into
+    the anchor text) over deterministically synthesized pages, then one
+    explode + one hash aggregate per target URL. The DuckDB twin
+    reconstructs each (href, text) pair from the same arithmetic — the
+    parser must recover exactly what the generator embedded."""
+    from graphscope_spark.pages import anchor_text_index
+
+    o = H.load(spark, sf_dir, "orders")
+    c = lambda e: e.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        c(F.col("o_custkey") % 20),
+        F.lit(".example/p/"), c(F.col("o_orderkey") % 7),
+        F.lit('">pre <b>x'), c(F.col("o_orderkey") % 13),
+        F.lit('</b> post</a><p>filler</p><a href="https://cdn.site'),
+        c(F.col("o_orderkey") % 25),
+        F.lit('.com/a">asset '), c(F.col("o_custkey") % 5),
+        F.lit("</a></body></html>"),
+    )
+    pages = o.select(
+        F.concat(F.lit("u"), c(F.col("o_orderkey"))).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    idx = anchor_text_index(pages)
+    return idx.select(
+        "dst_url", "n_refs", F.array_join("texts", "|").alias("texts"))
+
+
 def q_gremlin_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g.V().where(out().count() >= 20).outE().subgraph('sg').cap('sg')
     on G1 — the GIE docs' simplified Subgraph step (rst:365): extract
@@ -1341,6 +1371,23 @@ WITH e AS MATERIALIZED ({H.G1_SQL})
 SELECT DISTINCT dst AS id FROM e WHERE src = 1
 """
 
+ANCHOR_TEXTS_SQL = """
+WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+a AS (
+  SELECT 'https://site' || (o_custkey % 20) || '.example/p/'
+           || (o_orderkey % 7) AS dst_url,
+         'pre x' || (o_orderkey % 13) || ' post' AS text
+  FROM o
+  UNION ALL
+  SELECT 'https://cdn.site' || (o_orderkey % 25) || '.com/a',
+         'asset ' || (o_custkey % 5)
+  FROM o
+)
+SELECT dst_url, CAST(COUNT(*) AS BIGINT) AS n_refs,
+       array_to_string(list_sort(list(DISTINCT text)), '|') AS texts
+FROM a GROUP BY dst_url
+"""
+
 GREMLIN_SUBGRAPH_SQL = f"""
 WITH e AS MATERIALIZED ({H.G1_SQL}),
 hubs AS (SELECT src FROM e GROUP BY src HAVING COUNT(*) >= 20)
@@ -1602,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_groupcount_g1": q_gremlin_groupcount,
         "gremlin_group_g1": q_gremlin_group,
         "gremlin_until_g1": q_gremlin_until,
+        "anchor_texts": q_anchor_texts,
         "gremlin_subgraph_g1": q_gremlin_subgraph,
         "gremlin_select_values_g1": q_gremlin_select_values,
         "gremlin_sack_g2w": q_gremlin_sack,
@@ -1687,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
         "gremlin_group_g1": GREMLIN_GROUP_SQL,
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
+        "anchor_texts": ANCHOR_TEXTS_SQL,
         "gremlin_subgraph_g1": GREMLIN_SUBGRAPH_SQL,
         "gremlin_select_values_g1": GREMLIN_SELECT_VALUES_SQL,
         "gremlin_sack_g2w": GREMLIN_SACK_SQL,

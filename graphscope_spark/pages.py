@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -173,6 +173,89 @@ def extract_text(html: pd.Series) -> pd.Series:
 def extract_links(html: pd.Series) -> pd.Series:
     """html binary → hrefs in document order."""
     return html.map(_extract_links_py)
+
+
+class _AnchorExtractor(HTMLParser):
+    """Collects (href, anchor text) per <a>; text is the concatenation
+    of every data segment inside the element, so nested inline markup
+    (<a>pre <b>x</b> post</a>) yields 'pre x post'."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.anchors: list[tuple[str | None, str]] = []
+        self._href: str | None = None
+        self._open = False
+        self._chunks: list[str] = []
+
+    def _flush(self) -> None:
+        if self._open:
+            self.anchors.append((self._href, "".join(self._chunks)))
+        self._open, self._href, self._chunks = False, None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._flush()  # nested/unclosed <a>: start a new anchor
+            self._href = dict(attrs).get("href")
+            self._open = True
+            self._chunks = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._open:
+            self._chunks.append(data)
+
+    def close(self) -> None:  # unclosed trailing <a>
+        super().close()
+        self._flush()
+
+
+def _extract_anchors_py(html: bytes | None) -> list[tuple[str | None, str]]:
+    if html is None:
+        return []
+    p = _AnchorExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return p.anchors
+
+
+_ANCHOR_TYPE = ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("text", StringType()),
+]))
+
+
+@F.pandas_udf(_ANCHOR_TYPE)
+def extract_anchors(html: pd.Series) -> pd.Series:
+    """html binary → [(href, anchor text)] in document order — same
+    pure/deterministic contract as extract_text. The web-search /
+    training-data 'anchor text' signal (the reference's GIE docs load
+    web pages the same way; extraction itself is this repo's §2.10
+    surface)."""
+    return html.map(_extract_anchors_py)
+
+
+def anchor_text_index(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Per-target anchor-text index: DataFrame(dst_url, n_refs,
+    texts) — every anchor pointing at dst_url, texts sorted-distinct.
+
+    Scale shape: one Arrow-batched parse projection fused into the
+    scan, one explode (output rows = #anchors, not #pages × k), one
+    map-side-combined hash aggregate on dst_url — the same two-stage
+    shape as the host-graph rollup."""
+    a = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(extract_anchors(html_col)).alias("an"),
+    )
+    return (
+        a.where(F.col("an.href").isNotNull())
+        .groupBy(F.col("an.href").alias("dst_url"))
+        .agg(F.count(F.lit(1)).alias("n_refs"),
+             F.array_sort(F.collect_set("an.text")).alias("texts"))
+    )
 
 
 def pages_to_edges(pages: DataFrame) -> DataFrame:

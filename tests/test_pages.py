@@ -55,3 +55,46 @@ def test_links_and_graph_build(spark):
     n_links = pages.select(F.explode(extract_links("html"))).count()
     assert n_links == g.num_edges()
     pages.unpersist()
+
+
+def test_extract_anchors_kernel(spark):
+    from graphscope_spark.pages import anchor_text_index, extract_anchors
+
+    cases = [
+        # nested inline markup folds into the text
+        ("u1", b'<a href="/x">pre <b>mid</b> post</a>'),
+        # two anchors, one without href (skipped by the index)
+        ("u2", b'<a href="/x">one</a><a>nohref</a><a href="/y"></a>'),
+        # unclosed trailing anchor still flushes
+        ("u3", b'text <a href="/z">tail'),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(cases, "url string, html binary")
+    rows = {r["url"]: r["a"] for r in
+            df.select("url", extract_anchors("html").alias("a")).collect()}
+    assert [(a["href"], a["text"]) for a in rows["u1"]] == [("/x", "pre mid post")]
+    assert [(a["href"], a["text"]) for a in rows["u2"]] == [
+        ("/x", "one"), (None, "nohref"), ("/y", "")]
+    assert [(a["href"], a["text"]) for a in rows["u3"]] == [("/z", "tail")]
+    assert rows["u4"] == []
+
+    idx = {r["dst_url"]: (r["n_refs"], r["texts"])
+           for r in anchor_text_index(df).collect()}
+    assert idx["/x"] == (2, ["one", "pre mid post"])
+    assert idx["/y"] == (1, [""])
+    assert idx["/z"] == (1, ["tail"])
+
+
+def test_anchor_index_on_generated_pages(spark):
+    from graphscope_spark.pages import anchor_text_index, generate_pages
+
+    pages = generate_pages(spark, n=200)
+    idx = anchor_text_index(pages)
+    # generator embeds anchors 'link {t}' at hrefs .../p/{t}: every
+    # index row's texts must be exactly ['link {t}'] for its target
+    bad = idx.where(
+        ~(F.size("texts") == 1)
+        | (F.element_at("texts", 1)
+           != F.concat(F.lit("link "), F.regexp_extract("dst_url", r"/p/(\d+)$", 1)))
+    ).count()
+    assert bad == 0
