@@ -595,13 +595,49 @@ class Traversal:
     def count_local(self) -> "Traversal":
         return self._local("count_local", F.size)
 
-    def dedup_local(self) -> "Traversal":
-        # array_distinct keeps first occurrence — Gremlin dedup(local)
-        return self._local("dedup_local", F.array_distinct)
+    def _local_by(self, step: str, by: str):
+        """Property-modulated local step over a folded array of vertex
+        ids (GIE `dedup(local).by('name')` / `order(local).by('name')`,
+        rst:255-278): posexplode → ONE property join → re-collect.
+        Costs a re-collect shuffle the pure-array forms avoid; only
+        valid on fold() output, whose elements are vertex ids."""
+        self._need("value", step)
+        v = self.graph.vertices
+        if by not in v.columns:
+            raise KeyError(f"vertex column {by!r} not found")
+        key = [_SEED] if _SEED in self.df.columns else []
+        ex = self.df.select(
+            *key, F.posexplode("val").alias("__pos", "e"))
+        j = ex.join(v.select(F.col(ID).alias("e"),
+                             F.col(by).alias("__p")), "e")
+        return key, j
 
-    def order_local(self, desc: bool = False) -> "Traversal":
-        return self._local(
-            "order_local", lambda c: F.sort_array(c, asc=not desc))
+    def dedup_local(self, by: str | None = None) -> "Traversal":
+        if by is None:
+            # array_distinct keeps first occurrence — Gremlin dedup(local)
+            return self._local("dedup_local", F.array_distinct)
+        key, j = self._local_by("dedup_local", by)
+        # first occurrence per property value (struct min orders by
+        # __pos first), elements back in original fold order
+        firsts = j.groupBy(*key, "__p").agg(
+            F.min(F.struct("__pos", "e")).alias("__fe"))
+        out = firsts.groupBy(*key).agg(F.transform(
+            F.array_sort(F.collect_list("__fe")),
+            lambda s: s["e"]).alias("val"))
+        return self._next(out, "value", order=())
+
+    def order_local(self, desc: bool = False,
+                    by: str | None = None) -> "Traversal":
+        if by is None:
+            return self._local(
+                "order_local", lambda c: F.sort_array(c, asc=not desc))
+        key, j = self._local_by("order_local", by)
+        out = j.groupBy(*key).agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "e"))),
+            lambda s: s["e"]).alias("val"))
+        if desc:
+            out = out.withColumn("val", F.reverse("val"))
+        return self._next(out, "value", order=())
 
     def range_local(self, lo: int, hi: int) -> "Traversal":
         return self._local(

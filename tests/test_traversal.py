@@ -397,3 +397,17 @@ def test_subgraph_cap(g, toy_graph):
     assert g.V(3).outE().subgraph("x").inV().id_().toList() == sorted(OUT[3])
     with pytest.raises(KeyError):
         g.V(3).outE().cap("nope")
+
+
+def test_local_by_modulators(gp):
+    # GIE rst:255-278: g.V().out().fold().dedup(local).by('parity') /
+    # .order(local).by('parity') — property-modulated local steps
+    folded = gp.V(3).out().id_().fold()          # OUT[3] = {0,1,2,4,5}
+    # dedup by parity keeps the first element of each parity in fold
+    # (= sorted) order: 0 (even), 1 (odd)
+    assert folded.dedup_local(by="parity").toList() == [[0, 1]]
+    # order by parity: evens ('even' < 'odd') before odds, id tiebreak
+    assert folded.order_local(by="parity").toList() == [[0, 2, 4, 1, 5]]
+    assert folded.order_local(by="parity", desc=True).toList() == [[5, 1, 4, 2, 0]]
+    with pytest.raises(KeyError):
+        folded.dedup_local(by="nope").toDF()
