@@ -853,6 +853,16 @@ def q_gremlin_until(spark: SparkSession, sf_dir: str) -> DataFrame:
             .until(__.not_(__.out())).dedup().toDF())
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style text normalization (functions/text.normalize_text):
+    lower + strip punctuation/symbols + collapse whitespace, one
+    codegen projection, zero shuffles; DuckDB twin uses the same
+    POSIX/Unicode classes."""
+    docs = H.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.normalize_text("text").alias("norm"))
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (pages.anchor_text_index): real HTML parsing
     (Arrow-batched _AnchorExtractor, nested inline markup folded into
@@ -1371,6 +1381,14 @@ WITH e AS MATERIALIZED ({H.G1_SQL})
 SELECT DISTINCT dst AS id FROM e WHERE src = 1
 """
 
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+            regexp_replace(lower(text), '[\p{P}\p{S}]', '', 'g'),
+            '\s+', ' ', 'g')) AS norm
+FROM documents
+"""
+
 ANCHOR_TEXTS_SQL = """
 WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
 a AS (
@@ -1649,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_groupcount_g1": q_gremlin_groupcount,
         "gremlin_group_g1": q_gremlin_group,
         "gremlin_until_g1": q_gremlin_until,
+        "normalize_text": q_normalize_text,
         "anchor_texts": q_anchor_texts,
         "gremlin_subgraph_g1": q_gremlin_subgraph,
         "gremlin_select_values_g1": q_gremlin_select_values,
@@ -1735,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
         "gremlin_group_g1": GREMLIN_GROUP_SQL,
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
+        "normalize_text": NORMALIZE_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "gremlin_subgraph_g1": GREMLIN_SUBGRAPH_SQL,
         "gremlin_select_values_g1": GREMLIN_SELECT_VALUES_SQL,

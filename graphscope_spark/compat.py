@@ -88,6 +88,13 @@ class Session:
             return LinkGraph(vertices=v, edges=e, directed=directed)
         return _as_graph(self.spark, incoming_data, directed)
 
+    def gremlin(self, graph: LinkGraph):
+        """The reference's sess.gremlin(g) interactive handle
+        (client/session.py) → this engine's Gremlin-lite traversal
+        source: sess.gremlin(g).V()... compiles to Catalyst plans."""
+        from graphscope_spark.traversal import traversal
+        return traversal(graph)
+
     def close(self) -> None:
         self._closed = True
 

@@ -35,6 +35,28 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def normalize_text(text: Column | str,
+                   strip_punct: bool = True,
+                   collapse_ws: bool = True,
+                   lower: bool = True) -> Column:
+    """CCNet-style normalization applied before dedup/fingerprinting:
+    lowercase, strip punctuation/symbol characters, collapse runs of
+    whitespace, trim. Pure codegen (three regexp passes in one
+    projection, no UDF); every rule has an exact DuckDB twin
+    (lower / regexp_replace with the same POSIX classes), so
+    normalized-text dedup keys are engine-portable. Deliberately no
+    unicode NFC (Spark SQL has no built-in; a pandas-UDF pass would
+    put Python in the hottest pipeline stage — documented out)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lower:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[\p{P}\p{S}]", "")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token statistics: n_tokens, n_chars, avg_token_len."""
     t = tokens(text_col)

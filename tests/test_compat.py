@@ -103,3 +103,10 @@ def test_add_column_reference_form(gg):
     assert "hub" in g3.vertices.columns
     with pytest.raises(ValueError):
         gg.add_column(h, {"x": "r"})
+
+
+def test_session_gremlin(sess, gg):
+    # sess.gremlin(g) -> traversal source, like the reference's
+    # interactive handle
+    t = sess.gremlin(gg)
+    assert sorted(t.V().toList()) == list(range(12))

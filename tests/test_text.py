@@ -130,3 +130,22 @@ def test_decontaminate_overlap_and_short_docs(spark):
     # empty benchmark: everything survives
     empty = spark.createDataFrame([], "text string")
     assert decontaminate(docs, empty, n=3).count() == 4
+
+
+def test_normalize_text(spark):
+    from graphscope_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello, WORLD!!  multiple   spaces\tand $ymbols… "),
+         (2, "already clean"),
+         (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["n"]
+            for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert rows[1] == "hello world multiple spaces and ymbols"
+    assert rows[2] == "already clean"
+    assert rows[3] == ""
+    # flags off = passthrough of that rule
+    keep = df.select(normalize_text("text", strip_punct=False,
+                                    collapse_ws=False, lower=False).alias("n"))
+    assert keep.collect()[1]["n"] == "already clean"
