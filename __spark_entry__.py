@@ -853,6 +853,17 @@ def q_gremlin_until(spark: SparkSession, sf_dir: str) -> DataFrame:
             .until(__.not_(__.out())).dedup().toDF())
 
 
+def q_filter_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filter (web.filter_urls): drop URLs whose
+    registered domain is blocked — literal-list form folds into ONE
+    codegen NOT-isin filter over the extracted domain, zero shuffles.
+    The DuckDB twin applies the identical host/last-two-labels rule."""
+    urls = (_synth_url_edges(spark, sf_dir)
+            .select(F.col("dst_url").alias("url")).distinct())
+    return W.filter_urls(
+        urls, ["site3.com", "site7.com", "site11.com"], url_col="url")
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style text normalization (functions/text.normalize_text):
     lower + strip punctuation/symbols + collapse whitespace, one
@@ -1443,6 +1454,22 @@ SELECT 'HTTP://WWW.Site' || CAST(o_custkey % 20 AS VARCHAR)
 FROM orders
 """
 
+FILTER_URLS_SQL = f"""
+WITH e AS ({_SYNTH_URLS_SQL}),
+u AS (SELECT DISTINCT dst_url AS url FROM e),
+h AS (SELECT url,
+        regexp_replace(lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+                       ':[0-9]+$', '') AS host
+      FROM u),
+d AS (SELECT url, host, string_split(host, '.') AS labels FROM h)
+SELECT url FROM d
+WHERE (CASE WHEN len(labels) >= 2
+            THEN array_to_string(list_slice(labels, len(labels) - 1,
+                                            len(labels)), '.')
+            ELSE host END)
+      NOT IN ('site3.com', 'site7.com', 'site11.com')
+"""
+
 URL_CANONICAL_SQL = f"""
 WITH e AS ({_SYNTH_URLS_SQL}),
 u AS (SELECT DISTINCT src_url AS url FROM e),
@@ -1667,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_groupcount_g1": q_gremlin_groupcount,
         "gremlin_group_g1": q_gremlin_group,
         "gremlin_until_g1": q_gremlin_until,
+        "filter_urls": q_filter_urls,
         "normalize_text": q_normalize_text,
         "anchor_texts": q_anchor_texts,
         "gremlin_subgraph_g1": q_gremlin_subgraph,
@@ -1754,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_groupcount_g1": GREMLIN_GROUPCOUNT_SQL,
         "gremlin_group_g1": GREMLIN_GROUP_SQL,
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
+        "filter_urls": FILTER_URLS_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "gremlin_subgraph_g1": GREMLIN_SUBGRAPH_SQL,

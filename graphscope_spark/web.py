@@ -99,6 +99,32 @@ def reverse_host(host: Column | str) -> Column:
     return F.concat_ws(".", F.reverse(F.split(_col(host), r"\.")))
 
 
+def filter_urls(
+    df: DataFrame,
+    blocked_domains: "DataFrame | list[str]",
+    url_col: str = "url",
+    level: str = "domain",
+) -> DataFrame:
+    """Drop rows whose URL's host/registered-domain is on a blocklist —
+    the CC/CCNet URL-filter stage that runs before any content work.
+
+    blocked_domains: a list of literal domains (folded into ONE
+    codegen isin/NOT filter — zero shuffle, the right call for the
+    usual 10^3-10^5-entry blocklist) or a DataFrame with a `domain`
+    column (broadcast LEFT ANTI join — the blocklist is always tiny
+    next to 10^12 pages, so broadcasting is correct at any corpus
+    scale). ``level``: 'domain' (registered domain) | 'host'.
+    """
+    key = {"host": url_host, "domain": lambda c: registered_domain(url_host(c))}
+    if level not in key:
+        raise ValueError(f"level must be host|domain, got {level!r}")
+    k = key[level](url_col)
+    if isinstance(blocked_domains, DataFrame):
+        b = blocked_domains.select(F.col("domain").alias("__bd")).distinct()
+        return (df.join(F.broadcast(b), k == F.col("__bd"), "left_anti"))
+    return df.where(~k.isin([str(d) for d in blocked_domains]))
+
+
 def host_graph(
     page_edges: DataFrame,
     src_col: str = "src_url",

@@ -144,3 +144,29 @@ def test_host_graph_bad_level(spark):
     df = spark.createDataFrame(PAGE_EDGES, ["src_url", "dst_url"])
     with pytest.raises(ValueError):
         host_graph(df, level="tld")
+
+
+def test_filter_urls(spark):
+    from graphscope_spark.web import filter_urls
+
+    df = spark.createDataFrame(
+        [("https://news.bbc.com/a",), ("http://cdn.spam.net/x",),
+         ("https://ok.example.org/",), ("https://spam.net:8080/y",),
+         ("singlelabel",)],
+        "url string")
+    # literal-list form: codegen NOT-isin, no shuffle
+    kept = sorted(r["url"] for r in
+                  filter_urls(df, ["spam.net"]).collect())
+    assert kept == ["https://news.bbc.com/a", "https://ok.example.org/",
+                    "singlelabel"]
+    # DataFrame form: broadcast anti-join, same result
+    b = spark.createDataFrame([("spam.net",), ("bbc.com",)], "domain string")
+    kept2 = sorted(r["url"] for r in filter_urls(df, b).collect())
+    assert kept2 == ["https://ok.example.org/", "singlelabel"]
+    # host level blocks the exact host only
+    kept3 = sorted(r["url"] for r in
+                   filter_urls(df, ["cdn.spam.net"], level="host").collect())
+    assert "https://spam.net:8080/y" in kept3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        filter_urls(df, [], level="nope")
