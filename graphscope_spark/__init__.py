@@ -20,13 +20,15 @@ from graphscope_spark.pie import PIEProgram, run_pie
 from graphscope_spark.pregel import PregelProgram, run_pregel
 from graphscope_spark.session import get_spark
 from graphscope_spark.traversal import traversal
-from graphscope_spark.web import canonicalize_url, host_graph, url_host
+from graphscope_spark.web import (
+    canonicalize_url, filter_urls, host_graph, url_host,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "LinkGraph", "get_spark", "PregelProgram", "run_pregel",
     "PIEProgram", "run_pie", "App", "load_app", "register_app",
-    "traversal", "canonicalize_url", "host_graph", "url_host",
+    "traversal", "canonicalize_url", "filter_urls", "host_graph", "url_host",
     "__version__",
 ]

@@ -29,6 +29,8 @@ Supported steps (GIE inventory → here):
               repeat(__...).until(__cond).emit()       rst:340-358
 - side effects: aggregate(key)/cap(key); subgraph(key)/cap(key) — the
   GIE docs' simplified Subgraph (rst:365), extracted to a LinkGraph
+- standard-Gremlin extras beyond the GIE-documented subset:
+  union(__a, __b), coalesce(__a, __b), optional(__sub)
 - sack:       g.with_sack(init) ... sack(op).by(prop), sack()
               (sack rides the traverser row as a carried column; each
               update is a codegen projection — the chain stays 1 plan)
@@ -297,6 +299,70 @@ class Traversal:
         hit = self._seeded(sub).df.select(_SEED).distinct()
         return self._next(
             self.df.join(hit, self.df["e"] == hit[_SEED], "left_semi"))
+
+    # -- standard-Gremlin extras beyond the GIE-documented subset -----
+    def union(self, *subs: "_Anon") -> "Traversal":
+        """Gremlin union(__a, __b, ...): run every sub-traversal from
+        each current element and concatenate the streams (duplicates
+        preserved) — one N-arm unionByName, still ONE Catalyst plan.
+        Arms must produce the same traverser kind; tags/path carries
+        do not survive the union (arms may disagree on them)."""
+        self._need("v", "union")
+        if not subs:
+            raise TypeError("union() needs at least one sub-traversal")
+        outs = [self._seeded(sub) for sub in subs]
+        kinds = {t.kind for t in outs}
+        if len(kinds) != 1:
+            raise TypeError(f"union(): arms produce mixed kinds {sorted(kinds)}")
+        kind = kinds.pop()
+        cols = {"v": ["e"], "value": ["val"], "e": ["esrc", "edst"]}[kind]
+        df = outs[0].df.select(*cols)
+        for t in outs[1:]:
+            df = df.unionByName(t.df.select(*cols))
+        return self._next(df, kind, order=())
+
+    def coalesce(self, *subs: "_Anon") -> "Traversal":
+        """Gremlin coalesce(__a, __b, ...): per element, emit the FIRST
+        sub-traversal that produces any result. Distributed form: all
+        arms run seeded in one plan, min(arm index) per seed picks the
+        winning arm, an equi-join re-emits only its rows. Arms must
+        produce vertices or values (one output column)."""
+        self._need("v", "coalesce")
+        if not subs:
+            raise TypeError("coalesce() needs at least one sub-traversal")
+        outs = [self._seeded(sub) for sub in subs]
+        kinds = {t.kind for t in outs}
+        if len(kinds) != 1:
+            raise TypeError(
+                f"coalesce(): arms produce mixed kinds {sorted(kinds)}")
+        kind = kinds.pop()
+        if kind not in ("v", "value"):
+            raise TypeError("coalesce(): arms must produce vertices or values")
+        col = {"v": "e", "value": "val"}[kind]
+        arms = [t.df.select(_SEED, F.col(col).alias("__x"),
+                            F.lit(i).alias("__arm"))
+                for i, t in enumerate(outs)]
+        allr = arms[0]
+        for a in arms[1:]:
+            allr = allr.unionByName(a)
+        winner = allr.groupBy(_SEED).agg(F.min("__arm").alias("__arm"))
+        picked = allr.join(winner, [_SEED, "__arm"]).select(
+            F.col("__x").alias(col))
+        return self._next(picked, kind, order=())
+
+    def optional(self, sub: "_Anon") -> "Traversal":
+        """Gremlin optional(__sub): the sub-traversal's results where
+        it produced any, the incoming element itself where it did not
+        — sub-plan + anti-join passthrough, one plan."""
+        self._need("v", "optional")
+        t = self._seeded(sub)
+        if t.kind != "v":
+            raise TypeError("optional(): sub-traversal must produce vertices")
+        hit = t.df.select(_SEED).distinct()
+        misses = self.df.join(hit, self.df["e"] == hit[_SEED],
+                              "left_anti").select("e")
+        return self._next(t.df.select("e").unionByName(misses), "v",
+                          order=())
 
     def not_(self, sub: "_Anon") -> "Traversal":
         self._need("v", "not_")

@@ -411,3 +411,26 @@ def test_local_by_modulators(gp):
     assert folded.order_local(by="parity", desc=True).toList() == [[5, 1, 4, 2, 0]]
     with pytest.raises(KeyError):
         folded.dedup_local(by="nope").toDF()
+
+
+def test_union_coalesce_optional(g):
+    # union: concatenated streams, duplicates preserved
+    got = sorted(g.V(3).union(__.out(), __.in_()).id_().toList())
+    assert got == sorted(list(OUT[3]) + list(IN[3]))
+    # coalesce: per-element first non-empty arm — sinks (no out) fall
+    # through to their in-neighbors
+    # vertex 5 has no out-edges; 0 does
+    got5 = sorted(g.V(5).coalesce(__.out(), __.in_()).id_().toList())
+    assert got5 == sorted(IN[5])
+    got0 = sorted(g.V(0).coalesce(__.out(), __.in_()).id_().toList())
+    assert got0 == sorted(OUT[0])
+    # mixed seeds: each element picks its own arm
+    mixed = sorted(g.V(0, 5).coalesce(__.out(), __.in_()).id_().toList())
+    assert mixed == sorted(list(OUT[0]) + list(IN[5]))
+    # optional: passthrough for elements with no sub-result
+    opt = sorted(g.V(0, 5).optional(__.out()).id_().toList())
+    assert opt == sorted(list(OUT[0]) + [5])
+    with pytest.raises(TypeError):
+        g.V(3).union(__.out(), __.out().id_()).toDF()
+    with pytest.raises(TypeError):
+        g.V(3).coalesce(__.outE()).toDF()
