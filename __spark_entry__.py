@@ -904,6 +904,38 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst_url", "n_refs", F.array_join("texts", "|").alias("texts"))
 
 
+def q_gremlin_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().coalesce(__.out(), __.in_()) on G1 — per-element first
+    non-empty arm (customers emit suppliers; suppliers, having no
+    out-edges, fall through to their customers). One plan: both arms
+    seeded + min-arm-index pick + equi-join re-emit."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V().coalesce(__.out(), __.in_()).toDF()
+
+
+def q_gremlin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V(1,2,3).union(__.out(), __.in_()) on G2 — concatenated arm
+    streams with duplicates preserved (≡ both())."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g2(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V(1, 2, 3).union(__.out(), __.in_()).toDF()
+
+
+def q_gremlin_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().optional(__.out()) on G1 — out-neighbors where they
+    exist, the vertex itself where none (suppliers pass through)."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V().optional(__.out()).toDF()
+
+
 def q_gremlin_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g.V().where(out().count() >= 20).outE().subgraph('sg').cap('sg')
     on G1 — the GIE docs' simplified Subgraph step (rst:365): extract
@@ -1417,6 +1449,30 @@ SELECT dst_url, CAST(COUNT(*) AS BIGINT) AS n_refs,
 FROM a GROUP BY dst_url
 """
 
+GREMLIN_COALESCE_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+haso AS (SELECT DISTINCT src FROM e),
+outs AS (SELECT dst AS id FROM e),
+ins AS (SELECT e.src AS id FROM e
+        WHERE e.dst NOT IN (SELECT src FROM haso))
+SELECT id FROM outs UNION ALL SELECT id FROM ins
+"""
+
+GREMLIN_UNION_SQL = f"""
+WITH e AS MATERIALIZED ({H.G2_SQL})
+SELECT dst AS id FROM e WHERE src IN (1, 2, 3)
+UNION ALL
+SELECT src AS id FROM e WHERE dst IN (1, 2, 3)
+"""
+
+GREMLIN_OPTIONAL_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+SELECT dst AS id FROM e
+UNION ALL
+SELECT id FROM verts WHERE id NOT IN (SELECT src FROM e)
+"""
+
 GREMLIN_SUBGRAPH_SQL = f"""
 WITH e AS MATERIALIZED ({H.G1_SQL}),
 hubs AS (SELECT src FROM e GROUP BY src HAVING COUNT(*) >= 20)
@@ -1697,6 +1753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_urls": q_filter_urls,
         "normalize_text": q_normalize_text,
         "anchor_texts": q_anchor_texts,
+        "gremlin_coalesce_g1": q_gremlin_coalesce,
+        "gremlin_union_g2": q_gremlin_union,
+        "gremlin_optional_g1": q_gremlin_optional,
         "gremlin_subgraph_g1": q_gremlin_subgraph,
         "gremlin_select_values_g1": q_gremlin_select_values,
         "gremlin_sack_g2w": q_gremlin_sack,
@@ -1785,6 +1844,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_urls": FILTER_URLS_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
+        "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
+        "gremlin_union_g2": GREMLIN_UNION_SQL,
+        "gremlin_optional_g1": GREMLIN_OPTIONAL_SQL,
         "gremlin_subgraph_g1": GREMLIN_SUBGRAPH_SQL,
         "gremlin_select_values_g1": GREMLIN_SELECT_VALUES_SQL,
         "gremlin_sack_g2w": GREMLIN_SACK_SQL,
