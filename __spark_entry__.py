@@ -874,6 +874,30 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.normalize_text("text").alias("norm"))
 
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's byte-identical extraction contract, value-
+    checked against an independent engine: real HTML parsing
+    (pages.extract_text — <title>/<p> contents in document order,
+    non-captured elements skipped) over deterministically synthesized
+    pages; the DuckDB twin reconstructs the exact extracted string
+    from the same arithmetic."""
+    from graphscope_spark.pages import extract_text
+
+    o = H.load(spark, sf_dir, "orders")
+    c = lambda e: e.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><head><title>T"), c(F.col("o_custkey") % 50),
+        F.lit("</title></head><body><p>alpha "), c(F.col("o_orderkey") % 19),
+        F.lit('</p><a href="u">skip me</a><p>beta '),
+        c(F.col("o_orderkey") % 23),
+        F.lit("</p></body></html>"),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        extract_text(F.encode(html, "UTF-8")).alias("text"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (pages.anchor_text_index): real HTML parsing
     (Arrow-batched _AnchorExtractor, nested inline markup folded into
@@ -1432,6 +1456,14 @@ SELECT doc_id,
 FROM documents
 """
 
+EXTRACT_TEXT_SQL = """
+SELECT o_orderkey AS k,
+       'T' || (o_custkey % 50) || chr(10) ||
+       'alpha ' || (o_orderkey % 19) || chr(10) ||
+       'beta ' || (o_orderkey % 23) AS text
+FROM orders
+"""
+
 ANCHOR_TEXTS_SQL = """
 WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
 a AS (
@@ -1752,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gremlin_until_g1": q_gremlin_until,
         "filter_urls": q_filter_urls,
         "normalize_text": q_normalize_text,
+        "extract_text_synth": q_extract_text,
         "anchor_texts": q_anchor_texts,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
         "gremlin_union_g2": q_gremlin_union,
@@ -1843,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "gremlin_until_g1": GREMLIN_UNTIL_SQL,
         "filter_urls": FILTER_URLS_SQL,
         "normalize_text": NORMALIZE_TEXT_SQL,
+        "extract_text_synth": EXTRACT_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
         "gremlin_union_g2": GREMLIN_UNION_SQL,
