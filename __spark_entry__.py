@@ -960,6 +960,43 @@ def q_gremlin_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.V().optional(__.out()).toDF()
 
 
+def q_gremlin_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().project('id','odeg','ideg').by().by(__.out().count())
+    .by(__.in_().count()) on G1 — one named column per modulator, each
+    a seeded sub-plan joined back on the element; empty sub-streams
+    project count 0 (Gremlin semantics). ONE Catalyst plan."""
+    from graphscope_spark.traversal import __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return (t.V().project("id", "odeg", "ideg")
+            .by().by(__.out().count()).by(__.in_().count()).toDF())
+
+
+def q_gremlin_choose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().choose(__.out().count().is_(gte(20)), __.out(),
+    __.identity()) on G1 — hubs (out-degree >= 20) expand to their
+    out-neighbors, everything else passes through unchanged. The
+    split is one semi/anti-join pair; both arms stay in one plan."""
+    from graphscope_spark.traversal import P, __, traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V().choose(__.out().count().is_(P.gte(20)),
+                        __.out(), __.identity()).toDF()
+
+
+def q_gremlin_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().order().tail(5) on G1 — last 5 vertices in id order,
+    planned as a distributed top-n on the reversed order
+    (TakeOrderedAndProject), never a full sort."""
+    from graphscope_spark.traversal import traversal
+
+    g = H.g1(spark, sf_dir).build()
+    t = traversal(g)
+    return t.V().order().tail(5).toDF()
+
+
 def q_gremlin_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g.V().where(out().count() >= 20).outE().subgraph('sg').cap('sg')
     on G1 — the GIE docs' simplified Subgraph step (rst:365): extract
@@ -1505,6 +1542,31 @@ UNION ALL
 SELECT id FROM verts WHERE id NOT IN (SELECT src FROM e)
 """
 
+GREMLIN_PROJECT_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY src),
+idg AS (SELECT dst AS id, COUNT(*) AS c FROM e GROUP BY dst)
+SELECT v.id, CAST(COALESCE(od.c, 0) AS BIGINT) AS odeg,
+       CAST(COALESCE(idg.c, 0) AS BIGINT) AS ideg
+FROM verts v LEFT JOIN od ON od.id = v.id LEFT JOIN idg ON idg.id = v.id
+"""
+
+GREMLIN_CHOOSE_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+hubs AS (SELECT src FROM e GROUP BY src HAVING COUNT(*) >= 20)
+SELECT e.dst AS id FROM e WHERE e.src IN (SELECT src FROM hubs)
+UNION ALL
+SELECT id FROM verts WHERE id NOT IN (SELECT src FROM hubs)
+"""
+
+GREMLIN_TAIL_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+SELECT id FROM verts ORDER BY id DESC LIMIT 5
+"""
+
 GREMLIN_SUBGRAPH_SQL = f"""
 WITH e AS MATERIALIZED ({H.G1_SQL}),
 hubs AS (SELECT src FROM e GROUP BY src HAVING COUNT(*) >= 20)
@@ -1787,6 +1849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_synth": q_extract_text,
         "anchor_texts": q_anchor_texts,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
+        "gremlin_project_g1": q_gremlin_project,
+        "gremlin_choose_g1": q_gremlin_choose,
+        "gremlin_tail_g1": q_gremlin_tail,
         "gremlin_union_g2": q_gremlin_union,
         "gremlin_optional_g1": q_gremlin_optional,
         "gremlin_subgraph_g1": q_gremlin_subgraph,
@@ -1879,6 +1944,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_synth": EXTRACT_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
+        "gremlin_project_g1": GREMLIN_PROJECT_SQL,
+        "gremlin_choose_g1": GREMLIN_CHOOSE_SQL,
+        "gremlin_tail_g1": GREMLIN_TAIL_SQL,
         "gremlin_union_g2": GREMLIN_UNION_SQL,
         "gremlin_optional_g1": GREMLIN_OPTIONAL_SQL,
         "gremlin_subgraph_g1": GREMLIN_SUBGRAPH_SQL,

@@ -30,7 +30,10 @@ Supported steps (GIE inventory → here):
 - side effects: aggregate(key)/cap(key); subgraph(key)/cap(key) — the
   GIE docs' simplified Subgraph (rst:365), extracted to a LinkGraph
 - standard-Gremlin extras beyond the GIE-documented subset:
-  union(__a, __b), coalesce(__a, __b), optional(__sub)
+  union(__a, __b), coalesce(__a, __b), optional(__sub),
+  choose(__cond, __t[, __f]), project(*tags).by(mod)...,
+  hasNot(key), hasLabel(*labels), cyclicPath, identity,
+  tail(n), sample(n) (deterministic hash draw)
 - sack:       g.with_sack(init) ... sack(op).by(prop), sack()
               (sack rides the traverser row as a carried column; each
               update is a codegen projection — the chain stays 1 plan)
@@ -364,11 +367,73 @@ class Traversal:
         return self._next(t.df.select("e").unionByName(misses), "v",
                           order=())
 
+    def choose(self, cond: "_Anon", true_sub: "_Anon",
+               false_sub: "_Anon | None" = None) -> "Traversal":
+        """Gremlin choose(cond, t, f): per element, continue with the
+        t arm where the cond sub-traversal produced any result, the f
+        arm (or the element unchanged) where it did not. The split is
+        a semi/anti-join pair on the seeded cond sub-plan and both
+        arms stay in the same Catalyst plan — no driver branching.
+        Arms must end in the same traverser kind."""
+        self._need("v", "choose")
+        hit = self._seeded(cond).df.select(_SEED).distinct()
+        t_in = self._next(
+            self.df.join(hit, self.df["e"] == hit[_SEED], "left_semi"))
+        f_in = self._next(
+            self.df.join(hit, self.df["e"] == hit[_SEED], "left_anti"))
+        t_out = true_sub._apply(t_in)
+        f_out = false_sub._apply(f_in) if false_sub is not None else f_in
+        kinds = {t_out.kind, f_out.kind}
+        if len(kinds) != 1:
+            raise TypeError(f"choose(): arms produce mixed kinds {sorted(kinds)}")
+        kind = kinds.pop()
+        cols = {"v": ["e"], "value": ["val"], "e": ["esrc", "edst"]}[kind]
+        return self._next(
+            t_out.df.select(*cols).unionByName(f_out.df.select(*cols)),
+            kind, order=())
+
     def not_(self, sub: "_Anon") -> "Traversal":
         self._need("v", "not_")
         hit = self._seeded(sub).df.select(_SEED).distinct()
         return self._next(
             self.df.join(hit, self.df["e"] == hit[_SEED], "left_anti"))
+
+    def hasNot(self, key: str) -> "Traversal":
+        """Gremlin hasNot('key'): keep vertices whose property is
+        absent (null) — the complement of has('key')."""
+        self._need("v", "hasNot")
+        v = self.graph.vertices
+        if key not in v.columns:
+            return self._next(self.df)  # nobody has it: all pass
+        props = v.select(F.col(ID).alias("e"), F.col(key).alias("__p"))
+        return self._next(self.df.join(props, "e")
+                          .where(F.col("__p").isNull()).drop("__p"))
+
+    def hasLabel(self, *labels: str) -> "Traversal":
+        """Gremlin hasLabel(l1, l2, ...): filter vertices/edges by
+        label (vertex labels from the multi-label `label` column —
+        graph.py add_labels; edge labels from the edge table). One
+        property join + an isin that folds into the scan filter."""
+        if not labels:
+            raise TypeError("hasLabel() needs at least one label")
+        if self.kind == "v":
+            v = self.graph.vertices
+            if "label" not in v.columns:
+                raise KeyError("graph has no vertex labels")
+            lab = v.select(F.col(ID).alias("e"), F.col("label").alias("__l"))
+            return self._next(self.df.join(lab, "e")
+                              .where(F.col("__l").isin(list(labels)))
+                              .drop("__l"))
+        if self.kind == "e":
+            if "label" not in self.graph.edges.columns:
+                raise KeyError("graph has no edge labels")
+            lab = self.graph.edges.select(
+                F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
+                F.col("label").alias("__l"))
+            return self._next(self.df.join(lab, ["esrc", "edst"])
+                              .where(F.col("__l").isin(list(labels)))
+                              .drop("__l"))
+        raise TypeError("hasLabel(): needs a vertex or edge traverser")
 
     def filter_(self, sub: "_Anon") -> "Traversal":
         """GIE `filter(values("age").is(gt(20)))` (rst:204-205) —
@@ -380,6 +445,19 @@ class Traversal:
             raise TypeError("simplePath() needs g.with_path()")
         return self._next(self.df.where(
             F.size(F.array_distinct(_PATH)) == F.size(F.col(_PATH))))
+
+    def cyclicPath(self) -> "Traversal":
+        """Complement of simplePath(): keep traversers whose path
+        revisits a vertex."""
+        if not self._track_path:
+            raise TypeError("cyclicPath() needs g.with_path()")
+        return self._next(self.df.where(
+            F.size(F.array_distinct(_PATH)) < F.size(F.col(_PATH))))
+
+    def identity(self) -> "Traversal":
+        """Gremlin identity(): the traverser unchanged (useful as a
+        choose()/union() arm)."""
+        return self._next(self.df)
 
     # -- map -------------------------------------------------------------
     def values(self, key: str) -> "Traversal":
@@ -650,6 +728,18 @@ class Traversal:
         self._need("v", "group")
         return _Group(self)
 
+    def project(self, *tags: str) -> "_Project":
+        """project('a','b').by(mod).by(mod): one output row per
+        incoming element with a named column per tag. A by()
+        modulator is a vertex property name or a __ sub-traversal
+        ending in an aggregate (count/sum_/min_/max_/mean/fold),
+        reduced per element; tags beyond the supplied modulators
+        default to the element id. Compiles to one property join /
+        seeded sub-plan per tag joined back on the element — ONE
+        Catalyst plan, no driver loop."""
+        self._need("v", "project")
+        return _Project(self, tags)
+
     # -- local scope (Gremlin `step(local)`, rst:270-295): operate
     #    INSIDE each folded array value — pure codegen array
     #    expressions, zero shuffle -------------------------------------
@@ -777,6 +867,31 @@ class Traversal:
         df = (trimmed.withColumn("__rn", F.row_number().over(w))
               .where((F.col("__rn") > lo) & (F.col("__rn") <= hi))
               .drop("__rn"))
+        return self._next(df, order=())
+
+    def tail(self, n: int = 1) -> "Traversal":
+        """Gremlin tail(n): the LAST n traversers in the current order
+        (explicit order() or element order), re-emitted in forward
+        order. Distributed top-n on the reversed order — Spark plans
+        orderBy+limit as TakeOrderedAndProject (per-partition heaps +
+        one driver merge of n rows), never a full sort."""
+        order = self._order or ((({"v": "e", "value": "val", "pairs": "key"}
+                                  [self.kind]), False),)
+        rev = [F.col(c).asc() if d else F.col(c).desc() for c, d in order]
+        return self._next(self.df.orderBy(*rev).limit(int(n)), order=order)
+
+    def sample(self, n: int, seed: int = 42) -> "Traversal":
+        """Deterministic uniform sample of n traversers: rank by
+        xxhash64(element, seed) and keep the n smallest — a
+        distributed top-n (TakeOrderedAndProject), restart- and
+        partitioning-stable like the hash draws in
+        algorithms/walks.py (same engine-portable draw convention)."""
+        cols = {"v": ["e"], "e": ["esrc", "edst"], "value": ["val"],
+                "pairs": ["key"]}[self.kind]
+        draw = F.xxhash64(*[F.col(c) for c in cols], F.lit(int(seed)))
+        df = (self.df
+              .orderBy(draw.asc(), *[F.col(c).asc() for c in cols])
+              .limit(int(n)))
         return self._next(df, order=())
 
     # -- loop ------------------------------------------------------------
@@ -998,6 +1113,69 @@ class _Group:
         else:
             out = out.where(F.col("val").isNotNull())
         return Traversal(t.graph, out, "pairs")
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._built(), name)
+
+
+class _Project:
+    """project(*tags).by(mod)... builder (see Traversal.project).
+    Like _Group, further steps build the multi-column 'pairs'
+    traversal and delegate, so project composes mid-chain."""
+
+    def __init__(self, trav: Traversal, tags: tuple):
+        if not tags:
+            raise TypeError("project() needs at least one tag")
+        if len(set(tags)) != len(tags):
+            raise TypeError("project() tags must be distinct")
+        self._trav = trav
+        self._tags = tags
+        self._mods: list = []
+
+    def by(self, mod=None) -> "_Project":
+        if len(self._mods) >= len(self._tags):
+            raise TypeError("more by() modulators than project() tags")
+        self._mods.append(mod)
+        return self
+
+    def _built(self) -> Traversal:
+        t = self._trav
+        mods = list(self._mods) + [None] * (len(self._tags) - len(self._mods))
+        out = t.df.select(F.col("e"))
+        for tag, mod in zip(self._tags, mods):
+            if mod is None:
+                out = out.withColumn(tag, F.col("e"))
+            elif isinstance(mod, str):
+                v = t.graph.vertices
+                if mod not in v.columns:
+                    raise KeyError(f"vertex column {mod!r} not found")
+                out = out.join(
+                    v.select(F.col(ID).alias("e"), F.col(mod).alias(tag)),
+                    "e", "left")
+            elif isinstance(mod, _Anon):
+                if not mod._steps or mod._steps[-1][0] not in _GROUP_AGGS:
+                    raise TypeError(
+                        "project().by(__...): sub-traversal must end in "
+                        f"one of {sorted(_GROUP_AGGS)}")
+                steps = _Anon(mod._steps[:-1])
+                agg = mod._steps[-1][0]
+                stream = t._seeded(steps)
+                col = {"v": "e", "value": "val", "e": "esrc"}[stream.kind]
+                per = (stream.df
+                       .groupBy(F.col(_SEED).alias("e"))
+                       .agg(_GROUP_AGGS[agg](F.col(col)).alias(tag)))
+                out = out.join(per, "e", "left")
+                if agg == "count":
+                    # Gremlin: an element with an empty sub-stream
+                    # projects count 0, not null
+                    out = out.withColumn(
+                        tag, F.coalesce(F.col(tag), F.lit(0).cast("long")))
+            else:
+                raise TypeError("project().by(): None, property name, or "
+                                "__ sub-traversal ending in an aggregate")
+        return Traversal(t.graph, out.select(*self._tags), "pairs")
 
     def __getattr__(self, name):
         if name.startswith("_"):

@@ -434,3 +434,100 @@ def test_union_coalesce_optional(g):
         g.V(3).union(__.out(), __.out().id_()).toDF()
     with pytest.raises(TypeError):
         g.V(3).coalesce(__.outE()).toDF()
+
+
+# ----------------------------------------------------------------------
+# round-3 standard-Gremlin extras batch 2: choose, project().by(),
+# hasNot/hasLabel, cyclicPath/identity, tail, sample
+# ----------------------------------------------------------------------
+def test_choose(g):
+    # 0 has out-edges (true arm), 5 does not (false arm)
+    got = sorted(g.V(0, 5).choose(__.out(), __.out(), __.in_())
+                 .id_().toList())
+    assert got == sorted(list(OUT[0]) + list(IN[5]))
+    # no false arm: element passes through unchanged
+    got = sorted(g.V(0, 5).choose(__.out(), __.out()).id_().toList())
+    assert got == sorted(list(OUT[0]) + [5])
+    with pytest.raises(TypeError):
+        g.V(3).choose(__.out(), __.out(), __.in_().id_()).toDF()
+
+
+def test_project_by(gp):
+    rows = (gp.V(3).project("v", "deg", "par")
+            .by().by(__.out().count()).by("parity").toDF().collect())
+    assert [(r["v"], r["deg"], r["par"]) for r in rows] == [(3, 5, "odd")]
+    # empty sub-stream projects count 0, not null
+    rows = (gp.V(5).project("v", "deg").by().by(__.out().count())
+            .toDF().collect())
+    assert [(r["v"], r["deg"]) for r in rows] == [(5, 0)]
+    # sum over out-neighbor scores
+    rows = (gp.V(3).project("s").by(__.out().values("score").sum_())
+            .toDF().collect())
+    assert rows[0]["s"] == pytest.approx(sum(OUT[3]))
+    with pytest.raises(TypeError):
+        gp.V(3).project("a").by().by("parity").toDF()
+    with pytest.raises(TypeError):
+        gp.V(3).project("a").by(__.out()).toDF()  # no trailing aggregate
+    with pytest.raises(KeyError):
+        gp.V(3).project("a").by("nope").toDF()
+
+
+def test_hasnot_haslabel(spark, toy_graph, gp):
+    from graphscope_spark.graph import LinkGraph
+    # nullable property: even ids carry it, odd ids do not
+    v = spark.createDataFrame(
+        [(i, float(i) if i % 2 == 0 else None) for i in range(12)],
+        "id long, score double")
+    lg = LinkGraph(vertices=v, edges=toy_graph.edges, directed=True)
+    t = traversal(lg)
+    assert sorted(t.V().hasNot("score").id_().toList()) == [
+        i for i in range(12) if i % 2 == 1]
+    # column absent entirely -> everything passes
+    assert t.V().hasNot("nope").n() == 12
+    # labels
+    vl = toy_graph.vertices.withColumn(
+        "label", F.when(F.col("id") < 6, "page").otherwise("site"))
+    el = toy_graph.edges.withColumn(
+        "label", F.when(F.col("src") < F.col("dst"), "fwd").otherwise("back"))
+    tl = traversal(LinkGraph(vertices=vl, edges=el, directed=True))
+    assert sorted(tl.V().hasLabel("site").id_().toList()) == list(range(6, 12))
+    assert sorted(tl.V().hasLabel("page", "site").id_().toList()) == list(range(12))
+    assert tl.E().hasLabel("back").n() == sum(1 for s, d in TOY_EDGES if s > d)
+    with pytest.raises(KeyError):
+        gp.V().hasLabel("x").toDF()  # gp has no label column
+    with pytest.raises(TypeError):
+        tl.V().hasLabel()
+
+
+def test_cyclicpath_identity(g, toy_graph):
+    t = traversal(toy_graph).with_path()
+    # 9->10->11->9 is the only 3-hop walk from 9 and it cycles
+    assert t.V(9).out().out().out().cyclicPath().n() == 1
+    assert t.V(9).out().out().out().simplePath().n() == 0
+    # simplePath + cyclicPath partition any walk set
+    three = t.V(3).out().out().out()
+    assert three.simplePath().n() + three.cyclicPath().n() == three.n()
+    with pytest.raises(TypeError):
+        g.V(3).out().cyclicPath()
+    assert g.V(3).identity().id_().toList() == [3]
+
+
+def test_tail(g):
+    assert g.V().order().tail(3).id_().toList() == [9, 10, 11]
+    # value traversers: last 2 in value order
+    assert g.V(3).out().id_().tail(2).toList() == sorted(OUT[3])[-2:]
+    # tail(n) with n > stream size = whole stream
+    assert sorted(g.V(3).out().tail(99).id_().toList()) == sorted(OUT[3])
+
+
+def test_sample(g):
+    s1 = g.V().sample(4).id_().toList()
+    s2 = g.V().sample(4).id_().toList()
+    assert s1 == s2  # deterministic
+    assert len(s1) == 4 and len(set(s1)) == 4
+    assert set(s1) <= set(range(12))
+    # n > population: everything
+    assert sorted(g.V().sample(99).id_().toList()) == list(range(12))
+    # a different seed is also deterministic
+    assert (g.V().sample(4, seed=7).id_().toList()
+            == g.V().sample(4, seed=7).id_().toList())
