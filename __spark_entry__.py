@@ -960,6 +960,43 @@ def q_gremlin_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.V().optional(__.out()).toDF()
 
 
+def q_pregel_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pregel UDF surface driven end-to-end against the builtin
+    SSSP oracle (reference @pregel SSSP, test_udf_app.py:100-123):
+    the user program is four Column-expression hooks
+    (init/gen_message/combine='min'/compute), so each superstep is
+    one edge shuffle + a map-side-combined min-aggregate — Catalyst
+    compiles user logic to codegen the way the reference transpiles
+    Python to Cython."""
+    from graphscope_spark.pregel import run_pregel, sssp_program
+
+    g = H.g2w(spark, sf_dir).build()
+    out = run_pregel(g, sssp_program(src=1, weight_col="w"), max_iter=50)
+    return out.select(
+        "id",
+        F.when(F.col("value") >= float("inf"), F.lit(-1.0))
+        .otherwise(F.round("value", 6))
+        .alias("distance"),
+    )
+
+
+def q_pie_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIE UDF surface (reference @pie, test_udf_app.py SSSP_PIE)
+    driven against the same SSSP oracle: PEval seeds the source,
+    IncEval relaxes the active frontier each round via the
+    SuperstepRunner (checkpoint-cut, resumable)."""
+    from graphscope_spark.pie import run_pie, sssp_pie
+
+    g = H.g2w(spark, sf_dir).build()
+    out = run_pie(g, sssp_pie(src=1, weight_col="w"), max_iter=50)
+    return out.select(
+        "id",
+        F.when(F.col("distance") >= float("inf"), F.lit(-1.0))
+        .otherwise(F.round("distance", 6))
+        .alias("distance"),
+    )
+
+
 def q_gremlin_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g.V().project('id','odeg','ideg').by().by(__.out().count())
     .by(__.in_().count()) on G1 — one named column per modulator, each
@@ -1849,6 +1886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_synth": q_extract_text,
         "anchor_texts": q_anchor_texts,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
+        "pregel_sssp_g2w": q_pregel_sssp,
+        "pie_sssp_g2w": q_pie_sssp,
         "gremlin_project_g1": q_gremlin_project,
         "gremlin_choose_g1": q_gremlin_choose,
         "gremlin_tail_g1": q_gremlin_tail,
@@ -1944,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_synth": EXTRACT_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
+        "pregel_sssp_g2w": H.sssp_sql(1, 20),
+        "pie_sssp_g2w": H.sssp_sql(1, 20),
         "gremlin_project_g1": GREMLIN_PROJECT_SQL,
         "gremlin_choose_g1": GREMLIN_CHOOSE_SQL,
         "gremlin_tail_g1": GREMLIN_TAIL_SQL,
