@@ -960,6 +960,42 @@ def q_gremlin_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.V().optional(__.out()).toDF()
 
 
+def q_saveload_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """save_to/load_from round-trip value-checked (reference
+    g.save_to/load_from, framework/graph.py:933-1009): build G1, save
+    the partitioned+sorted layout (the sandbox's Iceberg stand-in),
+    re-load it as a fresh LinkGraph, and compute out-degrees from the
+    RE-LOADED graph against the direct SQL twin — the round-trip must
+    lose nothing."""
+    import tempfile
+
+    from graphscope_spark.graph import LinkGraph
+
+    g = H.g1(spark, sf_dir).build()
+    path = tempfile.mkdtemp(prefix="gs_saveload_") + "/g1"
+    g.save(path)
+    g2 = LinkGraph.load(spark, path)
+    return (g2.edges.groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("odeg")))
+
+
+def q_registry_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The load_app plugin registry driven end-to-end (reference
+    load_app(algo, gar), framework/app.py:426-466): resolve the
+    builtin 'sssp' by its reference algo name and run it through the
+    App handle, against the same unrolled Bellman-Ford twin."""
+    from graphscope_spark.app import load_app
+
+    g = H.g2w(spark, sf_dir).build()
+    d = load_app("sssp")(g, src=1, weight_col="w")
+    return d.select(
+        "id",
+        F.when(F.col("distance") == float("inf"), F.lit(-1.0))
+        .otherwise(F.round("distance", 6))
+        .alias("distance"),
+    )
+
+
 def q_pregel_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Pregel UDF surface driven end-to-end against the builtin
     SSSP oracle (reference @pregel SSSP, test_udf_app.py:100-123):
@@ -1579,6 +1615,11 @@ UNION ALL
 SELECT id FROM verts WHERE id NOT IN (SELECT src FROM e)
 """
 
+SAVELOAD_DEGREES_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL})
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY src
+"""
+
 GREMLIN_PROJECT_SQL = f"""
 WITH e AS MATERIALIZED ({H.G1_SQL}),
 verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -1886,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_synth": q_extract_text,
         "anchor_texts": q_anchor_texts,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
+        "saveload_degrees_g1": q_saveload_degrees,
+        "registry_sssp_g2w": q_registry_sssp,
         "pregel_sssp_g2w": q_pregel_sssp,
         "pie_sssp_g2w": q_pie_sssp,
         "gremlin_project_g1": q_gremlin_project,
@@ -1983,6 +2026,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_synth": EXTRACT_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
+        "saveload_degrees_g1": SAVELOAD_DEGREES_SQL,
+        "registry_sssp_g2w": H.sssp_sql(1, 20),
         "pregel_sssp_g2w": H.sssp_sql(1, 20),
         "pie_sssp_g2w": H.sssp_sql(1, 20),
         "gremlin_project_g1": GREMLIN_PROJECT_SQL,
