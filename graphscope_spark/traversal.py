@@ -155,6 +155,20 @@ _SACK_OPS: dict[str, Callable[[Column, Column], Column]] = {
     "assign": lambda s, v: v,
 }
 
+# Kind → the columns that identify a traverser of that kind, and the
+# default deterministic order used by paging steps when no explicit
+# order() was applied. Shared by dedup/union/choose/sample/range_/tail
+# so the per-kind column sets cannot drift apart.
+_KIND_COLS: dict[str, list[str]] = {
+    "v": ["e"], "e": ["esrc", "edst"], "value": ["val"], "pairs": ["key"],
+}
+_DEFAULT_ORDER: dict[str, tuple] = {
+    "v": (("e", False),),
+    "e": (("esrc", False), ("edst", False)),
+    "value": (("val", False),),
+    "pairs": (("key", False),),
+}
+
 
 class Traversal:
     """Immutable traversal state: a DataFrame plus what its rows mean
@@ -178,6 +192,17 @@ class Traversal:
         return Traversal(self.graph, df, kind or self.kind,
                          self._order if order is None else order,
                          self._seed_df, self._track_path, self._sides)
+
+    def _rebuilt(self, df: DataFrame, kind: str) -> "Traversal":
+        """Successor for branch-combining steps (union/coalesce/
+        optional/choose) whose output may not retain every carry
+        column: path tracking stays on only if __path survived, so a
+        later path-dependent step either works or raises the clear
+        'start with g.with_path()' error instead of an unresolved-
+        column AnalysisException."""
+        return Traversal(self.graph, df, kind, (), self._seed_df,
+                         self._track_path and _PATH in df.columns,
+                         self._sides)
 
     def _carry(self) -> list[str]:
         """Columns carried across steps (seed, path, tags)."""
@@ -269,22 +294,27 @@ class Traversal:
         return self._next(self.df.where(F.col("e").isin([int(i) for i in ids])))
 
     def has(self, key: str, value=None) -> "Traversal":
-        """has('key') existence / has('key', value) / has('key', P.xx)."""
+        """has('key') existence / has('key', value) / has('key', P.xx).
+
+        Filter semantics: a traverser passes iff ANY vertex row for its
+        element matches — a left-semi join against the matching ids, so
+        multi-label vertex tables (one row per (id, label), graph.py
+        add_labels) never multiply traversers."""
         self._need("v", "has")
         v = self.graph.vertices
         if key not in v.columns:
             raise KeyError(f"vertex column {key!r} not found")
-        props = v.select(F.col(ID).alias("e"), F.col(key).alias("__p"))
-        cond = F.col("__p").isNotNull() if value is None else _as_pred(value)(F.col("__p"))
-        return self._next(self.df.join(props, "e").where(cond).drop("__p"))
+        p = F.col(key)
+        cond = p.isNotNull() if value is None else _as_pred(value)(p)
+        ok = v.where(cond).select(F.col(ID).alias("e"))
+        return self._next(self.df.join(ok, "e", "left_semi"))
 
     def is_(self, value) -> "Traversal":
         self._need("value", "is_")
         return self._next(self.df.where(_as_pred(value)(F.col("val"))))
 
     def dedup(self) -> "Traversal":
-        elem = {"v": ["e"], "e": ["esrc", "edst"], "value": ["val"]}[self.kind]
-        return self._next(self.df.dropDuplicates(elem))
+        return self._next(self.df.dropDuplicates(_KIND_COLS[self.kind]))
 
     def _seeded(self, sub: _Anon) -> "Traversal":
         seeds = self.df.withColumn(_SEED, F.col({"v": "e", "value": "val"}[self.kind]))
@@ -318,11 +348,11 @@ class Traversal:
         if len(kinds) != 1:
             raise TypeError(f"union(): arms produce mixed kinds {sorted(kinds)}")
         kind = kinds.pop()
-        cols = {"v": ["e"], "value": ["val"], "e": ["esrc", "edst"]}[kind]
+        cols = _KIND_COLS[kind]
         df = outs[0].df.select(*cols)
         for t in outs[1:]:
             df = df.unionByName(t.df.select(*cols))
-        return self._next(df, kind, order=())
+        return self._rebuilt(df, kind)
 
     def coalesce(self, *subs: "_Anon") -> "Traversal":
         """Gremlin coalesce(__a, __b, ...): per element, emit the FIRST
@@ -351,7 +381,7 @@ class Traversal:
         winner = allr.groupBy(_SEED).agg(F.min("__arm").alias("__arm"))
         picked = allr.join(winner, [_SEED, "__arm"]).select(
             F.col("__x").alias(col))
-        return self._next(picked, kind, order=())
+        return self._rebuilt(picked, kind)
 
     def optional(self, sub: "_Anon") -> "Traversal":
         """Gremlin optional(__sub): the sub-traversal's results where
@@ -364,8 +394,7 @@ class Traversal:
         hit = t.df.select(_SEED).distinct()
         misses = self.df.join(hit, self.df["e"] == hit[_SEED],
                               "left_anti").select("e")
-        return self._next(t.df.select("e").unionByName(misses), "v",
-                          order=())
+        return self._rebuilt(t.df.select("e").unionByName(misses), "v")
 
     def choose(self, cond: "_Anon", true_sub: "_Anon",
                false_sub: "_Anon | None" = None) -> "Traversal":
@@ -387,10 +416,16 @@ class Traversal:
         if len(kinds) != 1:
             raise TypeError(f"choose(): arms produce mixed kinds {sorted(kinds)}")
         kind = kinds.pop()
-        cols = {"v": ["e"], "value": ["val"], "e": ["esrc", "edst"]}[kind]
-        return self._next(
+        # keep every carry column (seed/path/sack/tags) that survived
+        # BOTH arms — the arms run on semi/anti splits of self.df, so
+        # carries flow through them; only arm-divergent ones drop
+        carry = [c for c in t_out.df.columns
+                 if (c.startswith("t_") or c in (_SEED, _SACK, _PATH))
+                 and c in f_out.df.columns]
+        cols = _KIND_COLS[kind] + carry
+        return self._rebuilt(
             t_out.df.select(*cols).unionByName(f_out.df.select(*cols)),
-            kind, order=())
+            kind)
 
     def not_(self, sub: "_Anon") -> "Traversal":
         self._need("v", "not_")
@@ -400,39 +435,36 @@ class Traversal:
 
     def hasNot(self, key: str) -> "Traversal":
         """Gremlin hasNot('key'): keep vertices whose property is
-        absent (null) — the complement of has('key')."""
+        absent (null) — the complement of has('key'). Anti-join
+        against the ids with a non-null value, so a multi-row vertex
+        (multi-label) passes iff NO row has the property."""
         self._need("v", "hasNot")
         v = self.graph.vertices
         if key not in v.columns:
             return self._next(self.df)  # nobody has it: all pass
-        props = v.select(F.col(ID).alias("e"), F.col(key).alias("__p"))
-        return self._next(self.df.join(props, "e")
-                          .where(F.col("__p").isNull()).drop("__p"))
+        present = v.where(F.col(key).isNotNull()).select(F.col(ID).alias("e"))
+        return self._next(self.df.join(present, "e", "left_anti"))
 
     def hasLabel(self, *labels: str) -> "Traversal":
         """Gremlin hasLabel(l1, l2, ...): filter vertices/edges by
         label (vertex labels from the multi-label `label` column —
-        graph.py add_labels; edge labels from the edge table). One
-        property join + an isin that folds into the scan filter."""
+        graph.py add_labels; edge labels from the edge table). A
+        semi-join against the matching label rows — never multiplies
+        traversers, even when an element has several matching labels.
+        The vertex form is exactly has('label', P.within(...))."""
         if not labels:
             raise TypeError("hasLabel() needs at least one label")
         if self.kind == "v":
-            v = self.graph.vertices
-            if "label" not in v.columns:
+            if "label" not in self.graph.vertices.columns:
                 raise KeyError("graph has no vertex labels")
-            lab = v.select(F.col(ID).alias("e"), F.col("label").alias("__l"))
-            return self._next(self.df.join(lab, "e")
-                              .where(F.col("__l").isin(list(labels)))
-                              .drop("__l"))
+            return self.has("label", P.within(*labels))
         if self.kind == "e":
             if "label" not in self.graph.edges.columns:
                 raise KeyError("graph has no edge labels")
-            lab = self.graph.edges.select(
-                F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
-                F.col("label").alias("__l"))
-            return self._next(self.df.join(lab, ["esrc", "edst"])
-                              .where(F.col("__l").isin(list(labels)))
-                              .drop("__l"))
+            lab = (self.graph.edges
+                   .where(F.col("label").isin(list(labels)))
+                   .select(F.col(SRC).alias("esrc"), F.col(DST).alias("edst")))
+            return self._next(self.df.join(lab, ["esrc", "edst"], "left_semi"))
         raise TypeError("hasLabel(): needs a vertex or edge traverser")
 
     def filter_(self, sub: "_Anon") -> "Traversal":
@@ -851,8 +883,7 @@ class Traversal:
         states are therefore bounded; still prefer limit() when lo=0.
         """
         from pyspark.sql import Window
-        order = self._order or ((({"v": "e", "value": "val", "pairs": "key"}
-                                  [self.kind]), False),)
+        order = self._order or _DEFAULT_ORDER[self.kind]
         ocols = [F.col(c).desc() if d else F.col(c).asc() for c, d in order]
         # per-partition pre-trim: each input partition contributes at
         # most `hi` candidates to the global page
@@ -875,8 +906,7 @@ class Traversal:
         order. Distributed top-n on the reversed order — Spark plans
         orderBy+limit as TakeOrderedAndProject (per-partition heaps +
         one driver merge of n rows), never a full sort."""
-        order = self._order or ((({"v": "e", "value": "val", "pairs": "key"}
-                                  [self.kind]), False),)
+        order = self._order or _DEFAULT_ORDER[self.kind]
         rev = [F.col(c).asc() if d else F.col(c).desc() for c, d in order]
         return self._next(self.df.orderBy(*rev).limit(int(n)), order=order)
 
@@ -886,8 +916,7 @@ class Traversal:
         distributed top-n (TakeOrderedAndProject), restart- and
         partitioning-stable like the hash draws in
         algorithms/walks.py (same engine-portable draw convention)."""
-        cols = {"v": ["e"], "e": ["esrc", "edst"], "value": ["val"],
-                "pairs": ["key"]}[self.kind]
+        cols = _KIND_COLS[self.kind]
         draw = F.xxhash64(*[F.col(c) for c in cols], F.lit(int(seed)))
         df = (self.df
               .orderBy(draw.asc(), *[F.col(c).asc() for c in cols])
@@ -1092,6 +1121,11 @@ class _Group:
 
         stream = t._seeded(steps)
         col = {"v": "e", "value": "val", "e": "esrc"}[stream.kind]
+        # element→key is functional (identity or a vertex property), so
+        # dedup the mapping: a duplicated traverser already contributes
+        # its sub-stream once per duplicate through the seeded stream —
+        # joining a duplicated mapping on top would square it
+        keyed = keyed.dropDuplicates(["e"])
         per_key = (
             stream.df.select(F.col(_SEED).alias("e"),
                              F.col(col).alias("__x"))
@@ -1161,7 +1195,14 @@ class _Project:
                         f"one of {sorted(_GROUP_AGGS)}")
                 steps = _Anon(mod._steps[:-1])
                 agg = mod._steps[-1][0]
-                stream = t._seeded(steps)
+                # seed from DISTINCT elements: project is per-traverser
+                # local scope, so a duplicated traverser must project
+                # its element's own sub-result, not a merged stream
+                # (seeding the raw df would double-count through the
+                # groupBy below, then hand the inflated value to BOTH
+                # duplicate rows)
+                stream = t._next(
+                    t.df.select("e").dropDuplicates(["e"]))._seeded(steps)
                 col = {"v": "e", "value": "val", "e": "esrc"}[stream.kind]
                 per = (stream.df
                        .groupBy(F.col(_SEED).alias("e"))
@@ -1172,6 +1213,13 @@ class _Project:
                     # projects count 0, not null
                     out = out.withColumn(
                         tag, F.coalesce(F.col(tag), F.lit(0).cast("long")))
+                elif agg == "fold":
+                    # ... and fold projects the empty list (same
+                    # convention as _Group's empty-key fill)
+                    dt = per.schema[tag].dataType.simpleString()
+                    out = out.withColumn(
+                        tag, F.coalesce(F.col(tag),
+                                        F.expr(f"CAST(array() AS {dt})")))
             else:
                 raise TypeError("project().by(): None, property name, or "
                                 "__ sub-traversal ending in an aggregate")

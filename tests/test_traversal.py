@@ -531,3 +531,90 @@ def test_sample(g):
     # a different seed is also deterministic
     assert (g.V().sample(4, seed=7).id_().toList()
             == g.V().sample(4, seed=7).id_().toList())
+
+
+# -- regression: local-scope / filter semantics under duplicate
+# traversers and multi-row (multi-label) element tables ---------------
+
+def test_project_duplicate_traversers_local_scope(g):
+    # V(0,3).out() reaches 1 and 2 twice (via 0 and via 3): project's
+    # sub-aggregate is PER TRAVERSER local scope, so each duplicate row
+    # must report its element's own out-degree, not a merged stream
+    rows = (g.V(0, 3).out().project("v", "d").by().by(__.out().count())
+            .toDF().collect())
+    got = sorted((r["v"], r["d"]) for r in rows)
+    expect = sorted((d, len(OUT.get(d, ()))) for s in (0, 3) for d in OUT[s])
+    assert got == expect
+    # empty-steps modulator counts the single-element local stream (1),
+    # never the duplicate multiplicity
+    rows = (g.V(0, 3).out().project("v", "one").by().by(__.count())
+            .toDF().collect())
+    assert {r["one"] for r in rows} == {1}
+
+
+def test_project_fold_empty_projects_empty_list(g):
+    # sink vertex folds to [], matching group()'s empty-key convention
+    rows = (g.V(5, 3).project("v", "nbrs").by().by(__.out().id_().fold())
+            .toDF().collect())
+    by_v = {r["v"]: sorted(r["nbrs"]) for r in rows}
+    assert by_v[5] == []
+    assert by_v[3] == sorted(OUT[3])
+
+
+def test_group_duplicate_traversers_multiplicity(g):
+    # group() is a global barrier: each traverser contributes its
+    # sub-stream ONCE (linear in duplicates, never squared)
+    rows = {r["key"]: r["val"] for r in
+            g.V(0, 3).out().group().by().by(__.out().count())
+            .toDF().collect()}
+    # vertex 2 is reached twice; its out-degree is len(OUT[2]) -> 2x
+    expect = {}
+    for s in (0, 3):
+        for d in OUT[s]:
+            expect[d] = expect.get(d, 0) + len(OUT.get(d, ()))
+    assert rows == expect
+
+
+def test_multilabel_filter_no_fanout(spark, toy_graph):
+    from graphscope_spark.graph import LinkGraph
+    # one row per (id, label): ids < 6 carry BOTH labels
+    rows = [(i, "page") for i in range(12)] + [(i, "site") for i in range(6)]
+    v = spark.createDataFrame(rows, "id long, label string")
+    tl = traversal(LinkGraph(vertices=v, edges=toy_graph.edges,
+                             directed=True))
+    # V() yields one traverser per vertex row (documented); hasLabel is
+    # a FILTER — matching two label rows must not multiply traversers
+    assert tl.V(0).n() == 2           # two label rows for vertex 0
+    assert tl.V(0).hasLabel("page", "site").n() == 2   # unchanged, not 4
+    assert tl.V(0).dedup().hasLabel("page", "site").n() == 1
+    assert sorted(tl.V().dedup().hasLabel("site").id_().toList()) == \
+        list(range(6))
+    # has() existence on the multi-row table: semi-join, no fan-out
+    assert tl.V(0).dedup().has("label").n() == 1
+    # edge labels: two label rows for the same (s,d) pair must not
+    # multiply the matching edge traverser
+    el = (toy_graph.edges.withColumn("label", F.lit("fwd")).unionByName(
+        toy_graph.edges.limit(1).withColumn("label", F.lit("extra"))))
+    te = traversal(LinkGraph(vertices=toy_graph.vertices, edges=el,
+                             directed=True))
+    one = te.E().dedup().limit(1)
+    assert one.hasLabel("fwd", "extra").n() == 1
+
+
+def test_choose_preserves_path_and_sack(toy_graph):
+    t = traversal(toy_graph).with_path()
+    # path tracking survives choose(): a later path()/simplePath() works
+    paths = (t.V(0).choose(__.out(), __.out()).path().toList())
+    assert sorted(paths) == sorted([0, d] for d in OUT[0])
+    assert t.V(9).out().out().choose(__.out(), __.out()).cyclicPath().n() == 1
+    # sack survives choose()
+    vals = (traversal(toy_graph).with_sack(7).V(0)
+            .choose(__.out(), __.out()).sack().toList())
+    assert vals == [7] * len(OUT[0])
+
+
+def test_tail_on_edges(g):
+    # g.E().tail(n) uses the default (esrc, edst) order
+    last2 = g.E().tail(2).toList()
+    assert last2 == sorted(TOY_EDGES)[-2:]
+    assert g.E().tail(999).n() == len(TOY_EDGES)
