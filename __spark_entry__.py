@@ -208,6 +208,33 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pack_shards(H.load(spark, sf_dir, "documents"), budget_tokens=2000)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed sklearn-style idf,
+    term-asc tie-break): explode + two hash aggregates + a per-doc
+    window — never a global sort."""
+    from graphscope_spark.functions import ranking as R
+
+    return R.tfidf_top_terms(H.load(spark, sf_dir, "documents"), k=3)
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every matching document against a literal query;
+    corpus scalars (N, avgdl) ride a broadcast 1-row aggregate."""
+    from graphscope_spark.functions import ranking as R
+
+    return R.bm25_score(H.load(spark, sf_dir, "documents"),
+                        query="fast hash join order")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (term → sorted posting list) with a df band
+    filter; one explode + distinct + one hash aggregate."""
+    from graphscope_spark.functions import ranking as R
+
+    return R.inverted_index(H.load(spark, sf_dir, "documents"),
+                            min_df=2, max_df=450)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram → 8-gram here for the short
     synthetic docs): docs sharing ANY word n-gram with the benchmark
@@ -1245,6 +1272,72 @@ SELECT doc_id, n_tokens,
 FROM d
 """
 
+# ranking.py tokenization: lower + split on non-alphanumeric runs,
+# empties dropped — identical semantics in Java regex and RE2.
+_RANK_TERMS = ("list_filter(regexp_split_to_array(lower(text), "
+               "'[^a-z0-9]+'), x -> x <> '')")
+
+TFIDF_TOP_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, unnest({_RANK_TERMS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         CAST(t.tf AS DOUBLE)
+           * (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))
+              + 1.0) AS raw
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, raw,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY raw DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, ROUND(raw, 6) AS score, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+BM25_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, unnest({_RANK_TERMS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM dt
+  WHERE term IN ('fast', 'hash', 'join', 'order')
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dl AS (
+  SELECT doc_id, CAST(len({_RANK_TERMS}) AS DOUBLE) AS dl
+  FROM documents),
+scal AS (
+  SELECT COUNT(*) AS n_docs,
+         AVG(CAST(len({_RANK_TERMS}) AS DOUBLE)) AS avgdl
+  FROM documents),
+contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(t2.df AS DOUBLE) + 0.5)
+                  / (CAST(t2.df AS DOUBLE) + 0.5))
+           * CAST(t.tf AS DOUBLE) * 2.2
+           / (CAST(t.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS c
+  FROM tf t JOIN dfreq t2 USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN scal s)
+SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id
+"""
+
+INVERTED_INDEX_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id, unnest({_RANK_TERMS}) AS term FROM documents)),
+idx AS (
+  SELECT term, COUNT(*) AS df,
+         list(doc_id ORDER BY doc_id) AS postings
+  FROM dt GROUP BY term)
+SELECT term, df, postings FROM idx WHERE df BETWEEN 2 AND 450
+"""
+
 DECONTAMINATE_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 g AS (
@@ -1874,6 +1967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "corpus_filter": q_corpus_filter,
         "pack_shards": q_pack_shards,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25": q_bm25,
+        "inverted_index": q_inverted_index,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "assign_splits": q_assign_splits,
@@ -1974,6 +2070,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratio": REPETITION_RATIO_SQL,
         "corpus_filter": CORPUS_FILTER_SQL,
         "pack_shards": PACK_SHARDS_SQL,
+        "tfidf_top_terms": TFIDF_TOP_SQL,
+        "bm25": BM25_SQL,
+        "inverted_index": INVERTED_INDEX_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "assign_splits": ASSIGN_SPLITS_SQL,

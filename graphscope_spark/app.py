@@ -69,10 +69,26 @@ class App:
         if isinstance(obj, PIEProgram):
             return run_pie(graph, obj, *args, **kwargs)
         if callable(obj):
-            out = obj(graph, *args, **kwargs)
-            if isinstance(out, (PregelProgram,)):
+            import inspect
+
+            # distinguish a plain (graph, **kw) algorithm from a
+            # factory that builds a program WITHOUT the graph (the
+            # "zero/param factory" form of the module docstring, e.g.
+            # register_app("my", lambda: sssp_program(src=3)) or
+            # register_app("my", sssp_program)): bind the graph-first
+            # call; if the signature rejects it, call factory-style
+            try:
+                inspect.signature(obj).bind(graph, *args, **kwargs)
+                takes_graph = True
+            except TypeError:
+                takes_graph = False
+            except ValueError:  # builtins without introspectable sigs
+                takes_graph = True
+            out = obj(graph, *args, **kwargs) if takes_graph \
+                else obj(*args, **kwargs)
+            if isinstance(out, PregelProgram):
                 return run_pregel(graph, out)
-            if isinstance(out, (PIEProgram,)):
+            if isinstance(out, PIEProgram):
                 return run_pie(graph, out)
             return out
         raise TypeError(f"unrunnable app object for {self._algo!r}: {obj!r}")

@@ -181,6 +181,9 @@ class Context:
             return df
         vals = [c for c in df.columns if c != ID]
         cols = []
+        joined: set[str] = set()  # join each vertex property ONCE even
+        # when several selectors reference it (a second join would
+        # duplicate __v_<prop> and make the final select ambiguous)
         for out, sel in selector.items():
             if sel == "v.id":
                 cols.append(F.col(ID).alias(out))
@@ -188,11 +191,13 @@ class Context:
                 prop = sel[2:]
                 if prop not in self._graph.vertices.columns:
                     raise KeyError(f"selector {sel!r}: no vertex column")
-                # join lazily below
                 cols.append(F.col(f"__v_{prop}").alias(out))
-                df = df.join(
-                    self._graph.vertices.select(
-                        ID, F.col(prop).alias(f"__v_{prop}")), ID, "left")
+                if prop not in joined:
+                    joined.add(prop)
+                    df = df.join(
+                        self._graph.vertices.select(
+                            ID, F.col(prop).alias(f"__v_{prop}")),
+                        ID, "left")
             elif sel == "r":
                 if len(vals) != 1:
                     raise ValueError(

@@ -227,7 +227,10 @@ def pack_shards(
     P = num_partitions or spark.sparkContext.defaultParallelism
     d = docs.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
+        # NULL text counts 0 tokens: a null n_tokens would poison the
+        # pandas cumsum (NaN -> astype(int64) raises) and the partition
+        # totals below
+        F.coalesce(token_count(text_col), F.lit(0)).alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("__key"),
     )
     d = (
@@ -244,7 +247,7 @@ def pack_shards(
     offsets, run = {}, 0
     for pid in range(max(totals, default=-1) + 1):
         offsets[pid] = run
-        run += int(totals.get(pid, 0))
+        run += int(totals.get(pid) or 0)
     off_bc = spark.sparkContext.broadcast(offsets)
     budget = int(budget_tokens)
 

@@ -296,16 +296,31 @@ class Graph:
         be silently wrong)."""
         if self._base_lg is not None:
             lg = self._base_lg
-            loops = lg.edges.where(F.col(SRC) == F.col(DST)) \
-                .groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("l"))
             if self._directed:
                 d = lg.out_degrees().join(lg.in_degrees(), ID).select(
                     ID, (F.col("out_degree") + F.col("in_degree")).alias("d"))
             else:
-                # stored symmetric closure: out-degree counts each
-                # neighbor once; NX counts self-loops twice
-                d = lg.out_degrees().join(loops, ID, "left").select(
-                    ID, (F.col("out_degree") + F.coalesce("l", F.lit(0))).alias("d"))
+                # LinkGraph(directed=False) does NOT guarantee a
+                # symmetric stored edge set (from_edges keeps rows as
+                # given), so compute over the symmetric-closure VIEW
+                # (undirected_edges symmetrizes directed storage; an
+                # already-undirected graph returns its rows as-is, so
+                # symmetrize here too): distinct neighbors + self-loops
+                # counted twice (the NX convention)
+                e = lg.edges.select(SRC, DST)
+                ue = e.unionAll(
+                    e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+                ).distinct()
+                nbrs = (ue.where(F.col(SRC) != F.col(DST))
+                        .groupBy(F.col(SRC).alias(ID))
+                        .agg(F.count("*").alias("nb")))
+                loops = (ue.where(F.col(SRC) == F.col(DST))
+                         .select(F.col(SRC).alias(ID)).distinct()
+                         .withColumn("l", F.lit(2)))
+                d = (lg.vertices.select(ID)
+                     .join(nbrs, ID, "left").join(loops, ID, "left")
+                     .select(ID, (F.coalesce("nb", F.lit(0))
+                                  + F.coalesce("l", F.lit(0))).alias("d")))
             if n is not None:
                 row = d.where(F.col(ID) == int(n)).collect()
                 if not row:
@@ -533,11 +548,13 @@ def harmonic_centrality(G: Graph, nbunch: Iterable | None = None,
     test_harmonic_centrality.py:1-6): sum of 1/d(v→u) over incoming
     shortest-path distances."""
     lg = G._flush(distance)
-    sources = G._ids_df(list(nbunch)) if nbunch is not None else None
+    # materialize once: nbunch may be a generator, and it is read twice
+    nodes = list(nbunch) if nbunch is not None else None
+    sources = G._ids_df(nodes) if nodes is not None else None
     r = A.harmonic_centrality(
-        lg, weight_col="w" if distance else None, sources=sources)
+        lg, weight_col=_weight_col(G, distance), sources=sources)
     d = _to_dict(G, r, "centrality")
-    return d if nbunch is None else {n: d[n] for n in nbunch}
+    return d if nodes is None else {n: d[n] for n in nodes}
 
 
 def eigenvector_centrality(G: Graph, max_iter: int = 100, tol: float = 1e-06,
@@ -846,12 +863,25 @@ def _lp_iter(G: Graph, ebunch, col: str):
     score = {(r["u"], r["v"]): r[col] for r in rows}
     deg = G.degree()
     if ebunch is None:
-        nodes = list(G._node) if G._base_lg is None else sorted(deg)
+        if G._base_lg is None:
+            nodes = list(G._node)
+            connected = G.has_edge  # driver-side dict lookup
+        else:
+            # collect the edge set ONCE — per-pair G.has_edge here
+            # would be one Spark job per candidate pair (O(n^2) jobs);
+            # the scores above are already collected at this scale
+            nodes = sorted(deg)
+            es = {(r[0], r[1]) if r[0] < r[1] else (r[1], r[0])
+                  for r in G._base_lg.edges.select(SRC, DST).collect()}
+
+            def connected(u, v, _es=es):
+                ui, vi = int(u), int(v)
+                return ((ui, vi) if ui < vi else (vi, ui)) in _es
         ebunch = [
             (u, v)
             for i, u in enumerate(nodes)
             for v in nodes[i + 1:]
-            if not G.has_edge(u, v)
+            if not connected(u, v)
         ]
     for u, v in ebunch:
         ui, vi = _src_id(G, u), _src_id(G, v)

@@ -170,6 +170,26 @@ _DEFAULT_ORDER: dict[str, tuple] = {
 }
 
 
+def _vprops(graph: LinkGraph, cols: dict[str, str]) -> DataFrame:
+    """One row per vertex id with the requested property columns
+    (source column → output alias). Element identity in this layer is
+    the id, but multi-label vertex tables store one ROW per (id,
+    label) — a raw join would multiply traversers, so duplicate rows
+    resolve deterministically to the min non-null value per column."""
+    return graph.vertices.groupBy(F.col(ID).alias("e")).agg(
+        *[F.min(src).alias(dst) for src, dst in cols.items()])
+
+
+def _eprops(graph: LinkGraph, cols: dict[str, str]) -> DataFrame:
+    """One row per (src, dst) with the requested edge property columns.
+    Edge identity in this layer is the endpoint pair; parallel edges
+    (same endpoints, different rows) resolve deterministically to the
+    min non-null value per column rather than multiplying traversers."""
+    return graph.edges.groupBy(
+        F.col(SRC).alias("esrc"), F.col(DST).alias("edst")).agg(
+        *[F.min(src).alias(dst) for src, dst in cols.items()])
+
+
 class Traversal:
     """Immutable traversal state: a DataFrame plus what its rows mean
     (kind 'v' → column e; 'e' → esrc/edst[/eprev]; 'value' → val;
@@ -338,8 +358,10 @@ class Traversal:
         """Gremlin union(__a, __b, ...): run every sub-traversal from
         each current element and concatenate the streams (duplicates
         preserved) — one N-arm unionByName, still ONE Catalyst plan.
-        Arms must produce the same traverser kind; tags/path carries
-        do not survive the union (arms may disagree on them)."""
+        Arms must produce the same traverser kind. Sack/tag carries
+        survive when every arm retained them; path does not (arms run
+        unseeded from path tracking), and the result reflects that
+        honestly — path tracking is off downstream."""
         self._need("v", "union")
         if not subs:
             raise TypeError("union() needs at least one sub-traversal")
@@ -348,7 +370,13 @@ class Traversal:
         if len(kinds) != 1:
             raise TypeError(f"union(): arms produce mixed kinds {sorted(kinds)}")
         kind = kinds.pop()
-        cols = _KIND_COLS[kind]
+        # sack/tag carries flow through the seeded arms; keep the ones
+        # every arm retained (path never survives: arms are seeded
+        # without tracking — _rebuilt turns tracking off)
+        carry = [c for c in outs[0].df.columns
+                 if (c.startswith("t_") or c == _SACK)
+                 and all(c in t.df.columns for t in outs[1:])]
+        cols = _KIND_COLS[kind] + carry
         df = outs[0].df.select(*cols)
         for t in outs[1:]:
             df = df.unionByName(t.df.select(*cols))
@@ -372,7 +400,10 @@ class Traversal:
         if kind not in ("v", "value"):
             raise TypeError("coalesce(): arms must produce vertices or values")
         col = {"v": "e", "value": "val"}[kind]
-        arms = [t.df.select(_SEED, F.col(col).alias("__x"),
+        carry = [c for c in outs[0].df.columns
+                 if (c.startswith("t_") or c == _SACK)
+                 and all(c in t.df.columns for t in outs[1:])]
+        arms = [t.df.select(_SEED, *carry, F.col(col).alias("__x"),
                             F.lit(i).alias("__arm"))
                 for i, t in enumerate(outs)]
         allr = arms[0]
@@ -380,7 +411,7 @@ class Traversal:
             allr = allr.unionByName(a)
         winner = allr.groupBy(_SEED).agg(F.min("__arm").alias("__arm"))
         picked = allr.join(winner, [_SEED, "__arm"]).select(
-            F.col("__x").alias(col))
+            F.col("__x").alias(col), *carry)
         return self._rebuilt(picked, kind)
 
     def optional(self, sub: "_Anon") -> "Traversal":
@@ -392,9 +423,13 @@ class Traversal:
         if t.kind != "v":
             raise TypeError("optional(): sub-traversal must produce vertices")
         hit = t.df.select(_SEED).distinct()
+        carry = [c for c in t.df.columns
+                 if (c.startswith("t_") or c == _SACK)
+                 and c in self.df.columns]
         misses = self.df.join(hit, self.df["e"] == hit[_SEED],
-                              "left_anti").select("e")
-        return self._rebuilt(t.df.select("e").unionByName(misses), "v")
+                              "left_anti").select("e", *carry)
+        return self._rebuilt(
+            t.df.select("e", *carry).unionByName(misses), "v")
 
     def choose(self, cond: "_Anon", true_sub: "_Anon",
                false_sub: "_Anon | None" = None) -> "Traversal":
@@ -497,7 +532,7 @@ class Traversal:
         v = self.graph.vertices
         if key not in v.columns:
             raise KeyError(f"vertex column {key!r} not found")
-        props = v.select(F.col(ID).alias("e"), F.col(key).alias("val"))
+        props = _vprops(self.graph, {key: "val"})
         return self._next(
             self.df.join(props, "e").select("val", *self._carry()), "value")
 
@@ -515,16 +550,14 @@ class Traversal:
             v = self.graph.vertices
             if "label" not in v.columns:
                 raise KeyError("graph has no vertex labels")
-            props = v.select(F.col(ID).alias("e"), F.col("label").alias("val"))
+            props = _vprops(self.graph, {"label": "val"})
             return self._next(
                 self.df.join(props, "e").select("val", *self._carry()),
                 "value")
         if self.kind == "e":
             if "label" not in self.graph.edges.columns:
                 raise KeyError("graph has no edge labels")
-            lab = self.graph.edges.select(
-                F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
-                F.col("label").alias("val"))
+            lab = _eprops(self.graph, {"label": "val"})
             return self._next(
                 self.df.join(lab, ["esrc", "edst"]).select(
                     "val", *self._carry()), "value")
@@ -542,7 +575,7 @@ class Traversal:
         missing = [k for k in ks if k not in v.columns]
         if missing:
             raise KeyError(f"vertex columns not found: {missing}")
-        props = v.select(F.col(ID).alias("e"), *[F.col(k) for k in ks])
+        props = _vprops(self.graph, {k: k for k in ks})
         return self._next(
             self.df.join(props, "e").select(F.col("e").alias(ID), *ks),
             "pairs")
@@ -562,8 +595,7 @@ class Traversal:
         if missing:
             raise KeyError(f"vertex columns not found: {missing}")
         cast = len(ks) > 1
-        joined = self.df.join(
-            v.select(F.col(ID).alias("e"), *[F.col(k) for k in ks]), "e")
+        joined = self.df.join(_vprops(self.graph, {k: k for k in ks}), "e")
         carry = self._carry()
         arms = [joined.select(
                     "e", F.lit(k).alias("pkey"),
@@ -631,10 +663,16 @@ class Traversal:
         later cap(key) is reached — fine for the retrieve-at-the-end
         use; mid-stream reads of a side effect (within('x')) are not
         supported."""
-        col = {"v": "e", "e": "esrc", "value": "val"}[self.kind]
+        if self.kind == "e":
+            # an edge traverser aggregates the EDGE (both endpoints),
+            # folded as (src, dst) structs — not just its source id
+            x = F.struct(F.col("esrc").alias("src"),
+                         F.col("edst").alias("dst"))
+        else:
+            x = F.col({"v": "e", "value": "val"}[self.kind])
         t = self._next(self.df)
         t._sides = {**self._sides,
-                    key: ("fold", self.df.select(F.col(col).alias("x")))}
+                    key: ("fold", self.df.select(x.alias("x")))}
         return t
 
     def subgraph(self, key: str) -> "Traversal":
@@ -796,8 +834,7 @@ class Traversal:
         key = [_SEED] if _SEED in self.df.columns else []
         ex = self.df.select(
             *key, F.posexplode("val").alias("__pos", "e"))
-        j = ex.join(v.select(F.col(ID).alias("e"),
-                             F.col(by).alias("__p")), "e")
+        j = ex.join(_vprops(self.graph, {by: "__p"}), "e")
         return key, j
 
     def dedup_local(self, by: str | None = None) -> "Traversal":
@@ -1093,11 +1130,9 @@ class _Group:
         if key_mod is None:
             keyed = t.df.select(F.col("e"), F.col("e").alias("key"))
         elif isinstance(key_mod, str):
-            v = t.graph.vertices
-            if key_mod not in v.columns:
+            if key_mod not in t.graph.vertices.columns:
                 raise KeyError(f"vertex column {key_mod!r} not found")
-            props = v.select(F.col(ID).alias("e"),
-                             F.col(key_mod).alias("key"))
+            props = _vprops(t.graph, {key_mod: "key"})
             keyed = t.df.join(props, "e").select("e", "key")
         else:
             raise TypeError("group().by(key): key must be None or a "
@@ -1122,9 +1157,10 @@ class _Group:
         stream = t._seeded(steps)
         col = {"v": "e", "value": "val", "e": "esrc"}[stream.kind]
         # element→key is functional (identity or a vertex property), so
-        # dedup the mapping: a duplicated traverser already contributes
-        # its sub-stream once per duplicate through the seeded stream —
-        # joining a duplicated mapping on top would square it
+        # keep the mapping one-row-per-element: a duplicated traverser
+        # already contributes its sub-stream once per duplicate through
+        # the seeded stream — a duplicated mapping would square it
+        # (_vprops is per-id; the identity branch still needs the dedup)
         keyed = keyed.dropDuplicates(["e"])
         per_key = (
             stream.df.select(F.col(_SEED).alias("e"),
@@ -1182,12 +1218,9 @@ class _Project:
             if mod is None:
                 out = out.withColumn(tag, F.col("e"))
             elif isinstance(mod, str):
-                v = t.graph.vertices
-                if mod not in v.columns:
+                if mod not in t.graph.vertices.columns:
                     raise KeyError(f"vertex column {mod!r} not found")
-                out = out.join(
-                    v.select(F.col(ID).alias("e"), F.col(mod).alias(tag)),
-                    "e", "left")
+                out = out.join(_vprops(t.graph, {mod: tag}), "e", "left")
             elif isinstance(mod, _Anon):
                 if not mod._steps or mod._steps[-1][0] not in _GROUP_AGGS:
                     raise TypeError(
@@ -1283,15 +1316,12 @@ class _Sack:
         elif t.kind == "e":
             if key not in t.graph.edges.columns:
                 raise KeyError(f"edge column {key!r} not found")
-            props = t.graph.edges.select(
-                F.col(SRC).alias("esrc"), F.col(DST).alias("edst"),
-                F.col(key).alias("__sv"))
+            props = _eprops(t.graph, {key: "__sv"})
             df, val = t.df.join(props, ["esrc", "edst"]), F.col("__sv")
         elif t.kind == "v":
             if key not in t.graph.vertices.columns:
                 raise KeyError(f"vertex column {key!r} not found")
-            props = t.graph.vertices.select(
-                F.col(ID).alias("e"), F.col(key).alias("__sv"))
+            props = _vprops(t.graph, {key: "__sv"})
             df, val = t.df.join(props, "e"), F.col("__sv")
         else:
             raise TypeError("sack(op).by(key): needs a vertex or edge "

@@ -44,3 +44,21 @@ def test_register_decorator_and_dotted_path(toy_graph):
     # dotted-path loading, the .gar-outside-the-engine analogue
     app = load_app("graphscope_spark.algorithms:degree_centrality")
     assert app(toy_graph).count() == 12
+
+
+def test_register_zero_arg_factory(toy_graph):
+    """The documented 'zero/param factory returning a program' form:
+    the registered callable takes no graph and returns the program."""
+    register_app("my_sssp_factory", lambda: sssp_program(src=3))
+    got = load_app("my_sssp_factory")(toy_graph)
+    want = sssp(toy_graph, src=3)
+    g = {(r["id"], r["value"]) for r in got.collect()
+         if r["value"] != float("inf")}
+    w = {(r["id"], float(r["distance"])) for r in want.collect()
+         if r["distance"] != float("inf")}
+    assert g == w
+    # param-factory form: program built from the call's kwargs
+    register_app("my_sssp_param", sssp_program)
+    got2 = load_app("my_sssp_param")(toy_graph, src=3)
+    assert {(r["id"], r["value"]) for r in got2.collect()
+            if r["value"] != float("inf")} == w

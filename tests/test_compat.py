@@ -110,3 +110,15 @@ def test_session_gremlin(sess, gg):
     # interactive handle
     t = sess.gremlin(gg)
     assert sorted(t.V().toList()) == list(range(12))
+
+
+def test_repeated_vertex_property_selector(sess, spark, toy_graph):
+    """Two selectors referencing the same vertex property must not
+    produce an ambiguous duplicate join column."""
+    v = spark.createDataFrame(
+        [(i, float(i * i)) for i in range(12)], "id long, score double")
+    lg = LinkGraph(vertices=v, edges=toy_graph.edges, directed=True)
+    ctx = graphscope.wcc(lg)
+    pdf = ctx.to_dataframe({"a": "v.score", "b": "v.score", "id": "v.id"})
+    assert (pdf["a"] == pdf["b"]).all()
+    assert dict(zip(pdf["id"], pdf["a"]))[3] == 9.0

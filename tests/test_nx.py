@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import networkx as realnx
 import pytest
+from pyspark.sql import functions as F
 
 import graphscope_spark.nx as gnx
 from graphscope_spark import oracles as O
@@ -488,3 +489,38 @@ def test_graphml_cross_parse_with_networkx(tmp_path):
     back = gnx.read_graphml(theirs, node_type=int)
     assert back._succ[1][2]["weight"] == 3.5
     assert back._node[1]["color"] == "red"
+
+
+def test_degree_unsymmetrized_undirected_storage(spark):
+    """Undirected from_link_graph degree must be right even when the
+    stored edge set is NOT a symmetric closure (from_edges keeps rows
+    as given) — including a self-loop counted twice."""
+    from graphscope_spark.graph import LinkGraph
+    e = spark.createDataFrame([(1, 2), (3, 1), (4, 4)], "src long, dst long")
+    lg = LinkGraph.from_edges(e, directed=False)
+    g = gnx.Graph.from_link_graph(lg)
+    assert g.degree(2) == 1        # dst-side only in storage
+    assert g.degree(1) == 2
+    assert g.degree(4) == 2        # self-loop counts twice
+    nxg = realnx.Graph([(1, 2), (3, 1), (4, 4)])
+    assert g.degree() == dict(realnx.degree(nxg))
+
+
+def test_harmonic_generator_nbunch_and_weight(spark, und):
+    nxg, g = und
+    want = realnx.harmonic_centrality(nxg, nbunch=[0, 3])
+    got = gnx.harmonic_centrality(g, nbunch=(n for n in [0, 3]))
+    assert set(got) == {0, 3}
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6
+    # weighted distance in from_link_graph mode resolves the column
+    # name as-is (regression: used to hardcode 'w')
+    lg = g._flush()
+    lgw = type(lg)(vertices=lg.vertices,
+                   edges=lg.edges.withColumn("cost", F.lit(1.0)),
+                   directed=lg.directed)
+    wrapped = gnx.Graph.from_link_graph(lgw)
+    gw = gnx.harmonic_centrality(wrapped, distance="cost")
+    gu = gnx.harmonic_centrality(wrapped)
+    for k in gu:
+        assert abs(gw[k] - gu[k]) < 1e-6  # unit costs == unweighted

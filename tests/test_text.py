@@ -149,3 +149,21 @@ def test_normalize_text(spark):
     keep = df.select(normalize_text("text", strip_punct=False,
                                     collapse_ws=False, lower=False).alias("n"))
     assert keep.collect()[1]["n"] == "already clean"
+
+
+def test_pack_shards_null_text(spark):
+    """NULL text counts 0 tokens instead of poisoning the cumsum."""
+    from graphscope_spark.functions.text import pack_shards
+    rows = [(i, None if i % 3 == 0 else "a b c d e") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["shard"])
+           for r in pack_shards(docs, budget_tokens=10,
+                                num_partitions=3).collect()}
+    assert len(got) == 12
+    assert all(got[i][0] == 0 for i in range(0, 12, 3))
+    assert all(got[i][0] == 5 for i in range(12) if i % 3)
+    # all-null partition content also fine
+    allnull = spark.createDataFrame([(i, None) for i in range(4)],
+                                    "doc_id long, text string")
+    out = pack_shards(allnull, budget_tokens=10, num_partitions=2).collect()
+    assert {r["shard"] for r in out} == {0}

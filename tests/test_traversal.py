@@ -618,3 +618,47 @@ def test_tail_on_edges(g):
     last2 = g.E().tail(2).toList()
     assert last2 == sorted(TOY_EDGES)[-2:]
     assert g.E().tail(999).n() == len(TOY_EDGES)
+
+
+def test_aggregate_cap_on_edges(g):
+    # aggregate('x') on an edge traverser collects EDGES (src,dst
+    # structs), not just source ids
+    got = g.V(3).outE().aggregate("x").cap("x").toList()
+    assert len(got) == 1
+    pairs = sorted((r["src"], r["dst"]) for r in got[0])
+    assert pairs == sorted((3, d) for d in OUT[3])
+
+
+def test_sack_by_edge_prop_parallel_edges(spark):
+    from graphscope_spark.graph import LinkGraph
+    # parallel edges (1,2) with different weights: the property lookup
+    # must not multiply traversers — (src,dst) identifies the edge and
+    # the weight resolves deterministically to the min
+    e = spark.createDataFrame([(1, 2, 1.0), (1, 2, 5.0), (1, 3, 2.0)],
+                              "src long, dst long, w double")
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    lg = LinkGraph(vertices=v, edges=e, directed=True)
+    t = traversal(lg).with_sack(0.0)
+    vals = sorted(t.V(1).outE().sack("sum").by("w").sack().toList())
+    assert len(vals) == 3            # three edge rows, no fan-out
+    assert vals == [1.0, 1.0, 2.0]   # parallel pair resolves to min
+    # label() on the same multigraph: one value per edge row
+    el = e.withColumn("label", F.concat(F.lit("w"), F.col("w").cast("int")))
+    tl = traversal(LinkGraph(vertices=v, edges=el.drop("w"), directed=True))
+    assert tl.E().label().n() == 3
+
+
+def test_union_coalesce_preserve_sack_and_tags(toy_graph):
+    # sack survives union()/coalesce(): both arms carry it
+    ts = traversal(toy_graph).with_sack(5)
+    vals = ts.V(0).union(__.out(), __.in_()).sack().toList()
+    assert vals == [5] * (len(OUT[0]) + len(IN[0]))
+    vals = ts.V(0).coalesce(__.out(), __.in_()).sack().toList()
+    assert vals == [5] * len(OUT[0])
+    vals = ts.V(5).optional(__.out()).sack().toList()
+    assert vals == [5]
+    # tags set before the branch survive for a later select()
+    got = (traversal(toy_graph).V(3).as_("a").union(__.out())
+           .dedup().as_("b").select("a", "b").toDF().collect())
+    assert {r["a"] for r in got} == {3}
+    assert sorted(r["b"] for r in got) == sorted(OUT[3])
