@@ -166,18 +166,34 @@ def inverted_index(
 ) -> DataFrame:
     """(term, df, postings) — sorted posting list per term, with a
     document-frequency band filter (min_df ≤ df ≤ max_df; max_df drops
-    stop-word-like terms). One explode + distinct + one hash aggregate
-    on term; posting lists stay bounded by max_df."""
+    stop-word-like terms). One explode + distinct + hash aggregate on
+    term.
+
+    Scale note: with max_df set, the band is computed FIRST (a count
+    aggregate) and the posting fold runs only over banded terms — a
+    stop-word term at web scale would otherwise build a posting array
+    spanning most of the corpus before being thrown away (executor OOM
+    risk); the extra count pass shuffles only (term, doc_id) pairs and
+    AQE reuses the exchange."""
     postings = (
         docs.select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
         .select("term", id_col).distinct()
     )
-    out = (
+    if max_df is not None:
+        band = (
+            postings.groupBy("term").agg(F.count("*").alias("df"))
+            .where((F.col("df") >= int(min_df))
+                   & (F.col("df") <= int(max_df)))
+        )
+        return (
+            postings.join(band, "term")
+            .groupBy("term", "df")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+            .select("term", "df", "postings")
+        )
+    return (
         postings.groupBy("term")
         .agg(F.count("*").alias("df"),
              F.sort_array(F.collect_list(id_col)).alias("postings"))
         .where(F.col("df") >= int(min_df))
     )
-    if max_df is not None:
-        out = out.where(F.col("df") <= int(max_df))
-    return out
