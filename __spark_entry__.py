@@ -288,6 +288,16 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_cosine(emb, queries, k=5)
 
 
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force kNN over int8 scalar-quantized vectors (per-vector
+    symmetric scales cancel in cosine — no dequantization)."""
+    emb = H.load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return S.knn_quantized(emb, queries, k=5)
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = H.load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20).select(
@@ -1440,6 +1450,33 @@ SELECT dd.doc_id,
 FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
 """
 
+KNN_QUANTIZED_SQL = """
+WITH sc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS s
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN s = 0
+              THEN list_transform(e, x -> 0.0)
+              ELSE list_transform(e, x -> CAST(CAST(round(x / s * 127.0)
+                                               AS INT) AS DOUBLE)) END AS q
+  FROM sc),
+q AS (SELECT vec_id AS query_id, q AS qvec FROM qz WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, z.vec_id,
+         list_cosine_similarity(q.qvec, z.q) AS cos
+  FROM q JOIN qz z ON z.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored)
+SELECT query_id, vec_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+"""
+
 KNN_COSINE_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
@@ -1979,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "knn_cosine": q_knn_cosine,
+        "knn_quantized": q_knn_quantized,
         "knn_ivf_label": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2082,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "minhash_lsh": MINHASH_LSH_SQL,
         "knn_cosine": KNN_COSINE_SQL,
+        "knn_quantized": KNN_QUANTIZED_SQL,
         "knn_ivf_label": KNN_IVF_SQL,
         "embedding_near_dup": EMBEDDING_NEAR_DUP_SQL,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh_sql(),

@@ -99,6 +99,66 @@ def knn_cosine(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    out_col: str = "qvec_i8",
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization of an embedding column
+    to signed `bits`-bit ints (default int8): q_i = round(x_i / s *
+    (2^(bits-1)-1)) with s = max|x_i| per vector; an all-zero vector
+    quantizes to zeros. Adds (out_col: array<int>, out_col+'_scale').
+
+    Scale story: int8 cuts the shuffled candidate payload 4x vs
+    float32 (the dominant byte cost of a kNN verify stage at 100 TB),
+    and per-vector scales cancel in cosine, so quantized search needs
+    NO dequantization — see knn_quantized. Pure codegen (transform /
+    aggregate higher-order functions), zero shuffle."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    s = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    q = F.when(
+        s == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / s * F.lit(qmax))
+            .cast("int")),
+    )
+    return embeddings.withColumn(out_col, q).withColumn(
+        f"{out_col}_scale", F.round(s, 6))
+
+
+def knn_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    candidates: DataFrame | None = None,
+    bits: int = 8,
+) -> DataFrame:
+    """knn_cosine over scalar-quantized vectors: both sides quantize
+    per-vector (symmetric, `bits`-bit), cosine runs on the INT vectors
+    directly — per-vector scales cancel in cosine, so the only error
+    is rounding (recall vs exact is tested, not assumed). Same output
+    shape and tie-break as knn_cosine."""
+    emb_q = quantize_embeddings(embeddings, vec_col, bits, "__q").select(
+        F.col(id_col), F.col("__q").alias(vec_col))
+    qs_q = quantize_embeddings(queries, qvec_col, bits, "__q").select(
+        F.col(qid_col), F.col("__q").alias(qvec_col))
+    cand_q = (None if candidates is None else
+              quantize_embeddings(candidates, vec_col, bits, "__q")
+              .select(F.col(id_col), F.col("__q").alias(vec_col)))
+    return knn_cosine(emb_q, qs_q, k, id_col, vec_col, qid_col, qvec_col,
+                      candidates=cand_q)
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -128,3 +128,32 @@ def test_knn_no_candidates_broadcast_guard(spark):
                               "query_id long, qvec array<double>")
     with pytest.raises(ValueError, match="knn_ivf"):
         knn_cosine(big, q, k=3)
+
+
+def test_quantize_embeddings_known_values(spark):
+    from graphscope_spark.functions.similarity import quantize_embeddings
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: (r["qvec_i8"], r["qvec_i8_scale"])
+            for r in quantize_embeddings(df).collect()}
+    # s=1.0: [127, -64 (round(-63.5) away from zero), 32 (round(31.75))]
+    assert rows[0][0] == [127, -64, 32]
+    assert rows[0][1] == 1.0
+    # zero vector quantizes to zeros, scale 0
+    assert rows[1] == ([0, 0, 0], 0.0)
+
+
+def test_knn_quantized_recall_vs_exact(spark, emb):
+    from graphscope_spark.functions.similarity import (knn_cosine,
+                                                       knn_quantized)
+    from pyspark.sql import functions as F
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in knn_cosine(emb, queries, k=5).collect()}
+    quant = {(r["query_id"], r["vec_id"])
+             for r in knn_quantized(emb, queries, k=5).collect()}
+    # int8 rounding barely moves cosines: recall@5 must stay high
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized recall {recall} too low"
