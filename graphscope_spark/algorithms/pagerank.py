@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, ID, SRC, LinkGraph
+from graphscope_spark.skew import salted_sum
 from graphscope_spark.superstep import SuperstepRunner
 
 
@@ -87,13 +88,19 @@ def pagerank(
 
     ecols = [SRC, DST] + ([weight_col] if weight_col else [])
     edges = graph.edges.select(*ecols)
+    sym_cached = False
     if not graph.directed:
+        # cache the symmetrized fabric: the union discards build()'s
+        # src-partitioned layout, and without the cache every superstep
+        # would recompute it (wcc.py caches its edges_sym for the same
+        # reason)
         edges = edges.unionAll(
             edges.select(
                 F.col(DST).alias(SRC), F.col(SRC).alias(DST),
                 *([weight_col] if weight_col else []),
             )
-        )
+        ).cache()
+        sym_cached = True
 
     # Vertex table with out-degrees (weighted: total out-weight), cached
     # once: the static side of every superstep join (reference: degree
@@ -163,12 +170,15 @@ def pagerank(
             (F.col("contrib") * F.col(weight_col)) if weight_col else F.col("contrib")
         )
         if salt_mod > 1:
-            partial = (
-                joined.withColumn("__salt", F.pmod(F.xxhash64(SRC), F.lit(salt_mod)))
-                .groupBy(DST, "__salt")
-                .agg(F.sum(cexpr).alias("__p"))
+            # two-stage hub-skew spread — the one salted-sum
+            # implementation lives in skew.py (row-content salt:
+            # deterministic under retry, spreads hubs even when the
+            # contribution value is constant, because src differs)
+            contribs = salted_sum(
+                joined.select(SRC, DST, cexpr.alias("__c")),
+                key=DST, value="__c", salt_mod=salt_mod,
+                out="contrib_sum",
             )
-            contribs = partial.groupBy(DST).agg(F.sum("__p").alias("contrib_sum"))
         else:
             contribs = joined.groupBy(DST).agg(F.sum(cexpr).alias("contrib_sum"))
 
@@ -220,4 +230,6 @@ def pagerank(
         info_out["history"] = result.history
     out = result.state.select(ID, "rank")
     verts.unpersist()
+    if sym_cached:
+        edges.unpersist()
     return out

@@ -125,11 +125,22 @@ class LinkGraph:
 
     def to_undirected(self) -> "LinkGraph":
         """Undirected closure (reference to_undirected,
-        dag_utils.py:522-567): symmetrize + dedupe, drop self-loops kept
-        (self-loops preserved once)."""
-        e = self.edges.select(SRC, DST)
-        sym = e.unionAll(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-        return replace(self, edges=sym.distinct(), directed=False, _cached={})
+        dag_utils.py:522-567): symmetrize + dedupe on (src, dst),
+        self-loops preserved once. Edge PROPERTIES (weight/label/...)
+        survive: reversed rows carry the forward row's values, and when
+        both directions pre-existed with conflicting values the merge
+        is the deterministic per-column min (the same duplicate-row
+        convention as the traversal layer's property lookups)."""
+        extra = [c for c in self.edges.columns if c not in (SRC, DST)]
+        e = self.edges.select(SRC, DST, *extra)
+        sym = e.unionByName(
+            e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), *extra))
+        if extra:
+            merged = sym.groupBy(SRC, DST).agg(
+                *[F.min(c).alias(c) for c in extra])
+        else:
+            merged = sym.distinct()
+        return replace(self, edges=merged, directed=False, _cached={})
 
     def undirected_edges(self) -> DataFrame:
         """Symmetrized distinct edge set (src,dst) — the message fabric
@@ -322,9 +333,25 @@ class LinkGraph:
             .parquet(f"{path}/edges")
         )
         self.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+        # persist directedness: load() must not silently treat a
+        # round-tripped undirected graph as directed (symmetrization
+        # branches in pagerank/sssp key on the flag)
+        spark.createDataFrame(
+            [(bool(self.directed),)], "directed boolean"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @staticmethod
-    def load(spark: SparkSession, path: str, directed: bool = True) -> "LinkGraph":
+    def load(spark: SparkSession, path: str,
+             directed: bool | None = None) -> "LinkGraph":
+        """Load a save()d layout. `directed` defaults to the persisted
+        flag (pre-meta layouts without one load as directed=True);
+        passing it explicitly overrides."""
+        if directed is None:
+            try:
+                directed = bool(
+                    spark.read.parquet(f"{path}/meta").collect()[0]["directed"])
+            except Exception:
+                directed = True
         return LinkGraph(
             vertices=spark.read.parquet(f"{path}/vertices"),
             edges=spark.read.parquet(f"{path}/edges"),

@@ -306,8 +306,15 @@ def generate_edges(
                 )
                 + 0.5
             ) / float(2**32)
-            # bounded-Pareto: P(dst >= k) ~ k^-(a-1)  -> mega-hubs at low ids
-            dst = (np.power(u, inv) - 1.0).astype(np.uint64) % np.uint64(n_vertices)
+            # bounded-Pareto: P(dst >= k) ~ k^-(a-1)  -> mega-hubs at low ids.
+            # Clip into uint64 range before the cast: for the rare i
+            # where the modular draw is ~0, u^inv exceeds 2^64 and a
+            # float->uint64 cast of an out-of-range value is UNDEFINED
+            # (0 on x86, saturate on ARM) — the clip keeps the table
+            # bit-identical across platforms/numpy versions
+            vals = np.minimum(np.power(u, inv) - 1.0,
+                              np.float64(2**64 - 2**40))
+            dst = vals.astype(np.uint64) % np.uint64(n_vertices)
             out = pd.DataFrame(
                 {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
             )

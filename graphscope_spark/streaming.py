@@ -180,10 +180,17 @@ def _with_simhash(docs: DataFrame, prefix_bits: int, text_col: str,
                   id_col: str) -> DataFrame:
     from graphscope_spark.functions.dedup import simhash64
 
+    if not 0 <= prefix_bits <= 64:
+        raise ValueError(f"prefix_bits must be in [0, 64], got {prefix_bits}")
+    # prefix_bits=0 means ONE bucket (compare everything): special-case
+    # it because the JVM masks long shifts to 6 bits, so >>> 64 would
+    # silently be a no-op and give every doc its own bucket
+    bucket = (F.lit(0).cast("long") if prefix_bits == 0
+              else F.shiftrightunsigned("simhash", 64 - prefix_bits))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         simhash64(F.col(text_col)).alias("simhash"),
-    ).withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    ).withColumn("bucket", bucket)
 
 
 def simhash_dedup_stream(

@@ -199,28 +199,36 @@ class SuperstepRunner:
         converged = False
         it = start_iter
         try:
-            converged, it, state = self._loop(
+            converged, it, state, rounds = self._loop(
                 state, step, until, start_iter, history, state_id
             )
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
-        if self.checkpoint_dir and history and not history[-1].get("complete"):
+        if (rounds and self.checkpoint_dir and history
+                and not history[-1].get("complete")):
             # durable final checkpoint for the resume contract (the
-            # stopping round may have been a persist-only round)
+            # stopping round may have been a persist-only round).
+            # Guarded on rounds > 0: with a zero-round run (resume past
+            # max_iter) history[-1] is a PRIOR run's incomplete record
+            # and writing the resumed state under its iteration number
+            # would silently skip the lost iterations on the next
+            # resume.
             state, path = self._checkpoint(state, history[-1]["iteration"])
             history[-1]["path"] = path
             history[-1]["complete"] = True
             history[-1]["partitions"] = self._partition_lineage(path)
             self._append_manifest(history[-1])
         return SuperstepResult(
-            state=state, iterations=it + 1 - start_iter, converged=converged, history=history
+            state=state, iterations=rounds, converged=converged, history=history
         )
 
     def _loop(self, state, step, until, start_iter, history, state_id):
         converged = False
         it = start_iter
+        rounds = 0
         for it in range(start_iter, self.max_iter):
+            rounds += 1
             t0 = time.monotonic()
             new_state = step(state, it)
 
@@ -264,6 +272,14 @@ class SuperstepRunner:
             history.append(rec)
             self._append_manifest(rec)
 
+            if not (self.eager or until is not None
+                    or (do_ckpt and self.checkpoint_dir)):
+                # lazy localCheckpoint and nothing in this round ran an
+                # action over new_state: its blocks do not exist yet
+                # and the parent's blocks are its only data source —
+                # force materialization BEFORE freeing the parent
+                new_state.count()
+
             # old state fully consumed (step + until done) — free it
             self._unpersist_id(new_state, state_id)
             state_id = new_id
@@ -273,4 +289,4 @@ class SuperstepRunner:
                 converged = True
                 break
 
-        return converged, it, state
+        return converged, it, state, rounds

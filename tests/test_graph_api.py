@@ -39,3 +39,33 @@ def test_graph_to_dataframe_numpy(spark):
     assert sorted(pdf.columns) == ["id", "rank"]
     arr = pdf.sort_values("id")["rank"].to_numpy()
     assert arr.shape == (2,) and np.allclose(arr.sum(), 1.0)
+
+
+def test_to_undirected_preserves_properties(spark):
+    from graphscope_spark.graph import LinkGraph
+    from pyspark.sql import functions as F
+    e = spark.createDataFrame(
+        [(1, 2, 5.0, "a"), (3, 1, 2.0, "b"), (2, 1, 7.0, "c")],
+        "src long, dst long, w double, label string")
+    g = LinkGraph.from_edges(e.select("src", "dst")).cache()
+    lg = LinkGraph(
+        vertices=g.vertices, edges=e, directed=True).to_undirected()
+    assert set(lg.edges.columns) == {"src", "dst", "w", "label"}
+    rows = {(r["src"], r["dst"]): (r["w"], r["label"])
+            for r in lg.edges.collect()}
+    # both directions present; conflicting values merge to the min
+    assert rows[(1, 2)] == (5.0, "a")
+    assert rows[(2, 1)] == (5.0, "a")  # min(7.0 reverse-of-(1,2)=5.0...)
+    assert rows[(3, 1)] == (2.0, "b") and rows[(1, 3)] == (2.0, "b")
+
+
+def test_save_load_roundtrips_directed_flag(spark, tmp_path):
+    from graphscope_spark.graph import LinkGraph
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    g = LinkGraph.from_edges(e, directed=False)
+    p = str(tmp_path / "lgu")
+    g.save(p)
+    h = LinkGraph.load(spark, p)
+    assert h.directed is False
+    # explicit override still wins
+    assert LinkGraph.load(spark, p, directed=True).directed is True

@@ -125,3 +125,20 @@ def test_max_state_cap_keeps_comparing(spark):
     # doc 2 is first there, so retained)
     assert 0 in out and 2 in out
     assert 1 not in out and 3 not in out and 4 not in out
+
+
+def test_simhash_bucket_prefix_bits_edges(spark):
+    """prefix_bits=0 puts EVERY doc in one bucket (the JVM would mask a
+    64-bit shift to a no-op); out-of-range values raise."""
+    import pytest
+
+    from graphscope_spark.streaming import _with_simhash
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} text") for i in range(6)],
+        "doc_id long, text string")
+    b0 = {r["bucket"] for r in _with_simhash(docs, 0, "text", "doc_id").collect()}
+    assert b0 == {0}
+    b16 = _with_simhash(docs, 16, "text", "doc_id").collect()
+    assert all(0 <= r["bucket"] < 2 ** 16 for r in b16)
+    with pytest.raises(ValueError):
+        _with_simhash(docs, 65, "text", "doc_id")

@@ -66,3 +66,35 @@ def test_no_dir_uses_local_checkpoint(spark):
     res = SuperstepRunner(max_iter=3).run(init, _counter_step, None)
     assert res.iterations == 3
     assert {r["x"] for r in res.state.collect()} == {3}
+
+
+def test_lazy_checkpoint_fixed_rounds_no_until(spark):
+    """eager=False + until=None + no durable dir: each round must
+    materialize the lazy checkpoint BEFORE freeing its parent, or the
+    chain dies with 'checkpoint block not found'."""
+    init = spark.range(10).select(F.col("id"), F.lit(0).alias("x"))
+    res = SuperstepRunner(max_iter=3, eager=False).run(
+        init, _counter_step, None)
+    assert {r["x"] for r in res.state.collect()} == {3}
+    assert res.iterations == 3
+
+
+def test_resume_past_max_iter_runs_zero_rounds(spark, tmp_path):
+    """Resuming with start_iter >= max_iter must report 0 iterations
+    and must NOT overwrite the manifest's incomplete tail with the
+    older resumed state (which would skip iterations on re-resume)."""
+    ckpt = str(tmp_path / "ck2")
+    init = spark.range(10).select(F.col("id"), F.lit(0).alias("x"))
+    r1 = SuperstepRunner(max_iter=4, checkpoint_every=2, checkpoint_dir=ckpt)
+    r1.run(init, _counter_step, _until)
+    before = r1.read_manifest()
+    # resume with a smaller budget than what already completed
+    r2 = SuperstepRunner(max_iter=2, checkpoint_every=2, checkpoint_dir=ckpt)
+    res = r2.run(init, _counter_step, _until, resume=True)
+    assert res.iterations == 0
+    assert not res.converged
+    # state is the resumed checkpoint, untouched
+    assert {r["x"] for r in res.state.collect()} == {4}
+    # manifest gained no record claiming new work
+    after = r2.read_manifest()
+    assert [r["iteration"] for r in after] == [r["iteration"] for r in before]
