@@ -189,14 +189,15 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # thresholds sit inside the synthetic corpus's quality (0.667-0.741)
-    # and length (10-99 tokens) ranges so the filter provably removes
-    # documents rather than passing everything through
+    # thresholds sit inside the synthetic corpus's quality (0.604-0.676
+    # under the letters-only/non-empty-token formula) and length (10-99
+    # tokens) ranges so the filter provably removes documents rather
+    # than passing everything through
     return T.corpus_filter(
         H.load(spark, sf_dir, "documents"),
         min_tokens=20,
         max_tokens=100_000,
-        min_quality=0.69,
+        min_quality=0.63,
     )
 
 
@@ -1153,10 +1154,11 @@ TEXT_QUALITY_SQL = f"""
 WITH base AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS len,
-         CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
          CAST(len(list_filter(string_split(text, ' '),
                               x -> x IN ({_STOP_EN}))) AS DOUBLE) AS stop_hits,
-         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS DOUBLE) AS n_tok
   FROM documents),
 ratios AS (
   SELECT doc_id,
@@ -1219,10 +1221,11 @@ CORPUS_FILTER_SQL = f"""
 WITH base AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS len,
-         CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
          CAST(len(list_filter(string_split(text, ' '),
                               x -> x IN ({_STOP_EN}))) AS DOUBLE) AS stop_hits,
-         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS DOUBLE) AS n_tok
   FROM documents),
 qual AS (
   SELECT doc_id,
@@ -1238,7 +1241,7 @@ fp AS (
 kept AS (
   SELECT f.doc_id, f.fp, f.n_tok, q.quality
   FROM fp f JOIN qual q USING (doc_id)
-  WHERE f.n_tok BETWEEN 20 AND 100000 AND q.quality >= 0.69),
+  WHERE f.n_tok BETWEEN 20 AND 100000 AND q.quality >= 0.63),
 first AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
 SELECT k.doc_id, k.fp, CAST(k.n_tok AS BIGINT) AS n_tokens, k.quality
 FROM kept k JOIN first USING (doc_id, fp)

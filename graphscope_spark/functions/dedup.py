@@ -71,8 +71,21 @@ def ngram_jaccard_pairs(
     """(a, b, jaccard) for doc pairs with n-gram Jaccard ≥ threshold.
 
     candidates: optional (a, b) DataFrame (e.g. LSH output) to restrict
-    the quadratic join — mandatory at corpus scale."""
-    sh = shingles(docs, n, text_col, id_col).cache()
+    the quadratic join — mandatory at corpus scale. The restriction is
+    pushed BELOW the shingle self-join (semi-join of the shingle table
+    to the docs appearing in any candidate pair): a boilerplate shingle
+    shared corpus-wide must never enumerate corpus² pair rows before
+    the candidate filter. The result is eagerly materialized so the
+    shingle cache can be released before returning."""
+    from graphscope_spark.superstep import _CKPT_LEVEL
+
+    sh = shingles(docs, n, text_col, id_col)
+    if candidates is not None:
+        cids = (candidates.select(F.col("a").alias(id_col))
+                .unionByName(candidates.select(F.col("b").alias(id_col)))
+                .distinct())
+        sh = sh.join(cids, id_col, "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")
@@ -96,6 +109,11 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize before releasing the shingle cache (returning the
+    # lazy plan would leak sh for the application lifetime — or
+    # recompute shingling twice per action if unpersisted lazily)
+    out = out.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    sh.unpersist()
     return out
 
 
@@ -200,13 +218,29 @@ def fuzzy_dedup(
     verified = ngram_jaccard_pairs(
         docs, n, threshold, text_col, id_col, candidates=cand
     )
-    all_ids = docs.select(F.col(id_col).cast("long").alias("id"))
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        all_ids = docs.select(F.col(id_col).cast("long").alias("id"))
+        g = LinkGraph.from_edges(
+            verified.select("a", "b"), vertices=all_ids, directed=False,
+            src="a", dst="b",
+        )
+        comp = wcc(g)  # (id, comp) — comp = min id in cluster
+        return comp.select(F.col("id").alias(id_col),
+                           F.col("comp").alias("keep_id"))
+    # non-numeric ids (url/uuid strings): WCC needs long vertex keys,
+    # so run it over xxhash64(id) and map the component back to
+    # keep_id = min ORIGINAL id per cluster (a blind cast('long')
+    # would null every vertex and silently dedup nothing)
+    vid = lambda c: F.xxhash64(F.col(c).cast("string"))  # noqa: E731
+    idmap = docs.select(F.col(id_col), vid(id_col).alias("id")).distinct()
     g = LinkGraph.from_edges(
-        verified.select("a", "b"), vertices=all_ids, directed=False,
-        src="a", dst="b",
+        verified.select(vid("a").alias("a"), vid("b").alias("b")),
+        vertices=idmap.select("id"), directed=False, src="a", dst="b",
     )
-    comp = wcc(g)  # (id, comp) — comp = min id in cluster
-    return comp.select(F.col("id").alias(id_col), F.col("comp").alias("keep_id"))
+    joined = wcc(g).join(idmap, "id")
+    keep = joined.groupBy("comp").agg(F.min(id_col).alias("keep_id"))
+    return joined.join(keep, "comp").select(F.col(id_col), "keep_id")
 
 
 def _simhash64_py(text: str | None) -> int | None:

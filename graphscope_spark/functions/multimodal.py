@@ -212,7 +212,15 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
             for mid, p in zip(b["media_id"], b["payload"]):
                 if p is None or bytes(p)[:2] != b"BM":
                     continue
-                img = resize_nearest(decode_bmp(bytes(p)), out_h, out_w)
+                try:
+                    img = decode_bmp(bytes(p))
+                except (ValueError, IndexError, struct.error):
+                    # 'BM' magic but unsupported bpp / compression /
+                    # truncated header: drop the row — the module's
+                    # corrupt-container rule is fallback, NEVER a task
+                    # failure that kills the whole job
+                    continue
+                img = resize_nearest(img, out_h, out_w)
                 rows.append((int(mid), encode_bmp(img), out_w, out_h))
             yield pd.DataFrame(
                 rows, columns=["media_id", "payload", "width", "height"])

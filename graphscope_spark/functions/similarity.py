@@ -52,12 +52,24 @@ def knn_cosine(
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
     candidates: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k (query_id, vec_id, cos) by brute-force cosine.
 
     queries: DataFrame(query_id, qvec). Deterministic tie-break on
-    vec_id. candidates: optional pre-filtered candidate set replacing
-    the full cross join (IVF/LSH output)."""
+    vec_id. exclude_self drops the candidate whose id EQUALS the
+    query id (right when queries are drawn from the embedding table,
+    which is the common self-join usage; pass False when query ids
+    and vector ids are separate namespaces).
+
+    candidates restricts the pair space; three shapes accepted:
+    - (qid_col, id_col) rows: per-query candidate pairs — equi-joins
+      on both keys, never a cross join (the IVF/LSH scale path);
+    - ('a', 'b') rows (lsh_candidate_pairs output): symmetric id
+      pairs, expanded to per-query pairs in both directions;
+    - (id_col[, vec_col]) rows: a global candidate SUBSET — still a
+      query × subset cross join, only for small verified subsets.
+    """
     if candidates is None:
         # the no-candidates path broadcasts the FULL embedding table —
         # the documented small-baseline/verify use. Guard it: a large
@@ -71,14 +83,38 @@ def knn_cosine(
                 "or lsh_candidate_pairs() to generate a bounded "
                 "candidate set, then pass it as `candidates`"
             )
-    cand = (candidates if candidates is not None else embeddings).select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn")
-    )
+    emb_n = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
     q = queries.withColumn("__qn", norm(F.col(qvec_col)))
-    crossed = q.join(
-        F.broadcast(cand) if candidates is None else cand,
-        F.col(qid_col) != F.col(id_col),
-    )
+    ccols = set(candidates.columns) if candidates is not None else set()
+    if candidates is None:
+        crossed = q.join(F.broadcast(emb_n),
+                         F.col(qid_col) != F.col(id_col) if exclude_self
+                         else F.lit(True))
+    elif {qid_col, id_col} <= ccols or {"a", "b"} <= ccols:
+        if {qid_col, id_col} <= ccols:
+            pairs = candidates.select(qid_col, id_col)
+        else:
+            # symmetric (a, b) pairs: candidate in both directions
+            pairs = (candidates.select(F.col("a").alias(qid_col),
+                                       F.col("b").alias(id_col))
+                     .unionByName(candidates.select(
+                         F.col("b").alias(qid_col),
+                         F.col("a").alias(id_col))))
+        crossed = pairs.join(emb_n, id_col).join(q, qid_col)
+        if exclude_self:
+            crossed = crossed.where(F.col(qid_col) != F.col(id_col))
+    else:
+        if id_col not in ccols:
+            raise ValueError(
+                f"candidates must carry ({qid_col},{id_col}), (a,b), or "
+                f"{id_col!r} columns; got {sorted(ccols)}")
+        sub = (candidates if vec_col in ccols else
+               candidates.select(id_col).join(embeddings, id_col)).select(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cn"))
+        crossed = q.join(sub,
+                         F.col(qid_col) != F.col(id_col) if exclude_self
+                         else F.lit(True))
     scored = crossed.select(
         qid_col,
         id_col,
@@ -152,9 +188,11 @@ def knn_quantized(
         F.col(id_col), F.col("__q").alias(vec_col))
     qs_q = quantize_embeddings(queries, qvec_col, bits, "__q").select(
         F.col(qid_col), F.col("__q").alias(qvec_col))
-    cand_q = (None if candidates is None else
-              quantize_embeddings(candidates, vec_col, bits, "__q")
-              .select(F.col(id_col), F.col("__q").alias(vec_col)))
+    if candidates is None or vec_col not in candidates.columns:
+        cand_q = candidates  # pair / id-only shapes pass through
+    else:
+        cand_q = quantize_embeddings(candidates, vec_col, bits, "__q") \
+            .select(F.col(id_col), F.col("__q").alias(vec_col))
     return knn_cosine(emb_q, qs_q, k, id_col, vec_col, qid_col, qvec_col,
                       candidates=cand_q)
 

@@ -70,27 +70,45 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _quality_exprs(text_col: str) -> dict[str, Column]:
+    """The quality kernel as raw Column expressions (shared by
+    quality_score and corpus_filter so the filter computes them in the
+    SAME scan as the fingerprint)."""
+    length = F.length(text_col).cast("double")
+    # letters only — counting spaces as "alphabetic" would score an
+    # all-whitespace document 1.0
+    alpha = F.length(
+        F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")).cast("double")
+    tok = tokens(text_col)
+    stop_hits = F.size(
+        F.filter(tok, lambda w: w.isin(STOPWORDS_EN))
+    ).cast("double")
+    # non-empty tokens: ANSI split preserves empties, but a run of
+    # spaces is not words (a 10-space doc must fail len_ok, not pass)
+    n_tok = F.size(F.filter(tok, lambda w: w != F.lit(""))).cast("double")
+    alpha_ratio = F.when(length > 0, alpha / length).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000),
+                    F.lit(1.0)).otherwise(F.lit(0.0))
+    return {
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality": F.round((alpha_ratio + stop_ratio + len_ok) / 3.0, 6),
+    }
+
+
 def quality_score(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Heuristic document quality: length, alpha ratio, stopword ratio,
     and a combined [0,1] score (C4/Gopher-style length+symbol filters).
     """
-    length = F.length(text_col).cast("double")
-    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z ]", "")).cast("double")
-    tok = tokens(text_col)
-    stop_hits = F.size(
-        F.filter(tok, lambda w: w.isin(STOPWORDS_EN))
-    ).cast("double")
-    n_tok = F.size(tok).cast("double")
-    alpha_ratio = F.when(length > 0, alpha / length).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
-    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    q = _quality_exprs(text_col)
     return docs.select(
         F.col(id_col),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round((alpha_ratio + stop_ratio + len_ok) / 3.0, 6).alias("quality"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality"].alias("quality"),
     )
 
 
@@ -164,18 +182,18 @@ def corpus_filter(
     """End-to-end training-corpus filter: token-length bounds +
     quality threshold + exact-dedup keep-first (min doc_id per md5
     fingerprint, computed among the *kept* docs). The composition a
-    100 TB pretraining pipeline runs before near-dup: one codegen scan
-    for the per-doc stats, one hash-agg on fp for keep-first — no
-    other shuffle."""
-    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
-    fp = fingerprint(docs, text_col, id_col).select(id_col, "fp", "n_tokens")
-    kept = (
-        fp.join(q, id_col)
-        .where(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("n_tokens") <= max_tokens)
-            & (F.col("quality") >= min_quality)
-        )
+    100 TB pretraining pipeline runs before near-dup: fingerprint,
+    token count and quality are all projections of ONE codegen scan
+    (no stat-join shuffle), then one hash-agg on fp for keep-first."""
+    kept = docs.select(
+        F.col(id_col),
+        F.md5(text_col).alias("fp"),
+        token_count(text_col).alias("n_tokens"),
+        _quality_exprs(text_col)["quality"].alias("quality"),
+    ).where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality") >= min_quality)
     )
     first = kept.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return kept.join(first, [id_col, "fp"]).select(
@@ -223,6 +241,9 @@ def pack_shards(
 
     from graphscope_spark.superstep import _CKPT_LEVEL
 
+    budget = int(budget_tokens)
+    if budget <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget}")
     spark = docs.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     d = docs.select(
@@ -249,7 +270,6 @@ def pack_shards(
         offsets[pid] = run
         run += int(totals.get(pid) or 0)
     off_bc = spark.sparkContext.broadcast(offsets)
-    budget = int(budget_tokens)
 
     def cumsum(batches):
         ctx = TaskContext.get()
@@ -265,7 +285,9 @@ def pack_shards(
                 }
             )
 
-    return d.mapInPandas(cumsum, f"{id_col} long, n_tokens long, shard long")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return d.mapInPandas(
+        cumsum, f"{id_col} {id_type}, n_tokens long, shard long")
 
 
 # PII patterns (pii_redact). Deterministic, unambiguous shapes chosen

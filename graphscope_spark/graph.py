@@ -145,10 +145,16 @@ class LinkGraph:
     def undirected_edges(self) -> DataFrame:
         """Symmetrized distinct edge set (src,dst) — the message fabric
         for WCC/CDLP on directed inputs (wcc_projected.h:88-104 pushes
-        along out- AND in-edges)."""
+        along out- AND in-edges).
+
+        ALWAYS symmetrizes: `directed=False` does not guarantee the
+        stored rows are a symmetric closure (from_edges keeps rows as
+        given), and a hash-min exchange over one-directional storage
+        silently fails to propagate whenever the minimum id sits on
+        the dst side. For already-symmetric storage the union+distinct
+        is an identity — one extra aggregate, paid once per algorithm
+        (callers cache the fabric)."""
         e = self.edges.select(SRC, DST)
-        if not self.directed:
-            return e
         return e.unionAll(
             e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
         ).distinct()

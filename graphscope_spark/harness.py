@@ -783,9 +783,15 @@ WHERE x.s IS NULL AND p.u % 7 = 0 AND p.v % 7 = 0
 
 
 def simple_path_sql(nodes: list[int]) -> str:
-    """is_simple_path over undirected G2 for a fixed node list."""
+    """is_simple_path over undirected G2 for a fixed node list.
+    NetworkX edge conventions: [] is not a path, a single existing
+    node is (the FALSE hop predicate below makes the zero-hop cases
+    valid SQL instead of 'WHERE ) = 0')."""
+    if not nodes:
+        return "SELECT CAST(FALSE AS BOOLEAN) AS is_path"
     hops = list(zip(nodes, nodes[1:]))
-    hop_pred = " OR ".join(f"(src = {a} AND dst = {b})" for a, b in hops)
+    hop_pred = (" OR ".join(f"(src = {a} AND dst = {b})" for a, b in hops)
+                or "FALSE")
     ids = ", ".join(str(v) for v in nodes)
     distinct_ok = len(set(nodes)) == len(nodes)
     return f"""

@@ -302,15 +302,10 @@ class Graph:
             else:
                 # LinkGraph(directed=False) does NOT guarantee a
                 # symmetric stored edge set (from_edges keeps rows as
-                # given), so compute over the symmetric-closure VIEW
-                # (undirected_edges symmetrizes directed storage; an
-                # already-undirected graph returns its rows as-is, so
-                # symmetrize here too): distinct neighbors + self-loops
-                # counted twice (the NX convention)
-                e = lg.edges.select(SRC, DST)
-                ue = e.unionAll(
-                    e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-                ).distinct()
+                # given), so compute over the symmetric-closure VIEW:
+                # distinct neighbors + self-loops counted twice (the
+                # NX convention)
+                ue = lg.undirected_edges()
                 nbrs = (ue.where(F.col(SRC) != F.col(DST))
                         .groupBy(F.col(SRC).alias(ID))
                         .agg(F.count("*").alias("nb")))

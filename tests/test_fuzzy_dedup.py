@@ -95,3 +95,18 @@ def test_fuzzy_dedup_no_dups(spark):
     )
     got = {r["doc_id"]: r["keep_id"] for r in fuzzy_dedup(df).collect()}
     assert got == {7: 7, 8: 8}
+
+
+def test_fuzzy_dedup_string_ids(spark):
+    """String doc ids must dedup (a blind cast('long') used to null
+    every vertex and silently dedup nothing)."""
+    from graphscope_spark.functions.dedup import fuzzy_dedup
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [("url-a", base), ("url-b", base + "extra tail"),
+            ("url-z", "completely different content about spark plans " * 4)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["keep_id"]
+           for r in fuzzy_dedup(docs, threshold=0.3).collect()}
+    assert out["url-a"] == "url-a"
+    assert out["url-b"] == "url-a"   # near-dup clusters to min id
+    assert out["url-z"] == "url-z"   # singleton keeps itself

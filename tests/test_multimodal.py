@@ -129,3 +129,18 @@ def test_frame_sample_plan(spark):
     assert set(got) == set(durations)  # videos only
     for mid, frames in got.items():
         assert sorted(frames) == list(range(0, durations[mid] + 1, 1000))
+
+
+def test_resize_drops_undecodable_bm_payload(spark):
+    """A payload with 'BM' magic but unsupported format must be
+    DROPPED, not kill the job (the module's corrupt-container rule)."""
+    from graphscope_spark.functions.multimodal import resize_images, synth_media
+    good = synth_media(spark, n=4).where("kind = 'image'")
+    bad = spark.createDataFrame(
+        [(999, "image", bytearray(b"BM" + b"\x00" * 20), 0)],
+        "media_id long, kind string, payload binary, duration_ms long")
+    media = good.select("media_id", "kind", "payload", "duration_ms") \
+        .unionByName(bad)
+    out = resize_images(media, 4, 4).collect()
+    assert 999 not in {r["media_id"] for r in out}
+    assert len(out) == good.count()

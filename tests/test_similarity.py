@@ -157,3 +157,27 @@ def test_knn_quantized_recall_vs_exact(spark, emb):
     # int8 rounding barely moves cosines: recall@5 must stay high
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, f"quantized recall {recall} too low"
+
+
+def test_knn_candidate_pair_shapes(spark, emb):
+    from graphscope_spark.functions.similarity import (knn_cosine,
+                                                       lsh_candidate_pairs)
+    from pyspark.sql import functions as F
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    # (a, b) symmetric pairs from LSH plug straight in (used to raise
+    # UNRESOLVED_COLUMN, the exact shape the guard error recommends)
+    pairs = lsh_candidate_pairs(emb, num_planes=2)
+    got = knn_cosine(emb, queries, k=3, candidates=pairs).collect()
+    assert all(r["query_id"] != r["vec_id"] for r in got)
+    # per-query (query_id, vec_id) pairs restrict exactly
+    explicit = spark.createDataFrame(
+        [(0, 5), (0, 6), (1, 7)], "query_id long, vec_id long")
+    got2 = {(r["query_id"], r["vec_id"])
+            for r in knn_cosine(emb, queries, k=3,
+                                candidates=explicit).collect()}
+    assert got2 <= {(0, 5), (0, 6), (1, 7)}
+    # exclude_self=False keeps the identity match at cos 1.0
+    got3 = knn_cosine(emb, queries, k=1, exclude_self=False).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in got3} == {(i, i) for i in range(3)}
+    assert all(r["cos"] == 1.0 for r in got3)

@@ -167,3 +167,31 @@ def test_pack_shards_null_text(spark):
                                     "doc_id long, text string")
     out = pack_shards(allnull, budget_tokens=10, num_partitions=2).collect()
     assert {r["shard"] for r in out} == {0}
+
+
+def test_quality_whitespace_and_digit_garbage(spark):
+    g = spark.createDataFrame(
+        [(0, "          "),            # all spaces
+         (1, "1 2 3 4 5 6"),           # digits only
+         (2, "the cat and the dog sat")],
+        "doc_id long, text string")
+    q = {r["doc_id"]: r for r in quality_score(g).collect()}
+    # all-whitespace: zero letters, zero real tokens -> rock bottom
+    assert q[0]["alpha_ratio"] == 0.0
+    assert q[0]["quality"] == 0.0
+    # digits-only: no letters counted as alpha
+    assert q[1]["alpha_ratio"] == 0.0
+    assert q[2]["quality"] > q[1]["quality"] > q[0]["quality"]
+
+
+def test_pack_shards_string_ids(spark):
+    from graphscope_spark.functions.text import pack_shards
+    import pytest as _pt
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "a b c d e") for i in range(8)],
+        "doc_id string, text string")
+    out = pack_shards(docs, budget_tokens=10, num_partitions=2).collect()
+    assert {r["doc_id"] for r in out} == {f"doc-{i}" for i in range(8)}
+    assert all(r["n_tokens"] == 5 for r in out)
+    with _pt.raises(ValueError):
+        pack_shards(docs, budget_tokens=0)
