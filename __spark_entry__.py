@@ -518,6 +518,38 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(H.g1(spark, sf_dir))
 
 
+def q_anf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (FM-sketch ANF, Palmer et al.
+    KDD'02) over undirected G1, radii 0..4 (the curve saturates at 4).
+    Hash currency: integer-exact total_r; nf rounded to 2 dp."""
+    from graphscope_spark.algorithms.anf import neighborhood_function
+
+    g = H.g1(spark, sf_dir).build()
+    nf = neighborhood_function(g, max_radius=4, num_trials=8)
+    return nf.select("radius", "total_r", F.round("nf", 2).alias("nf"))
+
+
+def q_anf_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 2-hop ball-size FM estimates on undirected G1 — the
+    per-vertex (1600-row) hash check of the sketch superstep."""
+    from graphscope_spark.algorithms.anf import anf_balls
+
+    g = H.g1(spark, sf_dir).build()
+    return anf_balls(g, radius=2, num_trials=8).select(
+        "id", F.round("est", 6).alias("est"))
+
+
+def q_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter (0.9-quantile, HyperANF interpolation) and
+    average distance of undirected G1 from one 6-round sketch run."""
+    from graphscope_spark.algorithms.anf import distance_stats
+
+    g = H.g1(spark, sf_dir).build()
+    return distance_stats(g, q=0.9, max_radius=6, num_trials=8).select(
+        F.round("eff_diam", 4).alias("eff_diam"),
+        F.round("avg_dist", 4).alias("avg_dist"))
+
+
 def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFS visitation rank (apps/dfs/dfs.h token walk) from customer 1
     over undirected G1 — driver-side walk of the collected (guarded)
@@ -2080,6 +2112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_g1": q_node2vec,
         "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
+        "anf_nf_g1_r4": q_anf_nf,
+        "anf_balls_g1_r2": q_anf_balls,
+        "distance_stats_g1": q_distance_stats,
         "dfs_g1_src1": q_dfs,
         "link_prediction_g1": q_link_prediction,
         "url_canonical": q_url_canonical,
@@ -2183,6 +2218,9 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
+        "anf_nf_g1_r4": H.anf_nf_sql(4),
+        "anf_balls_g1_r2": H.anf_balls_sql(2),
+        "distance_stats_g1": H.distance_stats_sql(6),
         "link_prediction_g1": H.LINK_PREDICTION_SQL,
         "url_canonical": URL_CANONICAL_SQL,
         "host_graph_domains": HOST_GRAPH_SQL,

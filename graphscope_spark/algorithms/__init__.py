@@ -51,6 +51,13 @@ from graphscope_spark.algorithms.betweenness import (
     betweenness_centrality,
     harmonic_centrality,
 )
+from graphscope_spark.algorithms.anf import (
+    anf_balls,
+    average_distance,
+    distance_stats,
+    effective_diameter,
+    neighborhood_function,
+)
 from graphscope_spark.algorithms.linkpred import (
     common_neighbors,
     link_prediction_scores,
@@ -69,4 +76,6 @@ __all__ = [
     "louvain", "property_sssp", "property_bfs", "sampling_path", "dfs",
     "betweenness_centrality", "harmonic_centrality", "node2vec_path",
     "link_prediction_scores", "common_neighbors",
+    "neighborhood_function", "effective_diameter", "average_distance",
+    "distance_stats", "anf_balls",
 ]

@@ -1267,3 +1267,136 @@ SELECT a.walk AS walk, a.id AS center, b.id AS context,
        CAST(b.pos - a.pos AS INT) AS off
 FROM wk a JOIN wk b ON a.walk = b.walk AND a.pos <> b.pos
   AND abs(a.pos - b.pos) <= {int(window)}"""
+
+
+# ----------------------------------------------------------------------
+# ANF (approximate neighborhood function) twins — bit-exact FM sketches
+# ----------------------------------------------------------------------
+
+def _anf_ctes(radius: int, trials: int = 8, r_max: int = 59,
+              edges_sql: str | None = None, directed: bool = False) -> list[str]:
+    """Unrolled FM-sketch supersteps (algorithms/anf.py): identical md5
+    bit draws ('0x'-parsed 15 hex chars → lowest set bit, capped at
+    r_max) and bitwise-only R recovery, so masks match Spark exactly.
+    Directed mode propagates AGAINST edge direction (out-reachability),
+    mirroring anf._prop_edges."""
+    cap = 1 << r_max
+    base = edges_sql or G1_SQL
+    fabric = (
+        "SELECT DISTINCT dst AS src, src AS dst FROM e"
+        if directed
+        else "SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e"
+    )
+    ctes = [
+        f"e AS MATERIALIZED ({base})",
+        f"u AS MATERIALIZED ({fabric})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        f"tr AS MATERIALIZED (SELECT range AS k FROM range({int(trials)}))",
+        f"""s0 AS MATERIALIZED (
+          SELECT id, k,
+                 CASE WHEN h = 0 THEN {cap}
+                      ELSE LEAST(h & -h, {cap}) END AS mask
+          FROM (SELECT v.id, tr.k,
+                       ('0x' || substr(md5(concat_ws('|', 'anf',
+                            tr.k::VARCHAR, v.id::VARCHAR)), 1, 15))::BIGINT AS h
+                FROM verts v, tr))""",
+    ]
+    for i in range(1, int(radius) + 1):
+        prev, cur = f"s{i - 1}", f"s{i}"
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+              SELECT u.dst AS id, s.k, bit_or(s.mask) AS nm
+              FROM u JOIN {prev} s ON s.id = u.src
+              GROUP BY u.dst, s.k)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+              SELECT s.id, s.k, s.mask | COALESCE(m.nm, 0) AS mask
+              FROM {prev} s LEFT JOIN m{i} m ON m.id = s.id AND m.k = s.k)"""
+        )
+    return ctes
+
+
+def _anf_sumr_sql(state: str) -> str:
+    """Per-vertex sum of R_k (integer-exact in both engines)."""
+    return f"""SELECT id, SUM(bit_count(((mask + 1) & ~mask) - 1)) AS sumr
+               FROM {state} GROUP BY id"""
+
+
+def anf_balls_sql(radius: int, trials: int = 8, r_max: int = 59,
+                  edges_sql: str | None = None) -> str:
+    """Per-vertex ball-size estimates after `radius` rounds, rounded to
+    6 dp (pow() is the only float op; inputs are engine-exact ints)."""
+    ctes = _anf_ctes(radius, trials, r_max, edges_sql)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, ROUND(POW(2.0, sumr / {float(trials)}) / 0.77351, 6) AS est
+FROM ({_anf_sumr_sql(f's{int(radius)}')})"""
+    )
+
+
+def anf_nf_sql(radius: int, trials: int = 8, r_max: int = 59,
+               edges_sql: str | None = None) -> str:
+    """Neighborhood function per radius. Hash currency is the
+    integer-exact total_r (sum over vertices of sum_k R_k); nf is the
+    float FM estimate rounded to 2 dp (coarse enough that summation
+    order can never flip the rounding)."""
+    ctes = _anf_ctes(radius, trials, r_max, edges_sql)
+    nf_rows = []
+    for t in range(int(radius) + 1):
+        ctes.append(
+            f"""nf{t} AS MATERIALIZED (
+              SELECT CAST({t} AS BIGINT) AS radius,
+                     CAST(SUM(sumr) AS BIGINT) AS total_r,
+                     ROUND(SUM(POW(2.0, sumr / {float(trials)}) / 0.77351), 2) AS nf
+              FROM ({_anf_sumr_sql(f's{t}')}))"""
+        )
+        nf_rows.append(f"SELECT * FROM nf{t}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(nf_rows)
+
+
+def distance_stats_sql(radius: int, q: float = 0.9, trials: int = 8,
+                       r_max: int = 59, edges_sql: str | None = None) -> str:
+    """Effective diameter (interpolated q-quantile of the NF curve,
+    anf._interp_quantile) and average distance over reachable pairs
+    (anf._avg_distance), from the same unrolled curve. Rounded to 4 dp:
+    curve values differ between engines only by float summation order
+    (~1e-9 relative), far inside the rounding grid."""
+    ctes = _anf_ctes(radius, trials, r_max, edges_sql)
+    pieces = []
+    for t in range(int(radius) + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+              SELECT CAST({t} AS BIGINT) AS radius,
+                     COALESCE(SUM(POW(2.0, sumr / {float(trials)}) / 0.77351), 0.0) AS nf
+              FROM ({_anf_sumr_sql(f's{t}')}))"""
+        )
+        pieces.append(f"SELECT * FROM c{t}")
+    ctes.append("curve AS MATERIALIZED (" + " UNION ALL ".join(pieces) + ")")
+    ctes.append(
+        f"""lastnf AS (SELECT nf AS nlast,
+                  (SELECT nf FROM curve WHERE radius = 0) AS n0
+           FROM curve WHERE radius = {int(radius)})"""
+    )
+    ctes.append(
+        "lagged AS (SELECT radius, nf, LAG(nf) OVER (ORDER BY radius) AS prev FROM curve)"
+    )
+    ctes.append(
+        f"""hit AS (SELECT l.radius, l.nf, l.prev FROM lagged l, lastnf t
+           WHERE l.nf >= {float(q)} * t.nlast ORDER BY l.radius LIMIT 1)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT ROUND(CASE WHEN (SELECT nlast FROM lastnf) <= 0 THEN 0.0
+             WHEN (SELECT radius FROM hit) = 0 THEN 0.0
+             WHEN (SELECT nf FROM hit) = (SELECT prev FROM hit)
+               THEN CAST((SELECT radius FROM hit) AS DOUBLE)
+             ELSE (SELECT radius FROM hit) - 1
+                  + ({float(q)} * (SELECT nlast FROM lastnf) - (SELECT prev FROM hit))
+                    / ((SELECT nf FROM hit) - (SELECT prev FROM hit)) END, 4) AS eff_diam,
+       ROUND(CASE WHEN (SELECT nlast - n0 FROM lastnf) <= 0 THEN 0.0
+             ELSE (SELECT SUM(radius * (nf - prev)) FROM lagged WHERE radius >= 1)
+                  / (SELECT nlast - n0 FROM lastnf) END, 4) AS avg_dist"""
+    )
