@@ -206,10 +206,25 @@ def main() -> int:
         # has and benchmarks the explode, not the engine.
         extra["web_triangles"] = triangle_count(web["g"])
 
-    if not only or {"web_pagerank", "web_build", "web_triangles"} & only:
+    def run_web_anf() -> None:
+        # sketch-based distance stats (FM/ANF): the web-scale stand-in
+        # for exact APSP. PageRank-shaped supersteps; saturates at the
+        # graph's effective diameter (~3-4 rounds on the hub web graph).
+        from graphscope_spark.algorithms.anf import _avg_distance, _interp_quantile, _nf_curve
+
+        curve = [nf for nf, _ in _nf_curve(web["g"], max_radius=8, num_trials=8)]
+        extra["web_anf"] = {
+            "eff_diameter": round(_interp_quantile(curve, 0.9), 4),
+            "avg_distance": round(_avg_distance(curve), 4),
+            "nf_last": round(curve[-1]),
+        }
+        log(f"  web_anf: {extra['web_anf']}")
+
+    if not only or {"web_pagerank", "web_build", "web_triangles", "web_anf"} & only:
         timed("web_build", prep_web)
         timed("web_pagerank", run_web_pr)
         timed("web_triangles", run_web_tri)
+        timed("web_anf", run_web_anf)
         web.get("g") and web["g"].unpersist()
 
     # ------------------------------------------------------------------

@@ -13,21 +13,33 @@ over fixed-width per-vertex sketches, giving effective diameter and
 average distance of a 10^12-page link graph for the cost of a few
 PageRank rounds.
 
-Sketch: K independent Flajolet-Martin bitmasks per vertex, each one
-BIGINT. Ball union is bitwise OR — associative + commutative, so each
-superstep is ONE edge join + ONE (id, k) bit_or hash-aggregate with
-map-side partial combine: exactly the PageRank plan shape with `|`
-instead of `+`, and the mask width never grows (message volume is
-K·|E| longs per round at any scale). Estimate per vertex:
-n̂(v) = 2^(mean_k R_k) / 0.77351 with R_k = index of the lowest zero
-bit of mask k (FM'85 bias correction).
+Sketch: K independent Flajolet-Martin bitmasks per vertex, PACKED as
+one array<long>(K) column — state is V rows (not V·K), messages are
+|E| rows per round, and the ball union is K bit_or aggregate
+expressions inside ONE (id) hash-aggregate with map-side partial
+combine: the PageRank plan shape with `|` for `+`, carrying 8 longs
+per row instead of 1 double. Mask width never grows with ball size.
+Estimate per vertex: n̂(v) = 2^(mean_k R_k) / 0.77351 with R_k = index
+of the lowest zero bit of mask k (FM'85 bias correction) — a pure
+projection over the packed array, no per-k grouping.
+
+Supersteps use FRONTIER (delta) propagation — exact for a monotone OR
+exchange: a vertex whose mask did not change last round has nothing
+new to offer its neighbors (each already absorbed it the round after
+it last changed), so only changed rows enter the message join. The
+per-row `chg` flag doubles as the join-free convergence signal
+(sum(chg) == 0), folded into the same one-action-per-round aggregate
+as the NF estimate. On a web graph most vertices saturate rounds
+before the periphery, so late-round message volume tracks the
+shrinking frontier, not |E|.
 
 Engine-portable determinism (same family as the MinHash/walks
 oracles): the bit draw for (k, v) is the lowest set bit of the 60-bit
 integer parsed from the first 15 hex chars of md5('anf'|k|id), and R
 is recovered with pure integer ops — bit_count(((mask+1) & ~mask) - 1)
-— no log2/floor float hazard, so the DuckDB twin replays the
-identical sketches bit-for-bit.
+— no log2/floor float hazard, so the DuckDB twin (row-form, an
+independent formulation of the same sketches) replays the masks
+bit-exactly.
 """
 
 from __future__ import annotations
@@ -55,54 +67,102 @@ def _prop_edges(graph: LinkGraph, directed: bool) -> DataFrame:
 
 
 def _init_state(graph: LinkGraph, num_trials: int, r_max: int) -> DataFrame:
-    spark = graph.vertices.sparkSession
-    trials = spark.range(num_trials).select(F.col("id").cast("int").alias("k"))
-    st = graph.vertices.select(ID).crossJoin(F.broadcast(trials))
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit("anf"),
-                    F.col("k").cast("string"),
-                    F.col(ID).cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    """(id, masks array<long>[num_trials]): one row per vertex, the K
+    md5 bit draws folded into a single codegen projection."""
     cap = F.lit(1 << r_max).cast("long")
-    # lowest set bit of h = h & -h (a power of two); LEAST caps the bit
-    # index at r_max; h == 0 (p = 2^-60) pins to the cap so both engines
-    # agree on the degenerate draw.
-    mask = F.when(h == 0, cap).otherwise(F.least(h.bitwiseAND(-h), cap))
-    return st.select(ID, "k", mask.alias("mask"))
+
+    def draw(k: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("anf"), F.lit(str(k)), F.col(ID).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        # lowest set bit of h = h & -h (a power of two); LEAST caps the
+        # bit index at r_max; h == 0 (p = 2^-60) pins to the cap so both
+        # engines agree on the degenerate draw.
+        return F.when(h == 0, cap).otherwise(F.least(h.bitwiseAND(-h), cap))
+
+    return graph.vertices.select(
+        ID,
+        F.array(*[draw(k) for k in range(num_trials)]).alias("masks"),
+        F.lit(True).alias("chg"),
+    )
 
 
-def _r_col() -> F.Column:
-    """R = index of the lowest ZERO bit of mask, via integer ops only:
-    (mask+1) & ~mask isolates that bit as a power of two; bit_count of
-    (that - 1) is its index. Exact in Spark and DuckDB alike."""
-    low_zero = (F.col("mask") + F.lit(1)).bitwiseAND(F.bitwise_not(F.col("mask")))
-    return F.bit_count(low_zero - F.lit(1))
+def _or_merge(num_trials: int) -> F.Column:
+    """masks | coalesce(nm, 0) elementwise, unrolled (K is small)."""
+    return F.array(
+        *[
+            F.col("masks")[i].bitwiseOR(
+                F.coalesce(F.col("nm")[i], F.lit(0).cast("long"))
+            )
+            for i in range(num_trials)
+        ]
+    ).alias("m2")
 
 
-def _est_col(num_trials: int) -> F.Column:
+def _step_fn(edges: DataFrame, num_trials: int):
+    """One superstep with FRONTIER (delta) propagation — exact for a
+    monotone OR exchange: after round t every vertex holds a superset
+    of each neighbor's round-(t-1) mask, so a vertex whose mask did not
+    change has nothing new to offer and is filtered from the message
+    side. `chg` tracks whether this round changed the row's mask; the
+    convergence check is then sum(chg) == 0, join-free."""
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        frontier = state.where("chg").select(F.col(ID).alias(SRC), "masks")
+        msgs = edges.join(frontier, SRC).select(F.col(DST).alias(ID), "masks")
+        ors = msgs.groupBy(ID).agg(
+            F.array(
+                *[F.bit_or(F.col("masks")[i]) for i in range(num_trials)]
+            ).alias("nm")
+        )
+        return (
+            state.join(ors, ID, "left")
+            .select(ID, "masks", _or_merge(num_trials))
+            .select(
+                ID,
+                F.col("m2").alias("masks"),
+                (F.col("m2") != F.col("masks")).alias("chg"),
+            )
+        )
+
+    return step
+
+
+def _sumr_col(num_trials: int) -> F.Column:
+    """sum_k R_k: R = index of the lowest ZERO bit of each mask, via
+    integer ops only — (m+1) & ~m isolates that bit as a power of two;
+    bit_count of (that - 1) is its index. Exact in Spark and DuckDB."""
+    def r(i: int) -> F.Column:
+        m = F.col("masks")[i]
+        low_zero = (m + F.lit(1)).bitwiseAND(F.bitwise_not(m))
+        return F.bit_count(low_zero - F.lit(1))
+
+    total = r(0)
+    for i in range(1, num_trials):
+        total = total + r(i)
+    return total
+
+
+def _est_from_sumr(num_trials: int) -> F.Column:
     return F.pow(F.lit(2.0), F.col("sumr") / F.lit(float(num_trials))) / F.lit(_PHI)
 
 
 def ball_estimates(state: DataFrame, num_trials: int) -> DataFrame:
-    """(id, est): estimated |ball(v)| from the (id, k, mask) sketch
-    state — one hash-aggregate, no shuffle beyond the id grouping."""
-    per = (
-        state.select(ID, _r_col().alias("r"))
-        .groupBy(ID)
-        .agg(F.sum("r").alias("sumr"))
+    """(id, est): estimated |ball(v)| from the packed sketch state — a
+    pure projection, no shuffle."""
+    return state.select(ID, _sumr_col(num_trials).alias("sumr")).select(
+        ID, _est_from_sumr(num_trials).alias("est")
     )
-    return per.select(ID, _est_col(num_trials).alias("est"))
 
 
 def anf_balls(
@@ -119,24 +179,12 @@ def anf_balls(
     edges = _prop_edges(graph, directed).cache()
     edges.count()
     init = _init_state(graph, num_trials, r_max)
-
-    def step(state: DataFrame, it: int) -> DataFrame:
-        msgs = edges.join(
-            state.select(F.col(ID).alias(SRC), "k", "mask"), SRC
-        ).select(F.col(DST).alias(ID), "k", "mask")
-        ors = msgs.groupBy(ID, "k").agg(F.bit_or("mask").alias("nm"))
-        return state.join(ors, [ID, "k"], "left").select(
-            ID,
-            "k",
-            F.col("mask").bitwiseOR(F.coalesce("nm", F.lit(0))).alias("mask"),
-        )
-
     runner = SuperstepRunner(
         max_iter=radius,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
     )
-    result = runner.run(init, step)
+    result = runner.run(init, _step_fn(edges, num_trials))
     out = ball_estimates(result.state, num_trials).localCheckpoint(eager=True)
     edges.unpersist()
     return out
@@ -156,54 +204,38 @@ def _nf_curve(
     bitwise no-ops, so padding is exact, and we skip running them).
     total_r = sum over vertices of sum_k R_k: an integer-exact twin of
     the float estimate (the oracle's hash currency). ONE driver action
-    per round computes the estimate, total_r, and changed-mask count."""
+    per round computes the estimate, total_r, and the changed-row count
+    (the frontier size — also the convergence signal)."""
     edges = _prop_edges(graph, directed).cache()
     edges.count()
     init = _init_state(graph, num_trials, r_max)
 
-    def _snapshot(per: DataFrame) -> tuple[float, int]:
-        row = per.select(
-            F.sum(_est_col(num_trials)).alias("nf"), F.sum("sumr").alias("tr")
-        ).first()
-        return float(row["nf"] or 0.0), int(row["tr"] or 0)
-
-    per0 = (
-        init.select(ID, _r_col().alias("r")).groupBy(ID).agg(F.sum("r").alias("sumr"))
-    )
-    nfs: list[tuple[float, int]] = [_snapshot(per0)]
-
-    def step(state: DataFrame, it: int) -> DataFrame:
-        msgs = edges.join(
-            state.select(F.col(ID).alias(SRC), "k", "mask"), SRC
-        ).select(F.col(DST).alias(ID), "k", "mask")
-        ors = msgs.groupBy(ID, "k").agg(F.bit_or("mask").alias("nm"))
-        return state.join(ors, [ID, "k"], "left").select(
-            ID,
-            "k",
-            F.col("mask").bitwiseOR(F.coalesce("nm", F.lit(0))).alias("mask"),
+    def _snapshot(state: DataFrame) -> tuple[float, int, int]:
+        row = (
+            state.select(_sumr_col(num_trials).alias("sumr"), "chg")
+            .select(
+                F.sum(_est_from_sumr(num_trials)).alias("nf"),
+                F.sum("sumr").alias("tr"),
+                F.sum(F.col("chg").cast("int")).alias("chg"),
+            )
+            .first()
         )
+        return float(row["nf"] or 0.0), int(row["tr"] or 0), int(row["chg"] or 0)
+
+    nf0, tr0, _ = _snapshot(init)
+    nfs: list[tuple[float, int]] = [(nf0, tr0)]
 
     def until(new: DataFrame, old: DataFrame, it: int):
-        j = new.join(old.select(ID, "k", F.col("mask").alias("pm")), [ID, "k"])
-        per = j.groupBy(ID).agg(
-            F.sum(_r_col()).alias("sumr"),
-            F.sum((F.col("mask") != F.col("pm")).cast("int")).alias("chg"),
-        )
-        row = per.select(
-            F.sum(_est_col(num_trials)).alias("nf"),
-            F.sum("sumr").alias("tr"),
-            F.sum("chg").alias("chg"),
-        ).first()
-        nfs.append((float(row["nf"] or 0.0), int(row["tr"] or 0)))
-        changed = int(row["chg"] or 0)
-        return changed == 0, {"nf": nfs[-1][0], "changed": changed}
+        nf, tr, chg = _snapshot(new)
+        nfs.append((nf, tr))
+        return chg == 0, {"nf": nf, "frontier": chg}
 
     runner = SuperstepRunner(
         max_iter=max_radius,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
     )
-    runner.run(init, step, until)
+    runner.run(init, _step_fn(edges, num_trials), until)
     edges.unpersist()
     while len(nfs) < max_radius + 1:
         nfs.append(nfs[-1])
