@@ -550,6 +550,17 @@ def q_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_dist", 4).alias("avg_dist"))
 
 
+def q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate harmonic centrality (Boldi/Vigna ICDMW'13)
+    on undirected G1 from the same FM ball sketches — the web-scale
+    stand-in for the exact per-source-BFS harmonic_centrality."""
+    from graphscope_spark.algorithms.anf import hyperball_harmonic
+
+    g = H.g1(spark, sf_dir).build()
+    hb = hyperball_harmonic(g, max_radius=6, num_trials=8)
+    return hb.select("id", F.round("centrality", 6).alias("centrality"))
+
+
 def q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFS visitation rank (apps/dfs/dfs.h token walk) from customer 1
     over undirected G1 — driver-side walk of the collected (guarded)
@@ -2113,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
         "anf_nf_g1_r4": q_anf_nf,
+        "hyperball_harmonic_g1": q_hyperball_harmonic,
         "anf_balls_g1_r2": q_anf_balls,
         "distance_stats_g1": q_distance_stats,
         "dfs_g1_src1": q_dfs,
@@ -2219,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
         "anf_nf_g1_r4": H.anf_nf_sql(4),
+        "hyperball_harmonic_g1": H.hyperball_harmonic_sql(6),
         "anf_balls_g1_r2": H.anf_balls_sql(2),
         "distance_stats_g1": H.distance_stats_sql(6),
         "link_prediction_g1": H.LINK_PREDICTION_SQL,

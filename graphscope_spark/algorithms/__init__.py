@@ -52,6 +52,7 @@ from graphscope_spark.algorithms.betweenness import (
     harmonic_centrality,
 )
 from graphscope_spark.algorithms.anf import (
+    hyperball_harmonic,
     anf_balls,
     average_distance,
     distance_stats,
@@ -77,5 +78,5 @@ __all__ = [
     "betweenness_centrality", "harmonic_centrality", "node2vec_path",
     "link_prediction_scores", "common_neighbors",
     "neighborhood_function", "effective_diameter", "average_distance",
-    "distance_stats", "anf_balls",
+    "distance_stats", "anf_balls", "hyperball_harmonic",
 ]

@@ -138,12 +138,12 @@ def _step_fn(edges: DataFrame, num_trials: int):
     return step
 
 
-def _sumr_col(num_trials: int) -> F.Column:
+def _sumr_col(num_trials: int, col: str = "masks") -> F.Column:
     """sum_k R_k: R = index of the lowest ZERO bit of each mask, via
     integer ops only — (m+1) & ~m isolates that bit as a power of two;
     bit_count of (that - 1) is its index. Exact in Spark and DuckDB."""
     def r(i: int) -> F.Column:
-        m = F.col("masks")[i]
+        m = F.col(col)[i]
         low_zero = (m + F.lit(1)).bitwiseAND(F.bitwise_not(m))
         return F.bit_count(low_zero - F.lit(1))
 
@@ -334,3 +334,89 @@ def distance_stats(
         [(_interp_quantile(curve, q), _avg_distance(curve))],
         "eff_diam DOUBLE, avg_dist DOUBLE",
     )
+
+
+def hyperball_harmonic(
+    graph: LinkGraph,
+    max_radius: int = 32,
+    num_trials: int = 8,
+    r_max: int = 59,
+    directed: bool = False,
+    checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HyperBall approximate harmonic centrality (Boldi/Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", ICDMW'13):
+    C_H(v) = sum_u 1/d(u,v) ~= sum_t (|B(v,t)| - |B(v,t-1)|) / t,
+    accumulated from the same FM ball sketches as the neighborhood
+    function. The web-scale replacement for exact harmonic_centrality
+    (algorithms/betweenness.py harmonic, reference NX semantics): one
+    PageRank-shaped superstep per radius instead of a per-source BFS.
+
+    Directed graphs use INCOMING distances (masks flow src->dst, so
+    B(v,t) counts vertices that can reach v) — matching the exact
+    harmonic_centrality's NX convention. The accumulator rides the
+    state row (pest = previous ball estimate, acc = running sum), so
+    each round is still one edge join + one hash-aggregate; once the
+    frontier empties every later term is 0 and the early stop is exact.
+
+    Returns DataFrame(id long, centrality double).
+    """
+    if directed:
+        edges = graph.edges.select(SRC, DST).distinct().cache()
+    else:
+        edges = graph.undirected_edges().cache()
+    edges.count()
+
+    est0 = _est_from_sumr(num_trials)
+    init = (
+        _init_state(graph, num_trials, r_max)
+        .withColumn("sumr", _sumr_col(num_trials))
+        .select(
+            ID, "masks", "chg",
+            est0.alias("pest"),
+            F.lit(0.0).alias("acc"),
+        )
+    )
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        frontier = state.where("chg").select(F.col(ID).alias(SRC), "masks")
+        msgs = edges.join(frontier, SRC).select(F.col(DST).alias(ID), "masks")
+        ors = msgs.groupBy(ID).agg(
+            F.array(
+                *[F.bit_or(F.col("masks")[i]) for i in range(num_trials)]
+            ).alias("nm")
+        )
+        merged = state.join(ors, ID, "left").select(
+            ID, "masks", "pest", "acc", _or_merge(num_trials)
+        )
+        est_t = F.pow(
+            F.lit(2.0), _sumr_col(num_trials, "m2") / F.lit(float(num_trials))
+        ) / F.lit(_PHI)
+        return merged.select(
+            ID,
+            F.col("m2").alias("masks"),
+            (F.col("m2") != F.col("masks")).alias("chg"),
+            est_t.alias("pest"),
+            (F.col("acc") + (est_t - F.col("pest")) / F.lit(float(it + 1))).alias(
+                "acc"
+            ),
+        )
+
+    def until(new: DataFrame, old: DataFrame, it: int):
+        chg = int(
+            new.select(F.sum(F.col("chg").cast("int")).alias("c")).first()["c"] or 0
+        )
+        return chg == 0, {"frontier": chg}
+
+    runner = SuperstepRunner(
+        max_iter=max_radius,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+    )
+    result = runner.run(init, step, until)
+    out = result.state.select(ID, F.col("acc").alias("centrality")).localCheckpoint(
+        eager=True
+    )
+    edges.unpersist()
+    return out

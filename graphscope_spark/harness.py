@@ -1400,3 +1400,31 @@ SELECT ROUND(CASE WHEN (SELECT nlast FROM lastnf) <= 0 THEN 0.0
              ELSE (SELECT SUM(radius * (nf - prev)) FROM lagged WHERE radius >= 1)
                   / (SELECT nlast - n0 FROM lastnf) END, 4) AS avg_dist"""
     )
+
+
+def hyperball_harmonic_sql(radius: int, trials: int = 8, r_max: int = 59,
+                           edges_sql: str | None = None) -> str:
+    """HyperBall harmonic twin (anf.hyperball_harmonic): per-vertex
+    C_H = sum_t (est_t - est_{t-1})/t over the unrolled sketch rounds,
+    written as a left-associated chain so the float accumulation order
+    matches the Spark side's sequential per-round accumulator."""
+    ctes = _anf_ctes(radius, trials, r_max, edges_sql)
+    for t in range(int(radius) + 1):
+        ctes.append(
+            f"""b{t} AS MATERIALIZED (
+              SELECT id, POW(2.0, sumr / {float(trials)}) / 0.77351 AS est
+              FROM ({_anf_sumr_sql(f's{t}')}))"""
+        )
+    terms = " + ".join(
+        f"(b{t}.est - b{t - 1}.est) / {float(t)}" for t in range(1, int(radius) + 1)
+    )
+    joins = "\n".join(
+        f"JOIN b{t} ON b{t}.id = b0.id" for t in range(1, int(radius) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT b0.id, ROUND({terms}, 6) AS centrality
+FROM b0
+{joins}"""
+    )

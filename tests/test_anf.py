@@ -157,3 +157,83 @@ def test_empty_graph(spark):
     rows = neighborhood_function(g, max_radius=2, num_trials=4).collect()
     assert [r["nf"] for r in rows] == [0.0, 0.0, 0.0]
     assert effective_diameter(g, max_radius=2, num_trials=4) == 0.0
+
+
+# -- HyperBall harmonic centrality ------------------------------------
+
+def _twin_hyperball(edges, vertices, radius, k=4, directed=False):
+    """Per-vertex harmonic accumulator via the same mask twin."""
+    adj: dict[int, set[int]] = {v: set() for v in vertices}
+    for s, d in edges:
+        adj[s].add(d)
+        if not directed:
+            adj[d].add(s)
+    masks = {(v, j): _draw_mask(j, v) for v in vertices for j in range(k)}
+
+    def est(v, m):
+        sumr = sum(_lowest_zero_index(m[(v, j)]) for j in range(k))
+        return 2 ** (sumr / k) / PHI
+
+    pest = {v: est(v, masks) for v in vertices}
+    acc = {v: 0.0 for v in vertices}
+    for t in range(1, radius + 1):
+        nxt = dict(masks)
+        for s in vertices:
+            for d in adj[s]:
+                for j in range(k):
+                    nxt[(d, j)] |= masks[(s, j)]
+        masks = nxt
+        for v in vertices:
+            e = est(v, masks)
+            acc[v] += (e - pest[v]) / t
+            pest[v] = e
+    return acc
+
+
+def test_hyperball_matches_python_twin(spark):
+    from graphscope_spark.algorithms.anf import hyperball_harmonic
+
+    g = _toy_graph(spark)
+    got = {
+        r["id"]: r["centrality"]
+        for r in hyperball_harmonic(g, max_radius=5, num_trials=4).collect()
+    }
+    verts = sorted({v for e in TOY_EDGES for v in e})
+    want = _twin_hyperball(TOY_EDGES, verts, 5, k=4)
+    assert set(got) == set(verts)
+    for v in verts:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-9)
+
+
+def test_hyperball_matches_python_twin_directed(spark):
+    """Directed = incoming distances (masks flow src->dst), the NX
+    harmonic convention the exact implementation uses."""
+    from graphscope_spark.algorithms.anf import hyperball_harmonic
+
+    g = _toy_graph(spark)
+    got = {
+        r["id"]: r["centrality"]
+        for r in hyperball_harmonic(
+            g, max_radius=4, num_trials=4, directed=True
+        ).collect()
+    }
+    verts = sorted({v for e in TOY_EDGES for v in e})
+    want = _twin_hyperball(TOY_EDGES, verts, 4, k=4, directed=True)
+    for v in verts:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-9)
+
+
+def test_hyperball_star_center_dominates(spark):
+    """Star K(1,40): the hub is at distance 1 from everyone, leaves at
+    2 from each other — the hub's harmonic score must dominate with
+    enough trials."""
+    from graphscope_spark.algorithms.anf import hyperball_harmonic
+
+    edges = [(0, i) for i in range(1, 41)]
+    g = LinkGraph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long"), directed=False
+    ).build()
+    rows = hyperball_harmonic(g, max_radius=4, num_trials=32).collect()
+    scores = {r["id"]: r["centrality"] for r in rows}
+    hub = scores.pop(0)
+    assert hub > max(scores.values())
