@@ -109,24 +109,30 @@ def _or_merge(num_trials: int) -> F.Column:
     ).alias("m2")
 
 
-def _step_fn(edges: DataFrame, num_trials: int):
-    """One superstep with FRONTIER (delta) propagation — exact for a
+def _gather(edges: DataFrame, state: DataFrame, num_trials: int) -> DataFrame:
+    """(id, nm): per-receiver OR of the FRONTIER's masks — only rows
+    whose mask changed last round enter the message join (exact for a
     monotone OR exchange: after round t every vertex holds a superset
-    of each neighbor's round-(t-1) mask, so a vertex whose mask did not
-    change has nothing new to offer and is filtered from the message
-    side. `chg` tracks whether this round changed the row's mask; the
-    convergence check is then sum(chg) == 0, join-free."""
+    of each neighbor's round-(t-1) mask, so an unchanged vertex has
+    nothing new to offer). One edge join + one hash-aggregate with K
+    bit_or expressions, map-side combined."""
+    frontier = state.where("chg").select(F.col(ID).alias(SRC), "masks")
+    msgs = edges.join(frontier, SRC).select(F.col(DST).alias(ID), "masks")
+    return msgs.groupBy(ID).agg(
+        F.array(
+            *[F.bit_or(F.col("masks")[i]) for i in range(num_trials)]
+        ).alias("nm")
+    )
+
+
+def _step_fn(edges: DataFrame, num_trials: int):
+    """One superstep with frontier (delta) propagation; `chg` tracks
+    whether this round changed the row's mask, so the convergence check
+    is sum(chg) == 0 — join-free."""
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        frontier = state.where("chg").select(F.col(ID).alias(SRC), "masks")
-        msgs = edges.join(frontier, SRC).select(F.col(DST).alias(ID), "masks")
-        ors = msgs.groupBy(ID).agg(
-            F.array(
-                *[F.bit_or(F.col("masks")[i]) for i in range(num_trials)]
-            ).alias("nm")
-        )
         return (
-            state.join(ors, ID, "left")
+            state.join(_gather(edges, state, num_trials), ID, "left")
             .select(ID, "masks", _or_merge(num_trials))
             .select(
                 ID,
@@ -380,14 +386,7 @@ def hyperball_harmonic(
     )
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        frontier = state.where("chg").select(F.col(ID).alias(SRC), "masks")
-        msgs = edges.join(frontier, SRC).select(F.col(DST).alias(ID), "masks")
-        ors = msgs.groupBy(ID).agg(
-            F.array(
-                *[F.bit_or(F.col("masks")[i]) for i in range(num_trials)]
-            ).alias("nm")
-        )
-        merged = state.join(ors, ID, "left").select(
+        merged = state.join(_gather(edges, state, num_trials), ID, "left").select(
             ID, "masks", "pest", "acc", _or_merge(num_trials)
         )
         est_t = F.pow(
