@@ -87,6 +87,34 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over G1: personalized PageRank whose reset vector is
+    uniform over the SQL-reproducible seed rule {id % 97 == 1} (the
+    repo's landmark convention), 5 fixed rounds."""
+    from graphscope_spark.algorithms import trustrank
+
+    g = H.g1(spark, sf_dir).build()
+    seeds = g.vertices.select("id").where(F.col("id") % 97 == 1)
+    tr = trustrank(g, seeds, alpha=0.85, fixed_rounds=5)
+    return tr.select("id", F.round("trust", 6).alias("trust"))
+
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (Gyongyi et al.) over G1: uniform PageRank +
+    seeded TrustRank, spam_mass = (PR - TR)/PR."""
+    from graphscope_spark.algorithms import spam_mass
+
+    g = H.g1(spark, sf_dir).build()
+    seeds = g.vertices.select("id").where(F.col("id") % 97 == 1)
+    sm = spam_mass(g, seeds, alpha=0.85, fixed_rounds=5)
+    return sm.select(
+        "id",
+        F.round("rank", 6).alias("rank"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the undirected weighted G2 fabric:
     contributions rank·w/Σw(out) along symmetrized edges."""
@@ -2034,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_g1_r5": q_pagerank,
         "pagerank_pers_g1_r5": q_pagerank_personalized,
+        "trustrank_g1_r5": q_trustrank,
+        "spam_mass_g1_r5": q_spam_mass,
         "pagerank_w_g2w_r5": q_pagerank_weighted,
         "wcc_g1_r8": q_wcc,
         "cdlp_g2_r5": q_cdlp,
@@ -2142,6 +2172,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_g1_r5": H.pagerank_sql(5),
         "pagerank_pers_g1_r5": H.pagerank_personalized_sql(5),
+        "trustrank_g1_r5": H.trustrank_sql(5),
+        "spam_mass_g1_r5": H.spam_mass_sql(5),
         "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),
         "wcc_g1_r8": H.wcc_sql(8),
         "cdlp_g2_r5": H.cdlp_sql(5),

@@ -63,6 +63,10 @@ from graphscope_spark.algorithms.linkpred import (
     common_neighbors,
     link_prediction_scores,
 )
+from graphscope_spark.algorithms.trustrank import (  # noqa: F401
+    trustrank,
+    spam_mass,
+)
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -79,4 +83,5 @@ __all__ = [
     "link_prediction_scores", "common_neighbors",
     "neighborhood_function", "effective_diameter", "average_distance",
     "distance_stats", "anf_balls", "hyperball_harmonic",
+    "trustrank", "spam_mass",
 ]

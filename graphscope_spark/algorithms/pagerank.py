@@ -33,10 +33,30 @@ from graphscope_spark.skew import salted_sum
 from graphscope_spark.superstep import SuperstepRunner
 
 
-def _norm_vec_df(spark, d: dict, name: str):
-    """(id, name) DataFrame of a user dict normalized to sum 1 —
+def _norm_vec_df(spark, d, name: str):
+    """(id, name) DataFrame of a vector normalized to sum 1 —
     personalization / dangling / nstart vectors (NX semantics: missing
-    vertices get 0). Tiny: always broadcast into the vertex table."""
+    vertices get 0). Tiny: always broadcast into the vertex table.
+
+    Accepts a ``{id: weight}`` dict or a DataFrame whose first column
+    is the vertex id and whose optional second column is the weight
+    (default 1.0 each — a plain seed set). The DataFrame path stays
+    distributed up to one scalar normalization aggregate (a one-off
+    driver action, same cost class as pagerank's dangling-mass init);
+    by contract these vectors are small (seed/reset sets), so the
+    subsequent join is broadcast either way."""
+    if isinstance(d, DataFrame):
+        cols = d.columns
+        w = (
+            F.col(cols[1]).cast("double")
+            if len(cols) > 1
+            else F.lit(1.0)
+        )
+        vec = d.select(F.col(cols[0]).cast("long").alias(ID), w.alias(name))
+        total = vec.agg(F.coalesce(F.sum(name), F.lit(0.0))).collect()[0][0]
+        if total <= 0:
+            raise ValueError(f"{name} vector must have positive sum")
+        return vec.select(ID, (F.col(name) / F.lit(float(total))).alias(name))
     total = float(sum(d.values()))
     if total <= 0:
         raise ValueError(f"{name} vector must have positive sum")
@@ -54,9 +74,9 @@ def pagerank(
     checkpoint_dir: str | None = None,
     salt_mod: int = 1,
     info_out: dict | None = None,
-    personalization: dict | None = None,
-    dangling: dict | None = None,
-    nstart: dict | None = None,
+    personalization: dict | DataFrame | None = None,
+    dangling: dict | DataFrame | None = None,
+    nstart: dict | DataFrame | None = None,
     weight_col: str | None = None,
 ) -> DataFrame:
     """Returns DataFrame(id long, rank double).
@@ -68,8 +88,9 @@ def pagerank(
     NetworkX-parity options (the reference's NX wrapper surface,
     nx/algorithms/builtin.py pagerank(alpha, personalization, max_iter,
     tol, nstart, weight, dangling)):
-    - personalization: {id: weight} reset vector p (normalized; missing
-      vertices 0). Default uniform 1/N.
+    - personalization: {id: weight} dict or (id[, weight]) DataFrame —
+      reset vector p (normalized; missing vertices 0). Default uniform
+      1/N.
     - dangling: {id: weight} redistribution vector d for dangling mass.
       Default = p (NX default).
     - nstart: {id: weight} initial ranks (normalized; missing 0).

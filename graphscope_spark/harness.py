@@ -1428,3 +1428,120 @@ SELECT b0.id, ROUND({terms}, 6) AS centrality
 FROM b0
 {joins}"""
     )
+
+
+def _trust_chain_ctes(rounds: int, alpha: float, prefix: str,
+                      mod: int, rem: int) -> list[str]:
+    """Round CTEs for seed-personalized PageRank (TrustRank): reset
+    vector p uniform over {id % mod == rem}, dangling vector = p,
+    init rank = 1/N (matching pagerank()'s uniform nstart default).
+    Assumes `verts`, `n`, `outdeg` CTEs already exist."""
+    ctes = [
+        f"""{prefix}ns AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM verts
+            WHERE id % {mod} = {rem})""",
+        f"""{prefix}0 AS MATERIALIZED (
+            SELECT o.id, o.outdeg,
+                   CASE WHEN o.id % {mod} = {rem}
+                        THEN 1.0/(SELECT ns FROM {prefix}ns)
+                        ELSE 0.0 END AS p,
+                   1.0/(SELECT n FROM n) AS rank
+            FROM outdeg o)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"{prefix}{i}", f"{prefix}{i + 1}"
+        ctes.append(
+            f"""{prefix}d{i} AS MATERIALIZED (
+                 SELECT COALESCE(SUM(rank), 0.0) * {alpha} AS ds
+                 FROM {prev} WHERE outdeg = 0)"""
+        )
+        ctes.append(
+            f"""{prefix}c{i} AS MATERIALIZED (
+                 SELECT e.dst AS id, SUM(p.rank / p.outdeg) AS contrib
+                 FROM edges e JOIN {prev} p ON p.id = e.src AND p.outdeg > 0
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                 SELECT v.id, v.outdeg, v.p,
+                        (1.0 - {alpha}) * v.p
+                        + (SELECT ds FROM {prefix}d{i}) * v.p
+                        + {alpha} * COALESCE(c.contrib, 0.0) AS rank
+                 FROM {prefix}0 v LEFT JOIN {prefix}c{i} c ON c.id = v.id)"""
+        )
+    return ctes
+
+
+def _uniform_chain_ctes(rounds: int, alpha: float, prefix: str) -> list[str]:
+    """Round CTEs for uniform PageRank, bit-matching pagerank_sql's
+    arithmetic ((1-alpha)/n + ds/n, NOT (1-alpha)*p — pagerank()'s
+    scalar fast path computes the former). Assumes `verts`, `n`,
+    `outdeg` CTEs exist."""
+    ctes = [
+        f"""{prefix}0 AS MATERIALIZED (
+            SELECT id, outdeg, 1.0/(SELECT n FROM n) AS rank FROM outdeg)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"{prefix}{i}", f"{prefix}{i + 1}"
+        ctes.append(
+            f"""{prefix}d{i} AS MATERIALIZED (
+                 SELECT COALESCE(SUM(rank), 0.0) * {alpha} AS ds
+                 FROM {prev} WHERE outdeg = 0)"""
+        )
+        ctes.append(
+            f"""{prefix}c{i} AS MATERIALIZED (
+                 SELECT e.dst AS id, SUM(p.rank / p.outdeg) AS contrib
+                 FROM edges e JOIN {prev} p ON p.id = e.src AND p.outdeg > 0
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                 SELECT v.id, v.outdeg,
+                        (1.0 - {alpha})/(SELECT n FROM n)
+                        + (SELECT ds FROM {prefix}d{i})/(SELECT n FROM n)
+                        + {alpha} * COALESCE(c.contrib, 0.0) AS rank
+                 FROM {prefix}0 v LEFT JOIN {prefix}c{i} c ON c.id = v.id)"""
+        )
+    return ctes
+
+
+_GRAPH_BASE_CTES = [
+    "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+    "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+    """outdeg AS MATERIALIZED (
+        SELECT v.id, CAST(COUNT(e.src) AS DOUBLE) AS outdeg
+        FROM verts v LEFT JOIN edges e ON e.src = v.id GROUP BY v.id)""",
+]
+
+
+def trustrank_sql(rounds: int, alpha: float = 0.85, mod: int = 97,
+                  rem: int = 1, graph_sql: str | None = None) -> str:
+    """Unrolled TrustRank twin (trustrank.trustrank): personalized
+    PageRank with the reset vector uniform over the SQL-reproducible
+    seed rule {id % mod == rem} (the repo's landmark convention)."""
+    ctes = [f"edges AS MATERIALIZED ({graph_sql or G1_SQL})"]
+    ctes += _GRAPH_BASE_CTES
+    ctes += _trust_chain_ctes(rounds, alpha, "t", mod, rem)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, ROUND(rank, 6) AS trust FROM t{rounds}"""
+    )
+
+
+def spam_mass_sql(rounds: int, alpha: float = 0.85, mod: int = 97,
+                  rem: int = 1, graph_sql: str | None = None) -> str:
+    """Unrolled spam-mass twin (trustrank.spam_mass): uniform PageRank
+    chain + TrustRank chain, relative spam mass = (PR - TR)/PR from the
+    UNROUNDED chain values (matching the Spark side)."""
+    ctes = [f"edges AS MATERIALIZED ({graph_sql or G1_SQL})"]
+    ctes += _GRAPH_BASE_CTES
+    ctes += _uniform_chain_ctes(rounds, alpha, "u")
+    ctes += _trust_chain_ctes(rounds, alpha, "t", mod, rem)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT u.id, ROUND(u.rank, 6) AS rank, ROUND(t.rank, 6) AS trust,
+       ROUND((u.rank - t.rank) / u.rank, 6) AS spam_mass
+FROM u{rounds} u JOIN t{rounds} t ON t.id = u.id"""
+    )
