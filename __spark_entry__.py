@@ -204,6 +204,31 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(H.load(spark, sf_dir, "documents"))
 
 
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM counts trained on the full documents corpus —
+    integer-exact (ctx, w, cnt) model table."""
+    from graphscope_spark.functions import lm as LM
+
+    return LM.train_ngram_lm(H.load(spark, sf_dir, "documents"), n=2)
+
+
+def q_ngram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring: bigram LM trained on the
+    even-doc_id half of the corpus (the 'trusted' corpus), all
+    documents scored against it — held-out docs carry real OOV
+    n-grams, exercising the smoothing path."""
+    from graphscope_spark.functions import lm as LM
+
+    docs = H.load(spark, sf_dir, "documents")
+    model = LM.train_ngram_lm(docs.where(F.col("doc_id") % 2 == 0), n=2)
+    out = LM.ngram_perplexity(docs, lm=model, n=2)
+    return out.select(
+        "doc_id", "n_ngrams", "n_oov",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(H.load(spark, sf_dir, "documents"))
 
@@ -1422,6 +1447,49 @@ idx AS (
 SELECT term, df, postings FROM idx WHERE df BETWEEN 2 AND 450
 """
 
+# lm.py twin: padded bigram extraction shared by both LM queries.
+# Padding = one BOS + one EOS (n=2), so every document contributes
+# len(terms)+1 prediction events — empty docs keep the single
+# (<s>, </s>) event and never drop out.
+_LM_GRAMS = f"""
+toks AS (SELECT doc_id,
+         list_concat(list_concat(['<s>'], {_RANK_TERMS}), ['</s>']) AS p
+         FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(p) - 1),
+                i -> struct_pack(ctx := p[i], w := p[i + 1]))) AS g
+  FROM toks),
+flat AS (SELECT doc_id, g.ctx AS ctx, g.w AS w FROM grams)"""
+
+NGRAM_LM_SQL = f"""
+WITH {_LM_GRAMS}
+SELECT ctx, w, COUNT(*) AS cnt FROM flat GROUP BY ctx, w
+"""
+
+NGRAM_PPL_SQL = f"""
+WITH {_LM_GRAMS},
+train AS (
+  SELECT ctx, w, COUNT(*) AS cnt FROM flat
+  WHERE doc_id % 2 = 0 GROUP BY ctx, w),
+ctxtot AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+           FROM train GROUP BY ctx),
+v AS (SELECT CAST(COUNT(DISTINCT w) + 1 AS DOUBLE) AS v FROM train),
+scored AS (
+  SELECT f.doc_id,
+         CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+         ln((CAST(COALESCE(t.cnt, 0) AS DOUBLE) + 1.0)
+            / (CAST(COALESCE(c.ctx_cnt, 0) AS DOUBLE) + (SELECT v FROM v)))
+           AS logp
+  FROM flat f
+  LEFT JOIN train t ON t.ctx = f.ctx AND t.w = f.w
+  LEFT JOIN ctxtot c ON c.ctx = f.ctx)
+SELECT doc_id, COUNT(*) AS n_ngrams, CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(SUM(logp) / COUNT(*), 6) AS avg_logprob,
+       ROUND(exp(-(SUM(logp) / COUNT(*))), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
 DECONTAMINATE_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 g AS (
@@ -2083,6 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25": q_bm25,
         "inverted_index": q_inverted_index,
+        "ngram_lm_bigram": q_ngram_lm,
+        "ngram_ppl_bigram": q_ngram_ppl,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "assign_splits": q_assign_splits,
@@ -2193,6 +2263,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TFIDF_TOP_SQL,
         "bm25": BM25_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
+        "ngram_lm_bigram": NGRAM_LM_SQL,
+        "ngram_ppl_bigram": NGRAM_PPL_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "assign_splits": ASSIGN_SPLITS_SQL,
