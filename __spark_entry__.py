@@ -87,6 +87,16 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over G3 (the directed
+    supplier-sequence graph with real cycles); scc = min member id.
+    Oracle is an independent transitive-closure formulation."""
+    from graphscope_spark.algorithms import scc
+
+    g = H.g3(spark, sf_dir).build()
+    return scc(g)
+
+
 def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank over G1: personalized PageRank whose reset vector is
     uniform over the SQL-reproducible seed rule {id % 97 == 1} (the
@@ -2130,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_g1_r5": q_pagerank,
         "pagerank_pers_g1_r5": q_pagerank_personalized,
+        "scc_g3": q_scc,
         "trustrank_g1_r5": q_trustrank,
         "spam_mass_g1_r5": q_spam_mass,
         "pagerank_w_g2w_r5": q_pagerank_weighted,
@@ -2242,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_g1_r5": H.pagerank_sql(5),
         "pagerank_pers_g1_r5": H.pagerank_personalized_sql(5),
+        "scc_g3": H.scc_sql(),
         "trustrank_g1_r5": H.trustrank_sql(5),
         "spam_mass_g1_r5": H.spam_mass_sql(5),
         "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),

@@ -67,6 +67,11 @@ from graphscope_spark.algorithms.trustrank import (  # noqa: F401
     trustrank,
     spam_mass,
 )
+from graphscope_spark.algorithms.scc import (  # noqa: F401
+    scc,
+    number_strongly_connected_components,
+    is_strongly_connected,
+)
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -84,4 +89,5 @@ __all__ = [
     "neighborhood_function", "effective_diameter", "average_distance",
     "distance_stats", "anf_balls", "hyperball_harmonic",
     "trustrank", "spam_mass",
+    "scc", "number_strongly_connected_components", "is_strongly_connected",
 ]

@@ -1545,3 +1545,67 @@ SELECT u.id, ROUND(u.rank, 6) AS rank, ROUND(t.rank, 6) AS trust,
        ROUND((u.rank - t.rank) / u.rank, 6) AS spam_mass
 FROM u{rounds} u JOIN t{rounds} t ON t.id = u.id"""
     )
+
+
+# G3: directed supplier-sequence graph with real cycles — consecutive
+# line items of the same order draw an edge between their suppliers,
+# thinned by a deterministic modular rule (same convention as the %97
+# landmark rule). At sf0.01: 100 vertices, ~1k edges, three nontrivial
+# SCCs — the fixture for strongly-connected-component queries (G1 is
+# bipartite and G2 symmetric, so every SCC there is a singleton).
+G3_SQL = """
+SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
+       CAST(b.l_suppkey AS BIGINT) AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+WHERE a.l_suppkey <> b.l_suppkey
+  AND (a.l_suppkey * 7 + b.l_suppkey) % 9 = 0
+"""
+
+
+def g3_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(
+            (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+            & ((F.col("a.l_suppkey") * 7 + F.col("b.l_suppkey")) % 9 == 0)
+        )
+        .select(
+            F.col("a.l_suppkey").cast("long").alias("src"),
+            F.col("b.l_suppkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def g3(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    return LinkGraph.from_edges(g3_edges(spark, sf_dir), directed=True)
+
+
+def scc_sql(graph_sql: str | None = None) -> str:
+    """SCC twin via full transitive closure (recursive CTE — an
+    INDEPENDENT formulation from the Spark side's trim/color/reach
+    peeling): u, v strongly connected iff reach(u,v) AND reach(v,u);
+    scc id = min mutual partner (incl. self)."""
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({graph_sql or G3_SQL}),
+verts AS MATERIALIZED (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+reach AS (
+  SELECT src AS s, dst AS d FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d),
+mutual AS (
+  SELECT a.s AS u, a.d AS v
+  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s)
+SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
+FROM verts v LEFT JOIN mutual m ON m.u = v.id
+GROUP BY v.id"""

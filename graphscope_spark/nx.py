@@ -44,7 +44,9 @@ __all__ = [
     "bfs_successors", "bfs_tree", "all_pairs_shortest_path_length",
     "closeness_centrality", "k_core", "clustering", "triangles",
     "transitivity", "average_clustering", "weakly_connected_components",
-    "connected_components", "degree_assortativity_coefficient",
+    "connected_components", "strongly_connected_components",
+    "number_strongly_connected_components", "is_strongly_connected",
+    "degree_assortativity_coefficient",
     "node_boundary", "edge_boundary", "is_simple_path", "louvain_communities",
     "dfs_preorder_nodes", "dfs_tree",
     # generators (nx/generators/classic.py, random_graphs.py)
@@ -795,6 +797,35 @@ def connected_components(G: Graph) -> Iterator[set]:
     """NX connected_components for undirected graphs (same hash-min
     plan; the symmetric closure makes weak = plain connectivity)."""
     return weakly_connected_components(G)
+
+
+def strongly_connected_components(G: Graph) -> Iterator[set]:
+    """NX strongly_connected_components (upstream
+    networkx/algorithms/components/strongly_connected.py signature) —
+    yields vertex sets, ordered by min member id (NX's generator order
+    is DFS-dependent and unspecified; callers sort anyway)."""
+    if not G.is_directed():
+        raise TypeError(
+            "strongly_connected_components: not implemented for "
+            "undirected type")
+    comps: dict[int, set] = {}
+    for r in A.scc(G._flush()).collect():
+        comps.setdefault(r["scc"], set()).add(G._back(r[ID]))
+    for c in sorted(comps):
+        yield comps[c]
+
+
+def number_strongly_connected_components(G: Graph) -> int:
+    return sum(1 for _ in strongly_connected_components(G))
+
+
+def is_strongly_connected(G: Graph) -> bool:
+    if not G.is_directed():
+        raise TypeError(
+            "is_strongly_connected: not implemented for undirected type")
+    if G.number_of_nodes() == 0:
+        raise ValueError("Connectivity is undefined for the null graph.")
+    return number_strongly_connected_components(G) == 1
 
 
 def degree_assortativity_coefficient(G: Graph, x: str = "out", y: str = "in",
