@@ -97,6 +97,15 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(g)
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition over G4 (the parity-asymmetric
+    supplier-sequence graph): every region materializes at sf0.01."""
+    from graphscope_spark.algorithms import bowtie
+
+    g = H.g4(spark, sf_dir).build()
+    return bowtie(g)
+
+
 def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank over G1: personalized PageRank whose reset vector is
     uniform over the SQL-reproducible seed rule {id % 97 == 1} (the
@@ -2141,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_g1_r5": q_pagerank,
         "pagerank_pers_g1_r5": q_pagerank_personalized,
         "scc_g3": q_scc,
+        "bowtie_g4": q_bowtie,
         "trustrank_g1_r5": q_trustrank,
         "spam_mass_g1_r5": q_spam_mass,
         "pagerank_w_g2w_r5": q_pagerank_weighted,
@@ -2254,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_g1_r5": H.pagerank_sql(5),
         "pagerank_pers_g1_r5": H.pagerank_personalized_sql(5),
         "scc_g3": H.scc_sql(),
+        "bowtie_g4": H.bowtie_sql(H.G4_SQL),
         "trustrank_g1_r5": H.trustrank_sql(5),
         "spam_mass_g1_r5": H.spam_mass_sql(5),
         "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),

@@ -72,6 +72,7 @@ from graphscope_spark.algorithms.scc import (  # noqa: F401
     number_strongly_connected_components,
     is_strongly_connected,
 )
+from graphscope_spark.algorithms.bowtie import bowtie  # noqa: F401
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -90,4 +91,5 @@ __all__ = [
     "distance_stats", "anf_balls", "hyperball_harmonic",
     "trustrank", "spam_mass",
     "scc", "number_strongly_connected_components", "is_strongly_connected",
+    "bowtie",
 ]

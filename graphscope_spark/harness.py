@@ -1598,7 +1598,8 @@ def scc_sql(graph_sql: str | None = None) -> str:
     return f"""
 WITH RECURSIVE edges AS MATERIALIZED ({graph_sql or G3_SQL}),
 verts AS MATERIALIZED (
-  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
 reach AS (
   SELECT src AS s, dst AS d FROM edges
   UNION
@@ -1609,3 +1610,100 @@ mutual AS (
 SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
 FROM verts v LEFT JOIN mutual m ON m.u = v.id
 GROUP BY v.id"""
+
+
+def bowtie_sql(graph_sql: str | None = None) -> str:
+    """Bow-tie twin (bowtie.bowtie) via the same transitive closure as
+    scc_sql: CORE = largest SCC (tie: min id), IN/OUT by closure
+    membership, TUBE/TENDRIL from reachable-from-IN / reaches-OUT."""
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({graph_sql or G3_SQL}),
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+reach AS (
+  SELECT src AS s, dst AS d FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d),
+mutual AS (
+  SELECT a.s AS u, a.d AS v
+  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s),
+sccs AS MATERIALIZED (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
+  FROM verts v LEFT JOIN mutual m ON m.u = v.id
+  GROUP BY v.id),
+core_id AS (
+  SELECT scc FROM sccs GROUP BY scc
+  ORDER BY COUNT(*) DESC, scc ASC LIMIT 1),
+corev AS MATERIALIZED (
+  SELECT id FROM sccs WHERE scc = (SELECT scc FROM core_id)),
+bwd AS (SELECT DISTINCT r.s AS id FROM reach r JOIN corev c ON r.d = c.id),
+fwd AS (SELECT DISTINCT r.d AS id FROM reach r JOIN corev c ON r.s = c.id),
+inn AS MATERIALIZED (
+  SELECT id FROM bwd WHERE id NOT IN (SELECT id FROM corev)),
+outt AS MATERIALIZED (
+  SELECT id FROM fwd WHERE id NOT IN (SELECT id FROM corev)),
+fromin AS (
+  SELECT id FROM inn
+  UNION SELECT DISTINCT r.d FROM reach r JOIN inn i ON r.s = i.id),
+toout AS (
+  SELECT id FROM outt
+  UNION SELECT DISTINCT r.s FROM reach r JOIN outt o ON r.d = o.id)
+SELECT v.id,
+  CASE WHEN v.id IN (SELECT id FROM corev) THEN 'CORE'
+       WHEN v.id IN (SELECT id FROM inn) THEN 'IN'
+       WHEN v.id IN (SELECT id FROM outt) THEN 'OUT'
+       WHEN v.id IN (SELECT id FROM fromin)
+            AND v.id IN (SELECT id FROM toout) THEN 'TUBE'
+       WHEN v.id IN (SELECT id FROM fromin)
+            OR v.id IN (SELECT id FROM toout) THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS region
+FROM verts v"""
+
+
+# G4: the bow-tie fixture — chain edges thinned by parity-asymmetric
+# rules so the Broder regions all materialize at sf0.01 (CORE 33,
+# IN 17, OUT 8, TUBE 24, TENDRIL 10, DISCONNECTED 7): an even-even
+# mesh forms the core, odd->even feeders the IN side, even->odd drains
+# the OUT side, and a sparse odd-odd lattice supplies tubes/tendrils.
+G4_SQL = """
+SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
+       CAST(b.l_suppkey AS BIGINT) AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+WHERE a.l_suppkey <> b.l_suppkey AND (
+     (a.l_suppkey % 2 = 0 AND b.l_suppkey % 2 = 0
+      AND (a.l_suppkey * 7 + b.l_suppkey) % 3 = 0)
+  OR (a.l_suppkey % 2 = 1 AND b.l_suppkey % 2 = 0 AND a.l_suppkey % 11 = 3)
+  OR (a.l_suppkey % 2 = 0 AND b.l_suppkey % 2 = 1 AND b.l_suppkey % 13 = 1)
+  OR (a.l_suppkey % 2 = 1 AND b.l_suppkey % 2 = 1
+      AND (a.l_suppkey * 3 + b.l_suppkey) % 53 = 2))
+"""
+
+
+def g4_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    sa, sb = F.col("a.l_suppkey"), F.col("b.l_suppkey")
+    rule = (
+        ((sa % 2 == 0) & (sb % 2 == 0) & ((sa * 7 + sb) % 3 == 0))
+        | ((sa % 2 == 1) & (sb % 2 == 0) & (sa % 11 == 3))
+        | ((sa % 2 == 0) & (sb % 2 == 1) & (sb % 13 == 1))
+        | ((sa % 2 == 1) & (sb % 2 == 1) & ((sa * 3 + sb) % 53 == 2))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where((sa != sb) & rule)
+        .select(sa.cast("long").alias("src"), sb.cast("long").alias("dst"))
+        .distinct()
+    )
+
+
+def g4(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    return LinkGraph.from_edges(g4_edges(spark, sf_dir), directed=True)
