@@ -97,6 +97,31 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(g)
 
 
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import reciprocity
+
+    g = H.g3(spark, sf_dir).build()
+    r = reciprocity(g)
+    return r.select("id", F.round("reciprocity", 6).alias("reciprocity"))
+
+
+def q_overall_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import overall_reciprocity
+
+    g = H.g3(spark, sf_dir).build()
+    r = overall_reciprocity(g)
+    return r.select(F.round("reciprocity", 6).alias("reciprocity"))
+
+
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC DAG of G4 — the inter-component edges a crawler scheduler
+    walks; components named by min member id."""
+    from graphscope_spark.algorithms import condensation_edges
+
+    g = H.g4(spark, sf_dir).build()
+    return condensation_edges(g)
+
+
 def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder bow-tie decomposition over G4 (the parity-asymmetric
     supplier-sequence graph): every region materializes at sf0.01."""
@@ -2151,6 +2176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_pers_g1_r5": q_pagerank_personalized,
         "scc_g3": q_scc,
         "bowtie_g4": q_bowtie,
+        "reciprocity_g3": q_reciprocity,
+        "overall_reciprocity_g3": q_overall_reciprocity,
+        "condensation_g4": q_condensation,
         "trustrank_g1_r5": q_trustrank,
         "spam_mass_g1_r5": q_spam_mass,
         "pagerank_w_g2w_r5": q_pagerank_weighted,
@@ -2265,6 +2293,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_pers_g1_r5": H.pagerank_personalized_sql(5),
         "scc_g3": H.scc_sql(),
         "bowtie_g4": H.bowtie_sql(H.G4_SQL),
+        "reciprocity_g3": H.reciprocity_sql(),
+        "overall_reciprocity_g3": H.overall_reciprocity_sql(),
+        "condensation_g4": H.condensation_sql(),
         "trustrank_g1_r5": H.trustrank_sql(5),
         "spam_mass_g1_r5": H.spam_mass_sql(5),
         "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),

@@ -73,6 +73,11 @@ from graphscope_spark.algorithms.scc import (  # noqa: F401
     is_strongly_connected,
 )
 from graphscope_spark.algorithms.bowtie import bowtie  # noqa: F401
+from graphscope_spark.algorithms.reciprocity import (  # noqa: F401
+    reciprocity,
+    overall_reciprocity,
+    condensation_edges,
+)
 
 __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
@@ -92,4 +97,5 @@ __all__ = [
     "trustrank", "spam_mass",
     "scc", "number_strongly_connected_components", "is_strongly_connected",
     "bowtie",
+    "reciprocity", "overall_reciprocity", "condensation_edges",
 ]

@@ -1707,3 +1707,59 @@ def g4_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def g4(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph.from_edges(g4_edges(spark, sf_dir), directed=True)
+
+
+def reciprocity_sql(graph_sql: str | None = None) -> str:
+    """Per-node reciprocity twin (reciprocity.reciprocity): NX
+    semantics, 2*|pred∩succ| / (|pred|+|succ|)."""
+    return f"""
+WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({graph_sql or G3_SQL})),
+outs AS (SELECT src AS id, COUNT(*) AS o FROM edges GROUP BY src),
+ins AS (SELECT dst AS id, COUNT(*) AS i FROM edges GROUP BY dst),
+ov AS (
+  SELECT e.src AS id, COUNT(*) AS ov
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY e.src),
+ids AS (SELECT id FROM outs UNION SELECT id FROM ins)
+SELECT ids.id,
+       ROUND(2.0 * COALESCE(ov.ov, 0)
+             / (COALESCE(o.o, 0) + COALESCE(i.i, 0)), 6) AS reciprocity
+FROM ids
+LEFT JOIN outs o ON o.id = ids.id
+LEFT JOIN ins i ON i.id = ids.id
+LEFT JOIN ov ON ov.id = ids.id"""
+
+
+def overall_reciprocity_sql(graph_sql: str | None = None) -> str:
+    return f"""
+WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({graph_sql or G3_SQL}))
+SELECT ROUND(
+  CAST((SELECT COUNT(*) FROM edges e
+        JOIN edges r ON r.src = e.dst AND r.dst = e.src) AS DOUBLE)
+  / (SELECT COUNT(*) FROM edges), 6) AS reciprocity"""
+
+
+def condensation_sql(graph_sql: str | None = None) -> str:
+    """SCC-DAG twin (reciprocity.condensation_edges): scc labels from
+    the same transitive-closure formulation as scc_sql."""
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({graph_sql or G4_SQL}),
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+reach AS (
+  SELECT src AS s, dst AS d FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d),
+mutual AS (
+  SELECT a.s AS u, a.d AS v
+  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s),
+sccs AS MATERIALIZED (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
+  FROM verts v LEFT JOIN mutual m ON m.u = v.id
+  GROUP BY v.id)
+SELECT DISTINCT su.scc AS scc_src, sv.scc AS scc_dst
+FROM edges e
+JOIN sccs su ON su.id = e.src
+JOIN sccs sv ON sv.id = e.dst
+WHERE su.scc <> sv.scc"""

@@ -46,6 +46,7 @@ __all__ = [
     "transitivity", "average_clustering", "weakly_connected_components",
     "connected_components", "strongly_connected_components",
     "number_strongly_connected_components", "is_strongly_connected",
+    "condensation", "reciprocity", "overall_reciprocity",
     "degree_assortativity_coefficient",
     "node_boundary", "edge_boundary", "is_simple_path", "louvain_communities",
     "dfs_preorder_nodes", "dfs_tree",
@@ -817,6 +818,59 @@ def strongly_connected_components(G: Graph) -> Iterator[set]:
 
 def number_strongly_connected_components(G: Graph) -> int:
     return sum(1 for _ in strongly_connected_components(G))
+
+
+def overall_reciprocity(G: Graph) -> float:
+    """upstream networkx/algorithms/reciprocity.py::overall_reciprocity."""
+    if not G.is_directed():
+        raise TypeError("overall_reciprocity: not defined for undirected type")
+    if G.number_of_edges() == 0:
+        raise ValueError("Not defined for empty graphs")
+    return A.overall_reciprocity(G._flush()).collect()[0]["reciprocity"]
+
+
+def reciprocity(G: Graph, nodes=None):
+    """upstream reciprocity.py::reciprocity — None -> graph-level float,
+    single node -> float, iterable -> {node: value}. Isolated nodes are
+    undefined (ValueError), matching NX's NetworkXError."""
+    if not G.is_directed():
+        raise TypeError("reciprocity: not defined for undirected type")
+    if nodes is None:
+        return overall_reciprocity(G)
+    vals = {G._back(r[ID]): r["reciprocity"]
+            for r in A.reciprocity(G._flush()).collect()}
+    try:
+        single = nodes in G
+    except TypeError:  # unhashable (e.g. a list of nodes)
+        single = False
+    targets = [nodes] if single else list(nodes)
+    out = {}
+    for v in targets:
+        if v not in vals:
+            raise ValueError("Not defined for isolated nodes.")
+        out[v] = vals[v]
+    return out[nodes] if single else out
+
+
+def condensation(G: Graph) -> "DiGraph":
+    """upstream strongly_connected.py::condensation, with one stated
+    deviation: NX numbers condensation nodes 0..k-1 in DFS discovery
+    order (nondeterministic across runs); here each condensation node
+    is the min member id of its SCC and carries the same 'members'
+    frozenset node attribute."""
+    if not G.is_directed():
+        raise TypeError("condensation: not implemented for undirected type")
+    lg = G._flush()
+    comps = A.scc(lg)
+    members: dict = {}
+    for r in comps.collect():
+        members.setdefault(r["scc"], set()).add(G._back(r[ID]))
+    C = DiGraph(spark=G._spark)
+    for m, vs in members.items():
+        C.add_node(G._back(m), members=frozenset(vs))
+    for r in A.condensation_edges(lg, comps=comps).collect():
+        C.add_edge(G._back(r["scc_src"]), G._back(r["scc_dst"]))
+    return C
 
 
 def is_strongly_connected(G: Graph) -> bool:
