@@ -273,6 +273,32 @@ def q_ngram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier scoring with an
+    in-query deterministic weights table (w(bucket) = (bucket % 1001)
+    / 1000 - 0.5 over the corpus's distinct buckets — the md5 bucket
+    rule makes it engine-portable). label is kept out of the driver
+    row (sign-of-score at the 0 knife edge is 1-ulp sensitive to sum
+    order); pytest covers it."""
+    from graphscope_spark.functions import classify as C
+
+    docs = H.load(spark, sf_dir, "documents")
+    nb = 4096
+    b = docs.select(
+        F.explode(C.token_buckets("text", nb)).alias("bucket")
+    ).distinct()
+    weights = b.select(
+        "bucket",
+        ((F.col("bucket") % 1001) / 1000.0 - 0.5).alias("w"),
+    )
+    out = C.linear_classifier_score(docs, weights, n_buckets=nb)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("score", 6).alias("score"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(H.load(spark, sf_dir, "documents"))
 
@@ -1506,6 +1532,33 @@ grams AS (
   FROM toks),
 flat AS (SELECT doc_id, g.ctx AS ctx, g.w AS w FROM grams)"""
 
+CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform({_RANK_TERMS},
+                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096))
+           AS bucket
+  FROM documents),
+wts AS (
+  SELECT DISTINCT bucket,
+         (bucket % 1001) / 1000.0 - 0.5 AS w
+  FROM toks),
+per AS (
+  SELECT t.doc_id, COUNT(t.bucket) AS n_tokens,
+         COALESCE(SUM(w.w), 0.0) AS sw
+  FROM toks t LEFT JOIN wts w USING (bucket)
+  GROUP BY t.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_tokens, 0) AS n_tokens,
+         CASE WHEN COALESCE(p.n_tokens, 0) > 0
+              THEN p.sw / p.n_tokens ELSE 0.0 END AS score
+  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, ROUND(score, 6) AS score,
+       ROUND(1.0 / (1.0 + exp(-score)), 6) AS prob
+FROM scored
+"""
+
 NGRAM_LM_SQL = f"""
 WITH {_LM_GRAMS}
 SELECT ctx, w, COUNT(*) AS cnt FROM flat GROUP BY ctx, w
@@ -2201,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "inverted_index": q_inverted_index,
         "ngram_lm_bigram": q_ngram_lm,
+        "quality_classifier": q_classifier,
         "ngram_ppl_bigram": q_ngram_ppl,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -2318,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": BM25_SQL,
         "inverted_index": INVERTED_INDEX_SQL,
         "ngram_lm_bigram": NGRAM_LM_SQL,
+        "quality_classifier": CLASSIFIER_SQL,
         "ngram_ppl_bigram": NGRAM_PPL_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
