@@ -22,9 +22,11 @@ Scale shape (the 100 TB story):
   (no shuffle until the aggregate);
 - training is ONE partial+final hash aggregate on (ctx, w) — the
   map-side combine absorbs Zipf head n-grams before the shuffle;
-- scoring shuffles the doc n-grams once on ctx (the (ctx, w) join and
-  the ctx-total join share the ctx hash partitioning; Catalyst reuses
-  the exchange), then one hash aggregate back on doc_id;
+- scoring shuffles the doc n-grams twice — once on (ctx, w) for the
+  model join, once on ctx for the context-totals join (different key
+  sets, so no exchange reuse; at sf-test scale AQE broadcasts both
+  model sides and no shuffle survives — verified in BENCH/PLANS.md),
+  then one hash aggregate back on doc_id;
 - corpus scalars (V) ride a broadcast 1-row aggregate, never a
   driver round-trip inside the plan;
 - `broadcast_lm=True` short-circuits both joins to broadcasts when
