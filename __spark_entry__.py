@@ -273,6 +273,16 @@ def q_ngram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Appendix-A rule filter; min_stopword_hits relaxed to 1
+    because the synthetic corpus vocabulary carries only 'the'/'a'
+    from the required-stopword list (the published 2 would zero out
+    every keep and value-check nothing)."""
+    return T.gopher_rules(
+        H.load(spark, sf_dir, "documents"), min_stopword_hits=1
+    )
+
+
 def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear classifier scoring with an
     in-query deterministic weights table (w(bucket) = (bucket % 1001)
@@ -1532,6 +1542,52 @@ grams AS (
   FROM toks),
 flat AS (SELECT doc_id, g.ctx AS ctx, g.w AS w FROM grams)"""
 
+GOPHER_RULES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+           AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines,
+         text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(lines) AS n_lines,
+         CASE WHEN len(words) > 0 THEN
+           list_sum(list_transform(words, x -> length(x)))::DOUBLE
+             / len(words) END AS mean_wl,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', ''))) AS symbols,
+         len(list_filter(lines,
+             l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS bullets,
+         len(list_filter(lines,
+             l -> l LIKE '%...' OR l LIKE '%…')) AS ells,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS alphaw,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(words, x -> lower(x)), s)))
+           AS stops
+  FROM base),
+r AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         n_words BETWEEN 50 AND 100000 AS ok_words,
+         n_words > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+           AS ok_mean_word_len,
+         n_words > 0 AND symbols::DOUBLE / n_words <= 0.1 AS ok_symbols,
+         n_lines = 0 OR bullets::DOUBLE / n_lines <= 0.9 AS ok_bullets,
+         n_lines = 0 OR ells::DOUBLE / n_lines <= 0.3 AS ok_ellipsis,
+         n_words > 0 AND alphaw::DOUBLE / n_words >= 0.8 AS ok_alpha,
+         stops >= 1 AS ok_stopwords
+  FROM m)
+SELECT *, ok_words AND ok_mean_word_len AND ok_symbols AND ok_bullets
+         AND ok_ellipsis AND ok_alpha AND ok_stopwords AS keep
+FROM r
+"""
+
 CLASSIFIER_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -2255,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "ngram_lm_bigram": q_ngram_lm,
         "quality_classifier": q_classifier,
+        "gopher_rules": q_gopher_rules,
         "ngram_ppl_bigram": q_ngram_ppl,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -2373,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": INVERTED_INDEX_SQL,
         "ngram_lm_bigram": NGRAM_LM_SQL,
         "quality_classifier": CLASSIFIER_SQL,
+        "gopher_rules": GOPHER_RULES_SQL,
         "ngram_ppl_bigram": NGRAM_PPL_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

@@ -328,3 +328,109 @@ def pii_redact(
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language
+    Models", Appendix A — the rule set most later corpora reuse):
+    per-document booleans for each published rule plus the combined
+    ``keep`` flag, default thresholds as published.
+
+    words = non-empty whitespace-split tokens; lines = newline splits.
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    '#'/'...'-to-word symbol ratio <= 0.1; <= 90% of lines starting
+    with a bullet; <= 30% ending with an ellipsis; >= 80% of words
+    containing an alphabetic char; >= 2 of the 8 required English
+    stopwords present.
+
+    One codegen projection over the scan — every rule is a
+    length/regexp/higher-order-array expression with a bit-matching
+    DuckDB twin; no shuffle, no Python, so at 100 TB this fuses into
+    the same pass as fingerprint/quality/lang-id."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    # divisors guarded with greatest(.,1): ANSI mode evaluates both
+    # sides of the `n > 0 &` conjunctions, so a bare /n_words throws
+    # DIVIDE_BY_ZERO on empty docs even though the guard forces False
+    mean_wl = sum_word_len.cast("double") / F.greatest(n_words, F.lit(1))
+    hashes = F.length(text_col) - F.length(F.regexp_replace(text_col, "#", ""))
+    ellipses = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3 + (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), "…", ""))
+    )
+    symbol_ratio = (hashes + ellipses).cast("double") / F.greatest(n_words, F.lit(1))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("*")
+            | l.startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in req]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    scored = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_words"),
+        (
+            (n_words > 0)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+        ).alias("ok_mean_word_len"),
+        ((n_words > 0) & (symbol_ratio <= max_symbol_ratio)).alias("ok_symbols"),
+        (
+            (n_lines == 0)
+            | (bullet_lines.cast("double") / F.greatest(n_lines, F.lit(1)) <= max_bullet_frac)
+        ).alias("ok_bullets"),
+        (
+            (n_lines == 0)
+            | (ellipsis_lines.cast("double") / F.greatest(n_lines, F.lit(1)) <= max_ellipsis_frac)
+        ).alias("ok_ellipsis"),
+        (
+            (n_words > 0)
+            & (alpha_words.cast("double") / F.greatest(n_words, F.lit(1)) >= min_alpha_word_frac)
+        ).alias("ok_alpha"),
+        (stop_hits >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    return scored.withColumn(
+        "keep",
+        F.col("ok_words") & F.col("ok_mean_word_len") & F.col("ok_symbols")
+        & F.col("ok_bullets") & F.col("ok_ellipsis") & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )
