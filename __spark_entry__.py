@@ -97,6 +97,21 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(g)
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority power iteration over G3, 5 fixed rounds —
+    mass-conserving, so the SQL unroll is exact with no normalization
+    scalar."""
+    from graphscope_spark.algorithms import salsa
+
+    g = H.g3(spark, sf_dir).build()
+    out = salsa(g, fixed_rounds=5)
+    return out.select(
+        "id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import reciprocity
 
@@ -2285,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_pers_g1_r5": q_pagerank_personalized,
         "scc_g3": q_scc,
         "bowtie_g4": q_bowtie,
+        "salsa_g3_r5": q_salsa,
         "reciprocity_g3": q_reciprocity,
         "overall_reciprocity_g3": q_overall_reciprocity,
         "condensation_g4": q_condensation,
@@ -2404,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_pers_g1_r5": H.pagerank_personalized_sql(5),
         "scc_g3": H.scc_sql(),
         "bowtie_g4": H.bowtie_sql(H.G4_SQL),
+        "salsa_g3_r5": H.salsa_sql(5),
         "reciprocity_g3": H.reciprocity_sql(),
         "overall_reciprocity_g3": H.overall_reciprocity_sql(),
         "condensation_g4": H.condensation_sql(),

@@ -1763,3 +1763,61 @@ FROM edges e
 JOIN sccs su ON su.id = e.src
 JOIN sccs sv ON sv.id = e.dst
 WHERE su.scc <> sv.scc"""
+
+
+def salsa_sql(rounds: int, graph_sql: str | None = None) -> str:
+    """Unrolled SALSA twin (salsa.salsa): stochastic hub/authority
+    power iteration — mass-conserving, so no normalization scalar and
+    the rounds unroll exactly."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({graph_sql or G3_SQL}))",
+        """verts AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+              SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))""",
+        """deg AS MATERIALIZED (
+            SELECT v.id,
+                   CAST((SELECT COUNT(*) FROM edges e WHERE e.dst = v.id)
+                        AS DOUBLE) AS indeg,
+                   CAST((SELECT COUNT(*) FROM edges e WHERE e.src = v.id)
+                        AS DOUBLE) AS outdeg
+            FROM verts v)""",
+        """na AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS na FROM deg WHERE indeg > 0)""",
+        """a0 AS MATERIALIZED (
+            SELECT id, indeg, outdeg,
+                   CASE WHEN indeg > 0 THEN 1.0/(SELECT na FROM na)
+                        ELSE 0.0 END AS a,
+                   0.0 AS hub
+            FROM deg)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"a{i}", f"a{i + 1}"
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+                 SELECT e.src AS id, SUM(p.a / p.indeg) AS h
+                 FROM edges e JOIN {prev} p ON p.id = e.dst AND p.indeg > 0
+                 GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+                 SELECT v.id, v.indeg, v.outdeg, v.a,
+                        COALESCE(h.h, 0.0) AS hub
+                 FROM {prev} v LEFT JOIN h{i} h ON h.id = v.id)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+                 SELECT e.dst AS id, SUM(w.hub / w.outdeg) AS na
+                 FROM edges e JOIN w{i} w ON w.id = e.src AND w.outdeg > 0
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                 SELECT v.id, v.indeg, v.outdeg,
+                        COALESCE(c.na, 0.0) AS a, v.hub
+                 FROM w{i} v LEFT JOIN c{i} c ON c.id = v.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, ROUND(a, 6) AS authority, ROUND(hub, 6) AS hub
+FROM a{rounds}"""
+    )
