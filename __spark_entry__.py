@@ -97,6 +97,15 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(g)
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-truss of undirected G4 (279 surviving edges, 2 peel rounds;
+    oracle unrolls 4 rounds — past the fixpoint, so both sides agree)."""
+    from graphscope_spark.algorithms import k_truss
+
+    g = H.g4(spark, sf_dir).build()
+    return k_truss(g, k=12)
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA hub/authority power iteration over G3, 5 fixed rounds —
     mass-conserving, so the SQL unroll is exact with no normalization
@@ -2301,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_g3": q_scc,
         "bowtie_g4": q_bowtie,
         "salsa_g3_r5": q_salsa,
+        "ktruss_g4_k12": q_ktruss,
         "reciprocity_g3": q_reciprocity,
         "overall_reciprocity_g3": q_overall_reciprocity,
         "condensation_g4": q_condensation,
@@ -2421,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_g3": H.scc_sql(),
         "bowtie_g4": H.bowtie_sql(H.G4_SQL),
         "salsa_g3_r5": H.salsa_sql(5),
+        "ktruss_g4_k12": H.ktruss_sql(12, 4),
         "reciprocity_g3": H.reciprocity_sql(),
         "overall_reciprocity_g3": H.overall_reciprocity_sql(),
         "condensation_g4": H.condensation_sql(),

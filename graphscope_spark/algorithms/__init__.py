@@ -74,6 +74,7 @@ from graphscope_spark.algorithms.scc import (  # noqa: F401
 )
 from graphscope_spark.algorithms.bowtie import bowtie  # noqa: F401
 from graphscope_spark.algorithms.salsa import salsa  # noqa: F401
+from graphscope_spark.algorithms.ktruss import k_truss  # noqa: F401
 from graphscope_spark.algorithms.reciprocity import (  # noqa: F401
     reciprocity,
     overall_reciprocity,
@@ -99,5 +100,5 @@ __all__ = [
     "scc", "number_strongly_connected_components", "is_strongly_connected",
     "bowtie",
     "reciprocity", "overall_reciprocity", "condensation_edges",
-    "salsa",
+    "salsa", "k_truss",
 ]

@@ -1821,3 +1821,42 @@ def salsa_sql(rounds: int, graph_sql: str | None = None) -> str:
 SELECT id, ROUND(a, 6) AS authority, ROUND(hub, 6) AS hub
 FROM a{rounds}"""
     )
+
+
+def ktruss_sql(k: int, rounds: int, graph_sql: str | None = None) -> str:
+    """Unrolled k-truss twin (ktruss.k_truss): fixed `rounds` peel
+    rounds over the canonical undirected edge set — choose rounds >=
+    the fixture's peel depth so the unroll reaches the fixpoint the
+    Spark side converges to."""
+    thresh = int(k) - 2
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+            FROM ({graph_sql or G4_SQL}) WHERE src <> dst)""",
+    ]
+    for i in range(rounds):
+        prev, cur = f"e{i}", f"e{i + 1}"
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+                 SELECT src, dst FROM {prev}
+                 UNION ALL SELECT dst, src FROM {prev})"""
+        )
+        ctes.append(
+            f"""sup{i} AS MATERIALIZED (
+                 SELECT w.src, w.dst, COUNT(*) AS sup FROM (
+                   SELECT e.src, e.dst, a.dst AS w
+                   FROM {prev} e JOIN s{i} a ON a.src = e.src) w
+                 WHERE EXISTS (SELECT 1 FROM s{i} b
+                               WHERE b.src = w.dst AND b.dst = w.w)
+                 GROUP BY w.src, w.dst)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                 SELECT e.src, e.dst FROM {prev} e
+                 LEFT JOIN sup{i} s ON s.src = e.src AND s.dst = e.dst
+                 WHERE COALESCE(s.sup, 0) >= {thresh})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT src, dst FROM e{rounds}"""
+    )

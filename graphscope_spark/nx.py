@@ -42,7 +42,7 @@ __all__ = [
     "has_path", "shortest_path", "single_source_dijkstra_path_length",
     "average_shortest_path_length", "bfs_edges", "bfs_predecessors",
     "bfs_successors", "bfs_tree", "all_pairs_shortest_path_length",
-    "closeness_centrality", "k_core", "clustering", "triangles",
+    "closeness_centrality", "k_core", "k_truss", "clustering", "triangles",
     "transitivity", "average_clustering", "weakly_connected_components",
     "connected_components", "strongly_connected_components",
     "number_strongly_connected_components", "is_strongly_connected",
@@ -783,6 +783,18 @@ def average_clustering(G: Graph, nodes: Iterable | None = None,
         vals = [v for v in clustering(G, nodes).values() if count_zeros or v > 0]
         return sum(vals) / len(vals) if vals else 0.0
     return A.avg_clustering(G._flush())
+
+
+def k_truss(G: Graph, k: int) -> Graph:
+    """upstream networkx/algorithms/core.py::k_truss — returns the
+    k-truss as a new (undirected) Graph; isolated survivors of edge
+    peeling are dropped, matching NX (its truss keeps only nodes with
+    surviving incident edges after also removing isolates)."""
+    edges = A.k_truss(G._flush(), k).collect()
+    H = Graph(spark=G._spark)
+    for r in edges:
+        H.add_edge(G._back(r[SRC]), G._back(r[DST]))
+    return H
 
 
 def weakly_connected_components(G: Graph) -> Iterator[set]:
