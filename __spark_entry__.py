@@ -97,6 +97,34 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(g)
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-supplier pairs by co-citation on bipartite G1 (suppliers
+    sharing >= 150 customers), cosine/jaccard-normalized."""
+    from graphscope_spark.algorithms import cocitation
+
+    g = H.g1(spark, sf_dir).build()
+    out = cocitation(g, min_common=150)
+    return out.select(
+        "u", "v", "common",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_bibcoupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling on G3 (suppliers citing the same
+    successors)."""
+    from graphscope_spark.algorithms import bibliographic_coupling
+
+    g = H.g3(spark, sf_dir).build()
+    out = bibliographic_coupling(g, min_common=3)
+    return out.select(
+        "u", "v", "common",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """12-truss of undirected G4 (279 surviving edges, 2 peel rounds;
     oracle unrolls 4 rounds — past the fixpoint, so both sides agree)."""
@@ -2311,6 +2339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_g4": q_bowtie,
         "salsa_g3_r5": q_salsa,
         "ktruss_g4_k12": q_ktruss,
+        "cocitation_g1": q_cocitation,
+        "bibcoupling_g3": q_bibcoupling,
         "reciprocity_g3": q_reciprocity,
         "overall_reciprocity_g3": q_overall_reciprocity,
         "condensation_g4": q_condensation,
@@ -2432,6 +2462,8 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_g4": H.bowtie_sql(H.G4_SQL),
         "salsa_g3_r5": H.salsa_sql(5),
         "ktruss_g4_k12": H.ktruss_sql(12, 4),
+        "cocitation_g1": H.cocitation_sql(150),
+        "bibcoupling_g3": H.cocitation_sql(3, H.G3_SQL, coupling=True),
         "reciprocity_g3": H.reciprocity_sql(),
         "overall_reciprocity_g3": H.overall_reciprocity_sql(),
         "condensation_g4": H.condensation_sql(),

@@ -75,6 +75,10 @@ from graphscope_spark.algorithms.scc import (  # noqa: F401
 from graphscope_spark.algorithms.bowtie import bowtie  # noqa: F401
 from graphscope_spark.algorithms.salsa import salsa  # noqa: F401
 from graphscope_spark.algorithms.ktruss import k_truss  # noqa: F401
+from graphscope_spark.algorithms.cocitation import (  # noqa: F401
+    cocitation,
+    bibliographic_coupling,
+)
 from graphscope_spark.algorithms.reciprocity import (  # noqa: F401
     reciprocity,
     overall_reciprocity,
@@ -100,5 +104,5 @@ __all__ = [
     "scc", "number_strongly_connected_components", "is_strongly_connected",
     "bowtie",
     "reciprocity", "overall_reciprocity", "condensation_edges",
-    "salsa", "k_truss",
+    "salsa", "k_truss", "cocitation", "bibliographic_coupling",
 ]

@@ -1860,3 +1860,27 @@ def ktruss_sql(k: int, rounds: int, graph_sql: str | None = None) -> str:
         "WITH " + ",\n".join(ctes) + f"""
 SELECT src, dst FROM e{rounds}"""
     )
+
+
+def cocitation_sql(min_common: int = 1, graph_sql: str | None = None,
+                   coupling: bool = False) -> str:
+    """Co-citation / bibliographic-coupling twin (cocitation.py):
+    self-join on the shared endpoint, degree-normalized cosine and
+    jaccard."""
+    k, o = ("dst", "src") if coupling else ("src", "dst")
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({graph_sql or G1_SQL})),
+deg AS MATERIALIZED (
+  SELECT {o} AS u, CAST(COUNT(*) AS DOUBLE) AS du FROM edges GROUP BY {o}),
+pairs AS MATERIALIZED (
+  SELECT a.{o} AS u, b.{o} AS v, COUNT(*) AS common
+  FROM edges a JOIN edges b ON a.{k} = b.{k} AND a.{o} < b.{o}
+  GROUP BY a.{o}, b.{o}
+  HAVING COUNT(*) >= {int(min_common)})
+SELECT p.u, p.v, p.common,
+       ROUND(p.common / sqrt(d1.du * d2.du), 6) AS cosine,
+       ROUND(p.common / (d1.du + d2.du - p.common), 6) AS jaccard
+FROM pairs p
+JOIN deg d1 ON d1.u = p.u
+JOIN deg d2 ON d2.u = p.v"""
