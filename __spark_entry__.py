@@ -361,6 +361,14 @@ def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: lang-ID + self-trained bigram LM
+    perplexity + rank-exact per-language terciles."""
+    from graphscope_spark.functions import lm as LM
+
+    return LM.ccnet_buckets(H.load(spark, sf_dir, "documents"), n=2)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(H.load(spark, sf_dir, "documents"))
 
@@ -1695,6 +1703,54 @@ SELECT doc_id, COUNT(*) AS n_ngrams, CAST(SUM(oov) AS BIGINT) AS n_oov,
 FROM scored GROUP BY doc_id
 """
 
+CCNET_BUCKETS_SQL = f"""
+WITH lex(tok, cand) AS (VALUES {_LEX_VALUES}),
+ltoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+lhits AS (
+  SELECT t.doc_id, l.cand, COUNT(*) AS hits
+  FROM ltoks t JOIN lex l ON l.tok = t.tok
+  GROUP BY t.doc_id, l.cand),
+lbest AS (
+  SELECT doc_id, cand AS lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand ASC) AS rn
+  FROM lhits),
+langs AS (
+  SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang
+  FROM documents d LEFT JOIN (SELECT * FROM lbest WHERE rn = 1) b
+    ON b.doc_id = d.doc_id),
+{_LM_GRAMS},
+train AS (SELECT ctx, w, COUNT(*) AS cnt FROM flat GROUP BY ctx, w),
+ctxtot AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+           FROM train GROUP BY ctx),
+v AS (SELECT CAST(COUNT(DISTINCT w) + 1 AS DOUBLE) AS v FROM train),
+lscored AS (
+  SELECT f.doc_id,
+         ln((CAST(COALESCE(t.cnt, 0) AS DOUBLE) + 1.0)
+            / (CAST(COALESCE(c.ctx_cnt, 0) AS DOUBLE) + (SELECT v FROM v)))
+           AS logp
+  FROM flat f
+  LEFT JOIN train t ON t.ctx = f.ctx AND t.w = f.w
+  LEFT JOIN ctxtot c ON c.ctx = f.ctx),
+ppl AS (
+  SELECT doc_id, ROUND(exp(-(SUM(logp) / COUNT(*))), 6) AS ppl
+  FROM lscored GROUP BY doc_id),
+j AS (SELECT l.doc_id, l.lang, p.ppl
+      FROM langs l JOIN ppl p ON p.doc_id = l.doc_id),
+r AS (
+  SELECT doc_id, lang, ppl,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ppl, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM j)
+SELECT doc_id, lang, ppl,
+       CASE WHEN rn * 3 <= cnt THEN 'head'
+            WHEN rn * 3 <= 2 * cnt THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""
+
 DECONTAMINATE_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 g AS (
@@ -2368,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_bigram": q_ngram_lm,
         "quality_classifier": q_classifier,
         "gopher_rules": q_gopher_rules,
+        "ccnet_buckets": q_ccnet_buckets,
         "ngram_ppl_bigram": q_ngram_ppl,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -2491,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm_bigram": NGRAM_LM_SQL,
         "quality_classifier": CLASSIFIER_SQL,
         "gopher_rules": GOPHER_RULES_SQL,
+        "ccnet_buckets": CCNET_BUCKETS_SQL,
         "ngram_ppl_bigram": NGRAM_PPL_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.functions.ranking import terms
 
-__all__ = ["doc_ngrams", "train_ngram_lm", "ngram_perplexity"]
+__all__ = ["doc_ngrams", "train_ngram_lm", "ngram_perplexity",
+           "ccnet_buckets"]
 
 BOS = "<s>"
 EOS = "</s>"
@@ -126,4 +127,57 @@ def ngram_perplexity(
     return per_doc.select(
         id_col, "n_ngrams", "n_oov", "avg_logprob",
         F.exp(-F.col("avg_logprob")).alias("ppl"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """The CCNet head/middle/tail artifact (Wenzek et al. §4.4):
+    language-ID each document, perplexity-score it, then split each
+    language's documents into perplexity TERCILES — head = most fluent
+    third. Returns (id_col, lang, ppl, bucket).
+
+    Tercile assignment is rank-based (row_number over (ppl, id) within
+    language; head iff 3·rn <= count, middle iff 3·rn <= 2·count) —
+    exact integer arithmetic rather than approximate quantiles, so the
+    split is deterministic, restart-stable, and engine-portable. ppl is
+    rounded to 6 dp BEFORE ordering so the rank ordering itself is
+    cross-engine stable (raw sums differ in the last ulp between
+    engines; ties fall to id). Line-level dedup (CCNet's preceding
+    stage) composes upstream via dedup.dedup_lines.
+
+    Scale: lang-id is a broadcast lexicon join + argmax agg; scoring as
+    in ngram_perplexity; the tercile window partitions by LANGUAGE —
+    dozens of partitions each sorted locally, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    from graphscope_spark.functions.text import lang_id
+
+    langs = lang_id(docs, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("predicted_lang").alias("lang")
+    )
+    ppl = ngram_perplexity(
+        docs, lm=lm, n=n, id_col=id_col, text_col=text_col,
+        broadcast_lm=broadcast_lm,
+    ).select(id_col, F.round("ppl", 6).alias("ppl"))
+    j = langs.join(ppl, id_col)
+    w = Window.partitionBy("lang").orderBy("ppl", id_col)
+    wc = Window.partitionBy("lang")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .select(
+            id_col, "lang", "ppl",
+            F.when(F.col("rn") * 3 <= F.col("cnt"), "head")
+            .when(F.col("rn") * 3 <= 2 * F.col("cnt"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
     )

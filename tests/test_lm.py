@@ -120,3 +120,26 @@ def test_empty_and_null_docs_survive(docs):
 def test_unigram_order_rejected(docs):
     with pytest.raises(ValueError):
         LM.doc_ngrams(docs, n=1)
+
+
+def test_ccnet_buckets_terciles(spark):
+    """Per-language rank-exact terciles: 6 docs per forced language ->
+    exactly 2 head / 2 middle / 2 tail each, head = lowest ppl."""
+    rows = []
+    for i in range(6):
+        # 'the' forces en; repetition level varies fluency
+        rows.append((i, "the cat sat " + "on the mat " * (i + 1)))
+    for i in range(6):
+        rows.append((10 + i, "der hund lief " + "und die katze " * (i + 1)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in LM.ccnet_buckets(docs, n=2).collect()}
+    assert len(got) == 12
+    for lang, ids in (("en", range(6)), ("de", range(10, 16))):
+        sub = [got[i] for i in ids]
+        assert all(r["lang"] == lang for r in sub), lang
+        from collections import Counter
+        assert Counter(r["bucket"] for r in sub) == Counter(
+            {"head": 2, "middle": 2, "tail": 2})
+        by_ppl = sorted(sub, key=lambda r: (r["ppl"], r["doc_id"]))
+        assert [r["bucket"] for r in by_ppl] == [
+            "head", "head", "middle", "middle", "tail", "tail"]
