@@ -97,6 +97,15 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(g)
 
 
+def q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component bipartiteness of G4's undirected fabric — two
+    components at sf0.01, one with odd cycles, one without."""
+    from graphscope_spark.algorithms import bipartite_components
+
+    g = H.g4(spark, sf_dir).build()
+    return bipartite_components(g)
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-supplier pairs by co-citation on bipartite G1 (suppliers
     sharing >= 150 customers), cosine/jaccard-normalized."""
@@ -472,6 +481,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         H.load(spark, sf_dir, "documents"), num_hashes=8, band_size=2, n=3
     )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 2 update rounds) over the
+    embeddings table — the SemDeDup-style clustering primitive."""
+    from graphscope_spark.functions.kmeans import kmeans_assign
+
+    return kmeans_assign(H.load(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2395,6 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_g4": q_bowtie,
         "salsa_g3_r5": q_salsa,
         "ktruss_g4_k12": q_ktruss,
+        "bipartite_comps_g4": q_bipartite,
+        "kmeans_vec8": q_kmeans,
         "cocitation_g1": q_cocitation,
         "bibcoupling_g3": q_bibcoupling,
         "reciprocity_g3": q_reciprocity,
@@ -2519,6 +2538,8 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_g4": H.bowtie_sql(H.G4_SQL),
         "salsa_g3_r5": H.salsa_sql(5),
         "ktruss_g4_k12": H.ktruss_sql(12, 4),
+        "bipartite_comps_g4": H.bipartite_sql(),
+        "kmeans_vec8": H.kmeans_sql(8, 2),
         "cocitation_g1": H.cocitation_sql(150),
         "bibcoupling_g3": H.cocitation_sql(3, H.G3_SQL, coupling=True),
         "reciprocity_g3": H.reciprocity_sql(),

@@ -79,6 +79,11 @@ from graphscope_spark.algorithms.cocitation import (  # noqa: F401
     cocitation,
     bibliographic_coupling,
 )
+from graphscope_spark.algorithms.bipartite import (  # noqa: F401
+    bipartite_components,
+    is_bipartite,
+    two_coloring,
+)
 from graphscope_spark.algorithms.reciprocity import (  # noqa: F401
     reciprocity,
     overall_reciprocity,
@@ -105,4 +110,5 @@ __all__ = [
     "bowtie",
     "reciprocity", "overall_reciprocity", "condensation_edges",
     "salsa", "k_truss", "cocitation", "bibliographic_coupling",
+    "bipartite_components", "is_bipartite", "two_coloring",
 ]

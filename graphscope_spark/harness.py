@@ -1884,3 +1884,90 @@ SELECT p.u, p.v, p.common,
 FROM pairs p
 JOIN deg d1 ON d1.u = p.u
 JOIN deg d2 ON d2.u = p.v"""
+
+
+def bipartite_sql(graph_sql: str | None = None) -> str:
+    """Bipartite-components twin (bipartite.bipartite_components):
+    undirected closure for components, recursive parity walk from each
+    component root; a vertex reached at both parities marks its
+    component non-bipartite."""
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED ({graph_sql or G4_SQL}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+reach AS (
+  SELECT src AS s, dst AS d FROM sym
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN sym e ON e.src = r.d),
+comp AS MATERIALIZED (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(r.d), v.id)) AS comp
+  FROM verts v LEFT JOIN reach r ON r.s = v.id
+  GROUP BY v.id),
+par AS (
+  SELECT id, 0 AS p FROM comp WHERE id = comp
+  UNION
+  SELECT e.dst AS id, 1 - par.p AS p
+  FROM par JOIN sym e ON e.src = par.id),
+bad AS MATERIALIZED (
+  SELECT DISTINCT c.comp
+  FROM par a JOIN par b ON b.id = a.id AND a.p = 0 AND b.p = 1
+  JOIN comp c ON c.id = a.id)
+SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       c.comp NOT IN (SELECT comp FROM bad) AS is_bipartite
+FROM comp c GROUP BY c.comp"""
+
+
+def kmeans_sql(k: int, iters: int = 2) -> str:
+    """Unrolled deterministic Lloyd k-means twin (kmeans.kmeans_assign)
+    over the embeddings table: k-smallest-id init, argmin over
+    (round(dist²,6), cid), element-wise mean updates, empty clusters
+    keep their previous centroid."""
+    d2 = ("ROUND(list_sum(list_transform(generate_series(1, len(e.v)),"
+          " i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), 6)")
+    ctes = [
+        """emb AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+            FROM emb ORDER BY vec_id LIMIT {int(k)})""",
+    ]
+    for t in range(int(iters)):
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+                 SELECT vec_id, cid AS cluster FROM (
+                   SELECT e.vec_id, c.cid,
+                          ROW_NUMBER() OVER (
+                            PARTITION BY e.vec_id
+                            ORDER BY {d2}, c.cid) AS rn
+                   FROM emb e CROSS JOIN c{t} c)
+                 WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+                 SELECT s.cluster AS cid,
+                        list(mv ORDER BY dim) AS cvec
+                 FROM (
+                   SELECT a.cluster, u.dim, AVG(u.val) AS mv
+                   FROM a{t} a JOIN emb e ON e.vec_id = a.vec_id,
+                        LATERAL (SELECT generate_subscripts(e.v, 1) AS dim,
+                                        unnest(e.v) AS val) u
+                   GROUP BY a.cluster, u.dim) s
+                 GROUP BY s.cluster)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS MATERIALIZED (
+                 SELECT c.cid, COALESCE(m.cvec, c.cvec) AS cvec
+                 FROM c{t} c LEFT JOIN m{t} m ON m.cid = c.cid)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, cid AS cluster, d AS dist2 FROM (
+  SELECT e.vec_id, c.cid, {d2} AS d,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2}, c.cid) AS rn
+  FROM emb e CROSS JOIN c{int(iters)} c)
+WHERE rn = 1"""
+    )
