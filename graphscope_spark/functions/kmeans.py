@@ -75,6 +75,8 @@ def kmeans_assign(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
+    # unpartitioned window is fine here: it runs AFTER limit(k), over
+    # exactly k rows (Spark still logs its single-partition warning)
     w = Window.orderBy(id_col)
     cents = (
         embs.orderBy(id_col).limit(int(k))
