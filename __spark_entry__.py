@@ -483,6 +483,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune over the embeddings table.
+    Threshold lowered to 0.35 because the synthetic embeddings carry
+    no planted near-duplicates — at the paper's 0.95 nothing prunes
+    and the keep path would be value-checked vacuously (0.35 prunes
+    93/500 at sf0.01)."""
+    from graphscope_spark.functions.kmeans import semantic_dedup
+
+    return semantic_dedup(
+        H.load(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.35
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means (k=8, 2 update rounds) over the
     embeddings table — the SemDeDup-style clustering primitive."""
@@ -2414,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_g4_k12": q_ktruss,
         "bipartite_comps_g4": q_bipartite,
         "kmeans_vec8": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "cocitation_g1": q_cocitation,
         "bibcoupling_g3": q_bibcoupling,
         "reciprocity_g3": q_reciprocity,
@@ -2540,6 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_g4_k12": H.ktruss_sql(12, 4),
         "bipartite_comps_g4": H.bipartite_sql(),
         "kmeans_vec8": H.kmeans_sql(8, 2),
+        "semantic_dedup": H.semantic_dedup_sql(8, 2, 0.35),
         "cocitation_g1": H.cocitation_sql(150),
         "bibcoupling_g3": H.cocitation_sql(3, H.G3_SQL, coupling=True),
         "reciprocity_g3": H.reciprocity_sql(),

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "semantic_dedup"]
 
 
 def _dist2(vec, cen):
@@ -117,3 +117,69 @@ def kmeans_assign(
     out = _assign(embs, cents, id_col, vec_col)
     cents.unpersist()
     return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023: "SemDeDup — data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings, then prune near-duplicates WITHIN clusters only — the
+    move that turns all-pairs O(n²) cosine dedup into per-cluster
+    quadratic work bounded by cluster size.
+
+    Keep rule (deterministic keep-first): drop u iff some SMALLER-id v
+    in u's cluster has cosine(u, v) >= threshold. Returns
+    (id_col, cluster, max_sim_smaller, keep) — max_sim_smaller is -1.0
+    for the smallest id of each cluster (nothing to compare against).
+
+    Plan: kmeans_assign's plan, then ONE self-join of the assignment
+    keyed by cluster (co-partitioned; the quadratic blowup is bounded
+    by the largest cluster — choose k to cap it), the cosine folded
+    into a codegen projection, one hash agg for the per-vector max.
+    """
+    embs = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    assign = kmeans_assign(embs, k=k, iters=iters,
+                           id_col=id_col, vec_col=vec_col)
+    withv = assign.join(embs, id_col).select(id_col, "cluster", vec_col)
+    a = withv.select(
+        F.col(id_col).alias("__u"), "cluster", F.col(vec_col).alias("__va")
+    )
+    b = withv.select(
+        F.col(id_col).alias("__v"), "cluster", F.col(vec_col).alias("__vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    sims = (
+        a.join(b, "cluster")
+        .where(F.col("__v") < F.col("__u"))
+        .select(
+            F.col("__u").alias(id_col),
+            F.round(dot / (nrm("__va") * nrm("__vb")), 6).alias("cos"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("cos").alias("max_sim"))
+    )
+    return (
+        assign.join(sims, id_col, "left")
+        .select(
+            id_col, "cluster",
+            F.round(F.coalesce("max_sim", F.lit(-1.0)), 6)
+            .alias("max_sim_smaller"),
+            (F.coalesce("max_sim", F.lit(-1.0)) < float(threshold))
+            .alias("keep"),
+        )
+    )

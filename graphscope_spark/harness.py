@@ -1971,3 +1971,42 @@ SELECT vec_id, cid AS cluster, d AS dist2 FROM (
   FROM emb e CROSS JOIN c{int(iters)} c)
 WHERE rn = 1"""
     )
+
+
+def semantic_dedup_sql(k: int, iters: int = 2,
+                       threshold: float = 0.95) -> str:
+    """SemDeDup twin (kmeans.semantic_dedup): the kmeans_sql chain for
+    cluster assignment, then per-cluster keep-first pruning — drop u
+    iff some smaller-id v in the same cluster has cosine >= threshold."""
+    base = kmeans_sql(k, iters)
+    head, final = base.rsplit("\nSELECT vec_id, cid AS cluster", 1)
+    cos = ("ROUND(list_sum(list_transform(generate_series(1, len(a.v)),"
+           " i -> a.v[i] * b.v[i]))"
+           " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+           "    * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)")
+    return (
+        head
+        + f""",
+fin AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_sum(list_transform(
+                                generate_series(1, len(e.v)),
+                                i -> (e.v[i] - c.cvec[i])
+                                     * (e.v[i] - c.cvec[i]))), 6),
+                              c.cid) AS rn
+    FROM emb e CROSS JOIN c{int(iters)} c)
+  WHERE rn = 1),
+sims AS MATERIALIZED (
+  SELECT fu.vec_id, MAX({cos}) AS max_sim
+  FROM fin fu
+  JOIN fin fv ON fv.cluster = fu.cluster AND fv.vec_id < fu.vec_id
+  JOIN emb a ON a.vec_id = fu.vec_id
+  JOIN emb b ON b.vec_id = fv.vec_id
+  GROUP BY fu.vec_id)
+SELECT f.vec_id, f.cluster,
+       ROUND(COALESCE(s.max_sim, -1.0), 6) AS max_sim_smaller,
+       COALESCE(s.max_sim, -1.0) < {float(threshold)} AS keep
+FROM fin f LEFT JOIN sims s ON s.vec_id = f.vec_id"""
+    )

@@ -84,3 +84,45 @@ def test_empty_cluster_kept_and_k1(spark):
     assert {r["cluster"] for r in one} == {0}
     with pytest.raises(ValueError):
         kmeans_assign(df, k=0)
+
+
+def test_semantic_dedup_prunes_planted_dups(spark):
+    """Plant near-identical pairs inside separated blobs: keep-first
+    drops the larger id of each planted pair and nothing else."""
+    from graphscope_spark.functions.kmeans import semantic_dedup
+    rows = [
+        (0, [0.0, 1.0]), (1, [0.02, 1.0]),     # near-dup pair, blob A
+        (2, [1.0, 0.9]),                        # same blob, distinct
+        (10, [5.0, -5.0]), (11, [5.0, -4.9]),   # near-dup pair, blob B
+        (12, [-5.0, -5.0]),                     # blob C, alone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, k=3, iters=2, threshold=0.999).collect()}
+    assert len(out) == 6
+    assert out[1]["keep"] is False and out[11]["keep"] is False
+    for i in (0, 2, 10, 12):
+        assert out[i]["keep"] is True, i
+    # smallest id per cluster carries the -1 sentinel
+    assert out[0]["max_sim_smaller"] == -1.0
+    # cross-check the max-sim values against numpy
+    import numpy as np
+    v = {i: np.array(x) for i, x in rows}
+    cos = float(v[0] @ v[1] / (np.linalg.norm(v[0]) * np.linalg.norm(v[1])))
+    assert out[1]["max_sim_smaller"] == pytest.approx(round(cos, 6), abs=1e-6)
+
+
+def test_semantic_dedup_cluster_boundary(spark):
+    """Identical vectors in DIFFERENT clusters are NOT compared — the
+    documented trade of cluster-bounded pruning."""
+    from graphscope_spark.functions.kmeans import semantic_dedup
+    rows = [(0, [0.0, 1.0]), (1, [10.0, -10.0]), (2, [10.0, -10.0]),
+            (3, [0.0, 1.01])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, k=2, iters=2, threshold=0.999).collect()}
+    # 1 and 2 identical + same cluster -> 2 dropped; 0 and 3 same
+    # cluster near-identical -> 3 dropped
+    assert out[2]["keep"] is False
+    assert out[3]["keep"] is False
+    assert out[0]["keep"] is True and out[1]["keep"] is True
