@@ -370,6 +370,37 @@ def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_logw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance log-weights (Xie et al. 2023):
+    target model = the English subset, raw model = the whole corpus;
+    logw(doc) = Σ_feats log p_en(bucket) − log p_all(bucket), Laplace
+    α=1 over 4096 buckets."""
+    from graphscope_spark.functions import dsir as D
+
+    docs = H.load(spark, sf_dir, "documents")
+    out = D.dsir_log_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=4096
+    )
+    return out.select("doc_id", "n_feats", F.round("logw", 6).alias("logw"))
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling: keep the 20 raw docs with the
+    highest logw + deterministic-Gumbel key (md5 uniform draw — the
+    paper's without-replacement sampler, restart-stable)."""
+    from graphscope_spark.functions import dsir as D
+
+    docs = H.load(spark, sf_dir, "documents")
+    kept = D.dsir_resample(
+        docs, docs.where(F.col("lang") == "en"), n_keep=20, n_buckets=4096
+    )
+    return kept.select(
+        "doc_id", "n_feats",
+        F.round("logw", 6).alias("logw"),
+        F.round("key", 6).alias("gkey"),
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: lang-ID + self-trained bigram LM
     perplexity + rank-exact per-language terciles."""
@@ -1705,6 +1736,60 @@ SELECT doc_id, n_tokens, ROUND(score, 6) AS score,
 FROM scored
 """
 
+# DSIR (Xie et al. 2023): same md5 bucket rule as the classifier,
+# unigram+bigram features, Laplace α=1 over B=4096 buckets. Buckets of
+# raw docs are in the raw model by construction, so lr is built from
+# the raw model's bucket set (left-joined to the target counts).
+_DSIR_FEATS = f"""
+toks AS (
+  SELECT doc_id, lang,
+         {_RANK_TERMS} AS t
+  FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)),
+feats AS (
+  SELECT doc_id, lang,
+         list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 4096)
+         || list_transform(range(1, len(t)), i ->
+              ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT % 4096)
+           AS f
+  FROM toks),
+flat AS (SELECT doc_id, lang, unnest(f) AS bucket FROM feats),
+tm AS (SELECT bucket, COUNT(*) AS ct FROM flat WHERE lang = 'en' GROUP BY bucket),
+rm AS (SELECT bucket, COUNT(*) AS cr FROM flat GROUP BY bucket),
+lr AS (
+  SELECT r.bucket,
+         ln(CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)
+           - ln((SELECT CAST(SUM(ct) AS DOUBLE) FROM tm) + 4096.0)
+           - ln(CAST(r.cr AS DOUBLE) + 1.0)
+           + ln((SELECT CAST(SUM(cr) AS DOUBLE) FROM rm) + 4096.0) AS lr
+  FROM rm r LEFT JOIN tm t USING (bucket)),
+per AS (
+  SELECT f.doc_id, COUNT(f.bucket) AS n_feats, SUM(l.lr) AS logw
+  FROM flat f LEFT JOIN lr l USING (bucket)
+  GROUP BY f.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_feats, 0) AS n_feats,
+         COALESCE(p.logw, 0.0) AS logw
+  FROM documents d LEFT JOIN per p USING (doc_id))"""
+
+DSIR_LOGW_SQL = f"""
+WITH {_DSIR_FEATS}
+SELECT doc_id, n_feats, ROUND(logw, 6) AS logw FROM scored
+"""
+
+DSIR_SAMPLE_SQL = f"""
+WITH {_DSIR_FEATS},
+gk AS (
+  SELECT doc_id, n_feats, logw,
+         logw + (-ln(-ln(greatest(
+           ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0,
+           1e-12)))) AS gkey
+  FROM scored)
+SELECT doc_id, n_feats, ROUND(logw, 6) AS logw, ROUND(gkey, 6) AS gkey
+FROM gk ORDER BY gkey DESC, doc_id LIMIT 20
+"""
+
 NGRAM_LM_SQL = f"""
 WITH {_LM_GRAMS}
 SELECT ctx, w, COUNT(*) AS cnt FROM flat GROUP BY ctx, w
@@ -2456,6 +2541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "ngram_lm_bigram": q_ngram_lm,
         "quality_classifier": q_classifier,
+        "dsir_logw": q_dsir_logw,
+        "dsir_sample": q_dsir_sample,
         "gopher_rules": q_gopher_rules,
         "ccnet_buckets": q_ccnet_buckets,
         "ngram_ppl_bigram": q_ngram_ppl,
@@ -2583,6 +2670,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": INVERTED_INDEX_SQL,
         "ngram_lm_bigram": NGRAM_LM_SQL,
         "quality_classifier": CLASSIFIER_SQL,
+        "dsir_logw": DSIR_LOGW_SQL,
+        "dsir_sample": DSIR_SAMPLE_SQL,
         "gopher_rules": GOPHER_RULES_SQL,
         "ccnet_buckets": CCNET_BUCKETS_SQL,
         "ngram_ppl_bigram": NGRAM_PPL_SQL,
