@@ -1233,6 +1233,41 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round trip value-checked cross-engine: pages
+    synthesized from orders arithmetic → packed into 8 gzip-member
+    WARC shards (warc.pages_to_warc) → re-parsed (warc.read_warc);
+    the DuckDB twin reconstructs every (url, warc_date, html) from
+    the same arithmetic, so the writer+reader must preserve each
+    record byte-identically."""
+    from graphscope_spark import warc as W
+
+    o = H.load(spark, sf_dir, "orders")
+    c = lambda e: e.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><body><p>order "), c(F.col("o_orderkey")),
+        F.lit(" cust "), c(F.col("o_custkey") % 50),
+        F.lit("</p></body></html>"),
+    )
+    pages = o.select(
+        F.concat(
+            F.lit("https://shop"), c(F.col("o_custkey") % 97),
+            F.lit(".example/o/"), c(F.col("o_orderkey")),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("o_orderkey") % 86400
+        ).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    rec = W.read_warc(W.pages_to_warc(pages, n_shards=8))
+    return rec.select(
+        "url",
+        "warc_date",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.decode("html", "UTF-8").alias("html_text"),
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (pages.anchor_text_index): real HTML parsing
     (Arrow-batched _AnchorExtractor, nested inline markup folded into
@@ -2222,6 +2257,19 @@ SELECT o_orderkey AS k,
 FROM orders
 """
 
+WARC_ROUNDTRIP_SQL = """
+WITH p AS (
+  SELECT 'https://shop' || (o_custkey % 97) || '.example/o/' || o_orderkey AS url,
+         strftime(TIMESTAMP '2024-01-01 00:00:00'
+                  + (o_orderkey % 86400) * INTERVAL 1 SECOND,
+                  '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         '<html><body><p>order ' || o_orderkey || ' cust '
+           || (o_custkey % 50) || '</p></body></html>' AS html_text
+  FROM orders)
+SELECT url, warc_date, CAST(length(html_text) AS BIGINT) AS n_bytes, html_text
+FROM p
+"""
+
 ANCHOR_TEXTS_SQL = """
 WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
 a AS (
@@ -2599,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "extract_text_synth": q_extract_text,
         "anchor_texts": q_anchor_texts,
+        "warc_roundtrip": q_warc_roundtrip,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
         "saveload_degrees_g1": q_saveload_degrees,
         "registry_sssp_g2w": q_registry_sssp,
@@ -2727,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": NORMALIZE_TEXT_SQL,
         "extract_text_synth": EXTRACT_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
+        "warc_roundtrip": WARC_ROUNDTRIP_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
         "saveload_degrees_g1": SAVELOAD_DEGREES_SQL,
         "registry_sssp_g2w": H.sssp_sql(1, 20),
