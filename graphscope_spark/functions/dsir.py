@@ -152,15 +152,20 @@ def dsir_log_weights(
 
     The two models are estimated from `target` and `raw` themselves
     (the paper's setting). The per-bucket log-ratio table is ≤
-    n_buckets rows and broadcast."""
-    lrt = F.broadcast(
-        _log_ratio_table(
-            corpus_bucket_counts(target, n_buckets, text_col),
-            corpus_bucket_counts(raw, n_buckets, text_col),
-            n_buckets,
-            alpha,
-        )
-    )
+    n_buckets rows; it is materialized ONCE here (eager local
+    checkpoint — without it Spark re-derives the model subtrees in
+    every branch that references them, re-scanning the corpora ~5×)
+    and then broadcast, so each corpus is scanned exactly once for its
+    model plus once more (raw) for scoring."""
+    from graphscope_spark.superstep import _CKPT_LEVEL
+
+    lrt = _log_ratio_table(
+        corpus_bucket_counts(target, n_buckets, text_col),
+        corpus_bucket_counts(raw, n_buckets, text_col),
+        n_buckets,
+        alpha,
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    lrt = F.broadcast(lrt)
     feats = raw.select(
         F.col(id_col),
         F.explode_outer(ngram_buckets(text_col, n_buckets)).alias("bucket"),
