@@ -1268,6 +1268,36 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX lookup index over real WARC shards: orders-arithmetic pages
+    → 8 gzip-member shards → cdx_index. The DuckDB twin reconstructs
+    (surt, url, warc_date, digest) from the same arithmetic (digest =
+    md5 of the html payload — both engines hash the identical bytes
+    the container round-trips). offset/length are compression-
+    dependent and are verified by the ranged-fetch pytest instead."""
+    from graphscope_spark import warc as W
+
+    o = H.load(spark, sf_dir, "orders")
+    c = lambda e: e.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><body><p>order "), c(F.col("o_orderkey")),
+        F.lit(" cust "), c(F.col("o_custkey") % 50),
+        F.lit("</p></body></html>"),
+    )
+    pages = o.select(
+        F.concat(
+            F.lit("https://shop"), c(F.col("o_custkey") % 97),
+            F.lit(".example/o/"), c(F.col("o_orderkey")),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("o_orderkey") % 86400
+        ).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    cdx = W.cdx_index(W.pages_to_warc(pages, n_shards=8))
+    return cdx.select("surt", "url", "warc_date", "digest")
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (pages.anchor_text_index): real HTML parsing
     (Arrow-batched _AnchorExtractor, nested inline markup folded into
@@ -2270,6 +2300,21 @@ SELECT url, warc_date, CAST(length(html_text) AS BIGINT) AS n_bytes, html_text
 FROM p
 """
 
+CDX_INDEX_SQL = """
+WITH p AS (
+  SELECT o_custkey % 97 AS c, o_orderkey AS k,
+         '<html><body><p>order ' || o_orderkey || ' cust '
+           || (o_custkey % 50) || '</p></body></html>' AS html_text
+  FROM orders)
+SELECT 'example,shop' || c || ')/o/' || k AS surt,
+       'https://shop' || c || '.example/o/' || k AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + (k % 86400) * INTERVAL 1 SECOND,
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       md5(html_text) AS digest
+FROM p
+"""
+
 ANCHOR_TEXTS_SQL = """
 WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
 a AS (
@@ -2648,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_synth": q_extract_text,
         "anchor_texts": q_anchor_texts,
         "warc_roundtrip": q_warc_roundtrip,
+        "cdx_index": q_cdx_index,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
         "saveload_degrees_g1": q_saveload_degrees,
         "registry_sssp_g2w": q_registry_sssp,
@@ -2777,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_synth": EXTRACT_TEXT_SQL,
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
+        "cdx_index": CDX_INDEX_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
         "saveload_degrees_g1": SAVELOAD_DEGREES_SQL,
         "registry_sssp_g2w": H.sssp_sql(1, 20),

@@ -44,10 +44,17 @@ import zlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pages_to_warc", "read_warc", "warc_record_bytes"]
+__all__ = [
+    "pages_to_warc",
+    "read_warc",
+    "warc_record_bytes",
+    "cdx_index",
+    "fetch_warc_record",
+    "surt_key",
+]
 
 _WARC_VERSION = b"WARC/1.0"
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -149,28 +156,34 @@ def pages_to_warc(
     return staged.groupBy("shard").applyInPandas(pack, WARC_FILES_SCHEMA)
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated gzip members → concatenated plaintext (streamed
-    member by member; CC files are per-record members)."""
-    out: list[bytes] = []
-    rest = data
-    while rest:
-        d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
-        if not d.eof:  # truncated final member — keep what decoded
-            break
-        rest = d.unused_data
-    return b"".join(out)
-
-
-def _parse_warc_stream(data: bytes) -> Iterator[tuple[str, str, str, str, bytes]]:
-    """Yield (url, warc_type, warc_date, record_id, html) per record.
-    Truncated trailing bytes are skipped; a corrupt record boundary
-    mid-stream raises."""
+def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(compressed_offset, compressed_length, plaintext) per gzip
+    member (CC convention: one record per member — which is what makes
+    (offset, length) ranged fetches possible). A truncated final
+    member is dropped."""
     pos = 0
     n = len(data)
     while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        plain = d.decompress(data[pos:]) + d.flush()
+        if not d.eof:
+            break
+        end = n - len(d.unused_data)
+        yield pos, end - pos, plain
+        pos = end
+
+
+def _parse_warc_stream(
+    data: bytes,
+) -> Iterator[tuple[str, str, str, str, bytes, int, int]]:
+    """Yield (url, warc_type, warc_date, record_id, html, start,
+    length) per record, with (start, length) the record's byte span in
+    `data`. Truncated trailing bytes are skipped; a corrupt record
+    boundary mid-stream raises."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = pos
         if data[pos : pos + 5] != b"WARC/":
             raise ValueError(f"bad record boundary at byte {pos}")
         hdr_end = data.find(b"\r\n\r\n", pos)
@@ -203,7 +216,36 @@ def _parse_warc_stream(data: bytes) -> Iterator[tuple[str, str, str, str, bytes]
             headers.get("warc-date", ""),
             rid,
             html,
+            start,
+            pos - start,
         )
+
+
+def _iter_records(data: bytes) -> Iterator[tuple[str, str, str, str, bytes, int, int]]:
+    """Records of one container file with ranged-fetch spans: for
+    gzip-member files the span is the COMPRESSED member (what a CDX
+    entry stores — a ranged GET + gunzip yields the record); for plain
+    files it is the uncompressed record span."""
+    if data[:2] == _GZIP_MAGIC:
+        for off, clen, plain in _iter_gzip_members(data):
+            for rec in _parse_warc_stream(plain):
+                yield rec[:5] + (off, clen)
+    else:
+        yield from _parse_warc_stream(data)
+
+
+def fetch_warc_record(
+    content: bytes, offset: int, length: int
+) -> tuple[str, str, str, str, bytes]:
+    """Random-access fetch: parse the single record at a CDX (offset,
+    length) span of a container file's bytes. At cluster scale the
+    slice is a ranged GET against the object store — exactly how CC's
+    index consumers read one page without scanning the shard."""
+    blob = content[offset : offset + length]
+    if blob[:2] == _GZIP_MAGIC:
+        blob = gzip.decompress(blob)
+    [rec] = list(_parse_warc_stream(blob))
+    return rec[:5]
 
 
 def read_warc(
@@ -222,15 +264,83 @@ def read_warc(
         for b in batches:
             rows: list[tuple] = []
             for blob in b[content_col]:
-                data = bytes(blob or b"")
-                if data[:2] == _GZIP_MAGIC:
-                    data = _gunzip_members(data)
-                for rec in _parse_warc_stream(data):
+                for rec in _iter_records(bytes(blob or b"")):
                     if not keep or rec[1] in keep:
-                        rows.append(rec)
+                        rows.append(rec[:5])
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_type", "warc_date", "record_id", "html"],
             )
 
     return files.select(content_col).mapInPandas(parse, WARC_RECORDS_SCHEMA)
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key, the CDX sort
+    order: comma-reversed lowercased host + ')' + path[?query]
+    ('https://www.Example.com:8080/a/b?q=1' →
+    'com,example,www)/a/b?q=1'). Simplified vs pywb's canonicalizer
+    (no www-strip / param normalization — compose canonicalize_url
+    first for that); pure Catalyst expressions, zero Python."""
+    from graphscope_spark.web import URL_RE, url_host
+
+    u = url if isinstance(url, Column) else F.col(url)
+    rev = F.concat_ws(",", F.reverse(F.split(url_host(u), r"\.")))
+    path = F.regexp_extract(u, URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, URL_RE, 4)
+    tail = F.when(query == "", path).otherwise(F.concat(path, F.lit("?"), query))
+    return F.concat(rev, F.lit(")"), tail)
+
+
+CDX_SCHEMA = (
+    "url string, warc_date string, file_name string, offset long, "
+    "length long, digest string"
+)
+
+
+def cdx_index(
+    files: DataFrame,
+    content_col: str = "content",
+    file_col: str = "file_name",
+    sort: bool = False,
+) -> DataFrame:
+    """(surt, url, warc_date, file_name, offset, length, digest) per
+    response record — the CDX(J) lookup index Common Crawl publishes
+    next to its WARC shards. (offset, length) address the record's
+    gzip member (ranged GET + gunzip = the record; see
+    fetch_warc_record); digest is md5-hex of the html payload (the
+    repo's engine-portable hash family — CC itself uses sha1-b32,
+    a one-line swap where hashlib.sha1 is acceptable).
+
+    One task per container file, then the SURT key as a codegen
+    projection. `sort=True` adds the published-CDX layout: range-
+    partition + sort by surt so a binary-searchable lookup needs one
+    partition; costs a range shuffle, off by default."""
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[tuple] = []
+            for name, blob in zip(b[file_col], b[content_col]):
+                for url, wtype, wdate, _rid, html, off, ln in _iter_records(
+                    bytes(blob or b"")
+                ):
+                    if wtype == "response":
+                        rows.append(
+                            (url, wdate, name, off, ln,
+                             hashlib.md5(html).hexdigest())
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_date", "file_name", "offset",
+                         "length", "digest"],
+            )
+
+    out = (
+        files.select(file_col, content_col)
+        .mapInPandas(index, CDX_SCHEMA)
+        .select(surt_key("url").alias("surt"), "*")
+    )
+    if sort:
+        out = out.repartitionByRange("surt").sortWithinPartitions("surt")
+    return out

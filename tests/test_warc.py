@@ -95,3 +95,53 @@ def test_record_id_deterministic(spark, pages):
     a = {r["url"]: r["record_id"] for r in _roundtrip(pages, n_shards=2).collect()}
     b = {r["url"]: r["record_id"] for r in _roundtrip(pages, n_shards=3).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# CDX index + random-access fetch
+# ---------------------------------------------------------------------
+def test_surt_key(spark):
+    df = spark.createDataFrame(
+        [("https://www.Example.com:8080/a/b?q=1",),
+         ("http://site.example/",),
+         ("https://x.y.z.example/p",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(W.surt_key("url")).collect()]
+    assert got == [
+        "com,example,www)/a/b?q=1",
+        "example,site)/",
+        "example,z,y,x)/p",
+    ]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_cdx_random_access_fetch(spark, pages, gz):
+    files = W.pages_to_warc(pages, n_shards=3, gzip_members=gz).cache()
+    cdx = W.cdx_index(files)
+    assert cdx.count() == 200
+    # digest is md5 of the html payload (cross-checked JVM-side)
+    bad = (
+        W.read_warc(files).select("url", F.md5("html").alias("want"))
+        .join(cdx, "url")
+        .where(F.col("want") != F.col("digest"))
+    )
+    assert bad.count() == 0
+    # ranged fetch: every CDX row's (offset, length) slice must parse
+    # back to the byte-identical original page
+    blobs = {r["file_name"]: bytes(r["content"]) for r in files.collect()}
+    want = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    for r in cdx.collect():
+        url, _t, _d, _rid, html = W.fetch_warc_record(
+            blobs[r["file_name"]], r["offset"], r["length"]
+        )
+        assert url == r["url"]
+        assert html == want[url]
+    files.unpersist()
+
+
+def test_cdx_sorted_layout(spark, pages):
+    cdx = W.cdx_index(W.pages_to_warc(pages, n_shards=3), sort=True)
+    pdf = cdx.toPandas()
+    # globally ordered when partitions are read in order
+    assert list(pdf["surt"]) == sorted(pdf["surt"])
