@@ -1298,6 +1298,42 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx.select("surt", "url", "warc_date", "digest")
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP crawl-policy filtering through the REAL parser+matcher:
+    per-host robots.txt bodies synthesized from orders arithmetic
+    (hosts with c%5=0 carry a gsbot-specific block-all group; every
+    host's '*' group disallows /o/<c%10> but allows the longer
+    /o/<c%10><c%7>), matched for agent=gsbot. The DuckDB twin derives
+    each URL's allowed bit straight from the RFC semantics over the
+    same arithmetic — specific-group exclusivity, longest-prefix win,
+    default-allow."""
+    from graphscope_spark import web as W
+
+    o = H.load(spark, sf_dir, "orders")
+    c = lambda e: e.cast("string")  # noqa: E731
+    ck = F.col("o_custkey") % 97
+    urls = o.select(
+        F.concat(F.lit("https://shop"), c(ck), F.lit(".example/o/"),
+                 c(F.col("o_orderkey"))).alias("url"),
+    )
+    hosts = o.select(ck.alias("c")).distinct()
+    star = F.concat(
+        F.lit("# policy\nUser-agent: *\nDisallow: /o/"), c(F.col("c") % 10),
+        F.lit("\nAllow: /o/"), c(F.col("c") % 10), c(F.col("c") % 7),
+        F.lit("\n"),
+    )
+    body = F.when(
+        F.col("c") % 5 == 0,
+        F.concat(F.lit("User-agent: gsbot\nDisallow: /\n\n"), star),
+    ).otherwise(star)
+    robots = hosts.select(
+        F.concat(F.lit("shop"), c(F.col("c")), F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    rules = W.parse_robots(robots)
+    return W.robots_allowed(urls, rules, agent="gsbot")
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (pages.anchor_text_index): real HTML parsing
     (Arrow-batched _AnchorExtractor, nested inline markup folded into
@@ -2315,6 +2351,21 @@ SELECT 'example,shop' || c || ')/o/' || k AS surt,
 FROM p
 """
 
+ROBOTS_FILTER_SQL = """
+WITH p AS (
+  SELECT o_custkey % 97 AS c, CAST(o_orderkey AS VARCHAR) AS ks
+  FROM orders)
+SELECT 'https://shop' || c || '.example/o/' || ks AS url,
+       'shop' || c || '.example' AS host,
+       '/o/' || ks AS path,
+       CASE WHEN c % 5 = 0 THEN false
+            WHEN starts_with(ks, CAST(c % 10 AS VARCHAR)
+                                 || CAST(c % 7 AS VARCHAR)) THEN true
+            WHEN starts_with(ks, CAST(c % 10 AS VARCHAR)) THEN false
+            ELSE true END AS allowed
+FROM p
+"""
+
 ANCHOR_TEXTS_SQL = """
 WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
 a AS (
@@ -2694,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "warc_roundtrip": q_warc_roundtrip,
         "cdx_index": q_cdx_index,
+        "robots_filter": q_robots_filter,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
         "saveload_degrees_g1": q_saveload_degrees,
         "registry_sssp_g2w": q_registry_sssp,
@@ -2824,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": ANCHOR_TEXTS_SQL,
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
         "cdx_index": CDX_INDEX_SQL,
+        "robots_filter": ROBOTS_FILTER_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
         "saveload_degrees_g1": SAVELOAD_DEGREES_SQL,
         "registry_sssp_g2w": H.sssp_sql(1, 20),

@@ -159,3 +159,125 @@ def host_graph(
     if drop_self:
         e = e.where(F.col("src_host") != F.col("dst_host"))
     return e.groupBy("src_host", "dst_host").agg(F.count("*").alias("n_links"))
+
+
+# ----------------------------------------------------------------------
+# robots.txt (Robots Exclusion Protocol)
+# ----------------------------------------------------------------------
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, agent, allow boolean, prefix, rule_len) rules parsed from
+    raw robots.txt bodies — original-1994-REP prefix semantics (RFC
+    9309 wildcard/'$' patterns are a documented non-goal; the swap-in
+    is a regex-compile of `prefix`). Grammar handled: comments (#),
+    blank/garbage lines, case-insensitive directive keys, groups =
+    consecutive User-agent lines followed by Allow/Disallow lines
+    (every rule binds to ALL agents of its group, per the RFC).
+
+    Pure Catalyst: one posexplode over split-lines, a lag+running-sum
+    window PER HOST to assign group ids (robots bodies are small and
+    per-host — thousands of lines at most — so the per-host window
+    never concentrates more than one host's file in a task), then an
+    agents⋈rules join within (host, group). An empty Disallow value
+    ("Disallow:") means allow-all and produces no rule row, per the
+    REP."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n"))
+        .alias("ln", "raw"),
+    ).select(
+        "host", "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    kv = lines.select(
+        "host", "ln",
+        F.lower(F.trim(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)))
+        .alias("key"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+        .alias("value"),
+    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = kv.withColumn(
+        "__new",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("__new").over(w))
+
+    agents = (
+        grouped.where(F.col("key") == "user-agent")
+        .select("host", "grp", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.where(
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host", "grp",
+        (F.col("key") == "allow").alias("allow"),
+        F.col("value").alias("prefix"),
+    )
+    return (
+        agents.join(rules, ["host", "grp"])
+        .select(
+            "host", "agent", "allow", "prefix",
+            F.length("prefix").alias("rule_len"),
+        )
+        .distinct()
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """urls + (host, path, allowed boolean): REP matching of each URL
+    against parsed rules for `agent`. Semantics (RFC 9309 §2.2.1):
+    if ANY group names the specific agent, only those groups apply to
+    its hosts; otherwise the '*' groups; longest matching prefix wins,
+    allow on equal length; no matching rule (or no robots.txt for the
+    host) ⇒ allowed.
+
+    Shape: rules-per-agent is host-keyed and tiny next to the URL
+    corpus — one hash join on host, a startswith filter, and one
+    max(struct(rule_len, allow)) aggregate back on the URL key (the
+    cdlp tie-break pattern, no window over the corpus)."""
+    a = agent.lower()
+    spec = rules.where(F.col("agent") == a)
+    if a != "*":
+        spec_hosts = spec.select("host").distinct()
+        star = rules.where(F.col("agent") == "*").join(
+            spec_hosts, "host", "left_anti"
+        )
+        eff = spec.unionByName(star)
+    else:
+        eff = spec
+
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("host"),
+        F.when(F.regexp_extract(url_col, URL_RE, 3) == "", "/")
+        .otherwise(F.regexp_extract(url_col, URL_RE, 3))
+        .alias("path"),
+    )
+    hits = (
+        u.join(eff, "host")
+        .where(F.col("path").startswith(F.col("prefix")))
+        .groupBy("url")
+        .agg(
+            F.max(F.struct("rule_len", "allow")).alias("m"),
+        )
+        .select("url", F.col("m.allow").alias("__matched_allow"))
+    )
+    return (
+        u.join(hits, "url", "left")
+        .select(
+            "url", "host", "path",
+            F.coalesce("__matched_allow", F.lit(True)).alias("allowed"),
+        )
+    )
