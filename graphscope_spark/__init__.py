@@ -20,8 +20,12 @@ from graphscope_spark.pie import PIEProgram, run_pie
 from graphscope_spark.pregel import PregelProgram, run_pregel
 from graphscope_spark.session import get_spark
 from graphscope_spark.traversal import traversal
+from graphscope_spark.warc import (
+    cdx_index, fetch_warc_record, pages_to_warc, read_warc, surt_key,
+)
 from graphscope_spark.web import (
-    canonicalize_url, filter_urls, host_graph, url_host,
+    canonicalize_url, filter_urls, host_graph, parse_robots,
+    robots_allowed, url_host,
 )
 
 __version__ = "0.1.0"
@@ -30,5 +34,7 @@ __all__ = [
     "LinkGraph", "get_spark", "PregelProgram", "run_pregel",
     "PIEProgram", "run_pie", "App", "load_app", "register_app",
     "traversal", "canonicalize_url", "filter_urls", "host_graph", "url_host",
+    "parse_robots", "robots_allowed",
+    "pages_to_warc", "read_warc", "cdx_index", "surt_key", "fetch_warc_record",
     "__version__",
 ]
