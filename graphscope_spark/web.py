@@ -243,10 +243,16 @@ def robots_allowed(
     allow on equal length; no matching rule (or no robots.txt for the
     host) ⇒ allowed.
 
-    Shape: rules-per-agent is host-keyed and tiny next to the URL
-    corpus — one hash join on host, a startswith filter, and one
-    max(struct(rule_len, allow)) aggregate back on the URL key (the
-    cdlp tie-break pattern, no window over the corpus)."""
+    Shape: the URL corpus is scanned ONCE — one host join against the
+    effective-rules table (materialized here via eager localCheckpoint:
+    the parse's per-host windows would otherwise be re-derived in each
+    of its three consuming branches, and the table is host-keyed and
+    tiny next to the corpus) and one max(struct(rule_len, allow))
+    hash aggregate (the cdlp tie-break pattern — unmatched rows
+    aggregate to NULL and default allowed, so there is no second scan
+    or join-back)."""
+    from graphscope_spark.superstep import _CKPT_LEVEL
+
     a = agent.lower()
     spec = rules.where(F.col("agent") == a)
     if a != "*":
@@ -257,6 +263,9 @@ def robots_allowed(
         eff = spec.unionByName(star)
     else:
         eff = spec
+    eff = eff.select("host", "allow", "prefix", "rule_len").localCheckpoint(
+        eager=True, storageLevel=_CKPT_LEVEL
+    )
 
     u = urls.select(
         F.col(url_col).alias("url"),
@@ -265,19 +274,15 @@ def robots_allowed(
         .otherwise(F.regexp_extract(url_col, URL_RE, 3))
         .alias("path"),
     )
-    hits = (
-        u.join(eff, "host")
-        .where(F.col("path").startswith(F.col("prefix")))
-        .groupBy("url")
-        .agg(
-            F.max(F.struct("rule_len", "allow")).alias("m"),
-        )
-        .select("url", F.col("m.allow").alias("__matched_allow"))
+    matched = F.col("prefix").isNotNull() & F.col("path").startswith(
+        F.col("prefix")
     )
     return (
-        u.join(hits, "url", "left")
+        u.join(eff, "host", "left")
+        .groupBy("url", "host", "path")
+        .agg(F.max(F.when(matched, F.struct("rule_len", "allow"))).alias("m"))
         .select(
             "url", "host", "path",
-            F.coalesce("__matched_allow", F.lit(True)).alias("allowed"),
+            F.coalesce(F.col("m.allow"), F.lit(True)).alias("allowed"),
         )
     )
