@@ -401,6 +401,18 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLE-style 2-hop GraphSAGE fanout sampling (3, then 2) from the
+    id%7==1 seed vertices of G2 — deterministic md5 ticket draws, so
+    the DuckDB twin unrolls both hops with identical ROW_NUMBER
+    windows."""
+    from graphscope_spark.algorithms.walks import neighbor_sample
+
+    g = H.g2(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") % 7 == 1)
+    return neighbor_sample(g, seeds, [3, 2])
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: lang-ID + self-trained bigram LM
     perplexity + rank-exact per-language terciles."""
@@ -2351,6 +2363,32 @@ SELECT 'example,shop' || c || ')/o/' || k AS surt,
 FROM p
 """
 
+NEIGHBOR_SAMPLE_SQL = f"""
+WITH e AS MATERIALIZED ({H.G2_SQL}),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+roots AS (SELECT id AS root FROM v WHERE id % 7 = 1),
+h0 AS (
+  SELECT root, e.src, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY root, e.src ORDER BY
+           md5('42:' || CAST(root AS VARCHAR) || ':0:'
+               || CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)))
+           AS rn
+  FROM roots JOIN e ON e.src = root),
+s0 AS (SELECT root, src, dst FROM h0 WHERE rn <= 3),
+f1 AS (SELECT DISTINCT root, dst AS node FROM s0),
+h1 AS (
+  SELECT f1.root, e.src, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY f1.root, e.src ORDER BY
+           md5('42:' || CAST(f1.root AS VARCHAR) || ':1:'
+               || CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)))
+           AS rn
+  FROM f1 JOIN e ON e.src = f1.node),
+s1 AS (SELECT root, src, dst FROM h1 WHERE rn <= 2)
+SELECT root, 0 AS hop, src, dst FROM s0
+UNION ALL
+SELECT root, 1 AS hop, src, dst FROM s1
+"""
+
 ROBOTS_FILTER_SQL = """
 WITH p AS (
   SELECT o_custkey % 97 AS c, CAST(o_orderkey AS VARCHAR) AS ks
@@ -2746,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "cdx_index": q_cdx_index,
         "robots_filter": q_robots_filter,
+        "neighbor_sample_g2": q_neighbor_sample,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
         "saveload_degrees_g1": q_saveload_degrees,
         "registry_sssp_g2w": q_registry_sssp,
@@ -2877,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
         "cdx_index": CDX_INDEX_SQL,
         "robots_filter": ROBOTS_FILTER_SQL,
+        "neighbor_sample_g2": NEIGHBOR_SAMPLE_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
         "saveload_degrees_g1": SAVELOAD_DEGREES_SQL,
         "registry_sssp_g2w": H.sssp_sql(1, 20),

@@ -204,3 +204,91 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
             (F.col("b.pos") - F.col("a.pos")).cast("int").alias("off"),
         )
     )
+
+
+def neighbor_sample(
+    graph: LinkGraph,
+    seeds: list[int] | DataFrame,
+    fanouts: list[int],
+    seed: int = 42,
+    strategy: str = "random",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """GraphSAGE-style multi-hop fanout sampling — the learning
+    engine's neighbor expansion (GLE `g.V(seeds).outV().sample(k)`
+    chains; the reference's V/E traversal sources are
+    python/graphscope/learning/graph.py:263-331, with graph-learn
+    supplying the samplers). Returns (root long, hop int, src long,
+    dst long): for every root, hop h keeps ≤ fanouts[h] out-neighbors
+    of each hop-(h-1) frontier vertex.
+
+    strategy='random': without-replacement uniform draw made
+    DETERMINISTIC the walks.py way — rank candidates by
+    md5(seed:root:hop:src:dst) and keep the k smallest (engine-
+    portable; the DuckDB oracle replays identical draws).
+    strategy='topk_weight': graph-learn's topk sampler — highest
+    `weight_col` wins, ties broken by min dst.
+
+    Scale shape: the whole expansion is ONE Catalyst plan — per hop a
+    frontier⋈E hash join plus a row_number window partitioned by
+    (root, src), whose partitions are bounded by a vertex's out-degree
+    (never the corpus); frontiers stay (root, vertex) pairs, so edges
+    replicate only along sampled paths. fanouts is short (2-3 hops in
+    GraphSAGE practice), so no checkpointing is needed."""
+    from pyspark.sql import Window
+
+    spark = graph.vertices.sparkSession
+    if isinstance(seeds, DataFrame):
+        roots = seeds.select(F.col(ID).cast("long").alias("root"))
+    else:
+        roots = spark.createDataFrame([(int(s),) for s in seeds], "root long")
+    roots = roots.join(
+        graph.vertices.select(F.col(ID).alias("root")), "root", "left_semi"
+    ).distinct()
+
+    cols = [SRC, DST] + ([weight_col] if strategy == "topk_weight" else [])
+    edges = graph.edges.select(*cols)
+    if not graph.directed:
+        back = edges.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+            *([weight_col] if strategy == "topk_weight" else []),
+        )
+        edges = edges.unionByName(back)
+
+    frontier = roots.select("root", F.col("root").alias("node"))
+    parts: list[DataFrame] = []
+    for hop, k in enumerate(fanouts):
+        cand = frontier.join(edges, frontier["node"] == edges[SRC]).select(
+            "root", SRC, DST,
+            *([weight_col] if strategy == "topk_weight" else []),
+        )
+        if strategy == "random":
+            order = [
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(int(seed)).cast("string"),
+                        F.col("root").cast("string"),
+                        F.lit(int(hop)).cast("string"),
+                        F.col(SRC).cast("string"),
+                        F.col(DST).cast("string"),
+                    )
+                ).asc()
+            ]
+        elif strategy == "topk_weight":
+            order = [F.col(weight_col).desc(), F.col(DST).asc()]
+        else:
+            raise ValueError(f"strategy must be random|topk_weight, got {strategy!r}")
+        w = Window.partitionBy("root", SRC).orderBy(*order)
+        samp = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k))
+            .select("root", F.lit(int(hop)).alias("hop"), SRC, DST)
+        )
+        parts.append(samp)
+        frontier = samp.select("root", F.col(DST).alias("node")).distinct()
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -164,3 +164,90 @@ def test_skipgram_pairs(toy_graph, spark):
         if wa == wb and pa != pb and abs(pa - pb) <= 2)
     assert got == want
     assert all(o != 0 for *_, o in got)
+
+
+# ---------------------------------------------------------------------
+# neighbor_sample (GraphSAGE-style fanout expansion)
+# ---------------------------------------------------------------------
+def _py_neighbor_sample(edges, roots, fanouts, seed=42, directed=True,
+                        weights=None, strategy="random"):
+    import hashlib
+
+    adj = {}
+    pairs = list(edges) + ([] if directed else [(d, s) for s, d in edges])
+    wmap = dict(weights or {})
+    if not directed and weights:
+        wmap.update({(d, s): w for (s, d), w in weights.items()})
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    rows = set()
+    for root in roots:
+        frontier = {root}
+        for hop, k in enumerate(fanouts):
+            nxt = set()
+            for u in sorted(frontier):
+                nbrs = adj.get(u, [])
+                if strategy == "random":
+                    key = lambda v: hashlib.md5(  # noqa: E731
+                        f"{seed}:{root}:{hop}:{u}:{v}".encode()).hexdigest()
+                    picked = sorted(nbrs, key=key)[:k]
+                else:
+                    picked = sorted(nbrs, key=lambda v: (-wmap[(u, v)], v))[:k]
+                for v in picked:
+                    rows.add((root, hop, u, v))
+                    nxt.add(v)
+            frontier = nxt
+    return rows
+
+
+def test_neighbor_sample_matches_python_twin(spark, toy_graph):
+    from graphscope_spark.algorithms.walks import neighbor_sample
+    from tests.conftest import TOY_EDGES
+
+    got = {
+        (r["root"], r["hop"], r["src"], r["dst"])
+        for r in neighbor_sample(toy_graph, [3, 9], [2, 2]).collect()
+    }
+    want = _py_neighbor_sample(TOY_EDGES, [3, 9], [2, 2])
+    assert got == want and len(got) > 0
+
+
+def test_neighbor_sample_fanout_caps_degree(spark, toy_graph):
+    from graphscope_spark.algorithms.walks import neighbor_sample
+
+    out = neighbor_sample(toy_graph, [3], [2]).collect()
+    # vertex 3 has out-degree 5; fanout 2 keeps exactly 2
+    assert len([r for r in out if r["src"] == 3]) == 2
+    big = neighbor_sample(toy_graph, [3], [100]).collect()
+    assert len([r for r in big if r["src"] == 3]) == 5  # whole neighborhood
+
+
+def test_neighbor_sample_deterministic(spark, toy_graph):
+    from graphscope_spark.algorithms.walks import neighbor_sample
+
+    a = sorted(map(tuple, neighbor_sample(toy_graph, [0, 3], [2, 1]).collect()))
+    b = sorted(map(tuple, neighbor_sample(toy_graph, [0, 3], [2, 1]).collect()))
+    assert a == b
+    c = sorted(map(tuple, neighbor_sample(toy_graph, [0, 3], [2, 1], seed=7).collect()))
+    assert a != c  # different seed, different draw
+
+
+def test_neighbor_sample_topk_weight(spark):
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.algorithms.walks import neighbor_sample
+
+    edges = [(1, 2, 5.0), (1, 3, 9.0), (1, 4, 9.0), (2, 5, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    g = LinkGraph.from_edges(e).build(2)
+    got = {
+        (r["root"], r["hop"], r["src"], r["dst"])
+        for r in neighbor_sample(g, [1], [2, 1],
+                                 strategy="topk_weight").collect()
+    }
+    want = _py_neighbor_sample(
+        [(s, d) for s, d, _ in edges], [1], [2, 1],
+        weights={(s, d): w for s, d, w in edges}, strategy="topk_weight",
+    )
+    # hop 0 from 1: weights 9.0/9.0/5.0 → ties on 9.0 break to min dst: {3, 4}
+    assert got == want
+    assert (1, 0, 1, 3) in got and (1, 0, 1, 4) in got
