@@ -344,6 +344,42 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (functions/text.py c4_rules). The synthetic
+    corpus has no newlines or punctuation, so line structure is
+    injected in-query — identically in the DuckDB oracle — as a pure
+    function of (doc_id, text): 5-word lines, '.'-terminated except
+    every third line per doc, plus page-level lorem-ipsum / brace /
+    javascript injections on doc_id residues, exercising every rule in
+    both keep and drop directions."""
+    docs = H.load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(words)
+    nlines = F.ceil(n / F.lit(5)).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), nlines - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    did = F.col("doc_id")
+    lines = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+            F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    text2 = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(did % 17 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.lit('\nconst cfg = { "a": 1 };'))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.lit("\nplease enable javascript to view this page."))
+        .otherwise(F.lit("")),
+    )
+    return T.c4_rules(docs.select("doc_id", text2.alias("text")))
+
+
 def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear classifier scoring with an
     in-query deterministic weights table (w(bucket) = (bucket % 1001)
@@ -1822,6 +1858,59 @@ SELECT *, ok_words AND ok_mean_word_len AND ok_symbols AND ok_bullets
 FROM r
 """
 
+# C4 rules: the injection CTE mirrors q_c4_rules' in-query line
+# synthesis bit for bit (5-word lines, '.' except every third line per
+# doc, lorem/brace/javascript page injections on doc_id residues);
+# the rule CTEs mirror functions/text.py::c4_rules.
+C4_RULES_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+inj AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             CASE WHEN len(words) > 0
+                  THEN range(0, CAST(ceil(len(words) / 5) AS INT))
+                  ELSE [] END,
+             i -> array_to_string(list_slice(words, i*5 + 1, i*5 + 5), ' ')
+                  || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+           chr(10))
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN chr(10) || 'const cfg = { "a": 1 };' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'please enable javascript to view this page.'
+                 ELSE '' END AS text
+  FROM w),
+base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines
+  FROM inj),
+scored AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines,
+           l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+                AND len(list_filter(regexp_split_to_array(l, '\s+'),
+                                    x -> x <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept,
+         NOT contains(lower(text), 'lorem ipsum') AS ok_no_bad_phrase,
+         NOT contains(text, '{') AS ok_no_brace
+  FROM base)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       len(kept) >= 3 AS ok_lines,
+       ok_no_bad_phrase, ok_no_brace,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(kept) >= 3 AND ok_no_bad_phrase AND ok_no_brace AS keep
+FROM scored
+"""
+
 CLASSIFIER_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -2726,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logw": q_dsir_logw,
         "dsir_sample": q_dsir_sample,
         "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
         "ccnet_buckets": q_ccnet_buckets,
         "ngram_ppl_bigram": q_ngram_ppl,
         "decontaminate": q_decontaminate,
@@ -2859,6 +2949,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logw": DSIR_LOGW_SQL,
         "dsir_sample": DSIR_SAMPLE_SQL,
         "gopher_rules": GOPHER_RULES_SQL,
+        "c4_rules": C4_RULES_SQL,
         "ccnet_buckets": CCNET_BUCKETS_SQL,
         "ngram_ppl_bigram": NGRAM_PPL_SQL,
         "decontaminate": DECONTAMINATE_SQL,

@@ -434,3 +434,75 @@ def gopher_rules(
         & F.col("ok_bullets") & F.col("ok_ellipsis") & F.col("ok_alpha")
         & F.col("ok_stopwords"),
     )
+
+
+def c4_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    bad_phrases: tuple = ("lorem ipsum",),
+    drop_line_words: tuple = ("javascript",),
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, JMLR §2.2 — the
+    colossal-clean-crawled-corpus heuristics; ref parity: the
+    reference's web-text story stops at extraction, this is the
+    published downstream cleaning the same corpus feeds).
+
+    Line level (a line is kept iff ALL hold):
+      * ends in a terminal punctuation mark: ``.``, ``!``, ``?``
+        or closing quote ``"``;
+      * has >= ``min_words_per_line`` whitespace words;
+      * contains none of ``drop_line_words`` (case-insensitive; the
+        paper drops any line with the word "javascript").
+    Page level: drop the page if fewer than ``min_lines`` kept lines,
+    if any of ``bad_phrases`` occurs (case-insensitive; paper:
+    "lorem ipsum"), or if the page contains a curly brace ``{``.
+    The paper's Wikipedia-citation-marker rule is source-specific and
+    omitted; its bad-words list is pluggable via ``bad_phrases``.
+
+    Returns (id, n_lines, n_kept_lines, ok_lines, ok_no_bad_phrase,
+    ok_no_brace, keep, clean_text) where clean_text re-joins the kept
+    lines with ``\\n``.
+
+    One codegen projection (split / higher-order array filters /
+    regexp), zero shuffle — at scale this fuses into the same scan
+    pass as gopher_rules/quality/lang-id. Exact DuckDB twin in
+    ``__spark_entry__.oracle_sql()['c4_rules']``.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+    def _line_ok(l: Column) -> Column:
+        terminal = (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')
+        )
+        nwords = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+        ok = terminal & (nwords >= F.lit(int(min_words_per_line)))
+        for w in drop_line_words:
+            ok = ok & ~F.lower(l).contains(w.lower())
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    lower_text = F.lower(F.col(text_col))
+    no_bad = F.lit(True)
+    for p in bad_phrases:
+        no_bad = no_bad & ~lower_text.contains(p.lower())
+    no_brace = ~F.col(text_col).contains("{")
+    scored = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        (F.size(kept) >= F.lit(int(min_lines))).alias("ok_lines"),
+        no_bad.alias("ok_no_bad_phrase"),
+        no_brace.alias("ok_no_brace"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    return scored.withColumn(
+        "keep",
+        F.col("ok_lines") & F.col("ok_no_bad_phrase") & F.col("ok_no_brace"),
+    )
