@@ -380,6 +380,33 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.c4_rules(docs.select("doc_id", text2.alias("text")))
 
 
+_BOILER = ("subscribe to our newsletter for daily updates and weekly "
+           "offers today")
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (functions/dedup.py dedup_substrings,
+    min_len=8). The synthetic vocabulary makes natural 8-gram
+    collisions vanishing, so duplicates are injected in-query —
+    identically in the DuckDB twin: every doc_id%5==0 doc gets an
+    11-word shared boilerplate suffix (cross-doc duplication, keeper =
+    doc 0), and every doc_id%13==0 doc re-appends its own first 8
+    words (intra-doc duplication)."""
+    docs = H.load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.lit(" " + _BOILER)).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.concat(F.lit(" "), F.array_join(F.slice(words, 1, 8), " ")))
+        .otherwise(F.lit("")),
+    )
+    return D.dedup_substrings(
+        docs.select("doc_id", text2.alias("text")), min_len=8
+    )
+
+
 def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear classifier scoring with an
     in-query deterministic weights table (w(bucket) = (bucket % 1001)
@@ -1906,9 +1933,68 @@ SELECT doc_id, n_lines,
        CAST(len(kept) AS BIGINT) AS n_kept_lines,
        len(kept) >= 3 AS ok_lines,
        ok_no_bad_phrase, ok_no_brace,
-       array_to_string(kept, chr(10)) AS clean_text,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
        len(kept) >= 3 AND ok_no_bad_phrase AND ok_no_brace AS keep
 FROM scored
+"""
+
+# ExactSubstr dedup: injection CTE mirrors q_dedup_substrings; the
+# pipeline mirrors functions/dedup.py::dedup_substrings (L=8 windows,
+# md5 over the space-joined window, first occurrence = min (doc_id,
+# pos) per hash = ROW_NUMBER 1). DuckDB list_filter lambda indexes are
+# 1-based (Spark's are 0-based), hence the i-1 shifts.
+DEDUP_SUBSTRINGS_SQL = r"""
+WITH w0 AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ow
+  FROM documents),
+inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' subscribe to our newsletter for daily updates'
+                      || ' and weekly offers today' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ' || array_to_string(list_slice(ow, 1, 8), ' ')
+                 ELSE '' END AS text
+  FROM w0),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM inj),
+pos0 AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w) - 8 + 1, 0))) AS pos
+  FROM tok),
+wins AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(w, pos + 1, pos + 8), ' ')) AS h
+  FROM pos0),
+mark AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY h) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins),
+marks AS (
+  SELECT doc_id, list_sort(list(pos)) AS mk, COUNT(*) AS ndw
+  FROM mark WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+joined AS (
+  SELECT t.doc_id, t.w, coalesce(m.mk, []) AS mk,
+         coalesce(m.ndw, 0) AS ndw
+  FROM tok t LEFT JOIN marks m USING (doc_id)),
+kept AS (
+  SELECT doc_id, w, ndw,
+         list_filter(w, (x, i) ->
+           len(list_filter(mk, p -> (i - 1) >= p AND (i - 1) < p + 8)) = 0)
+           AS kw
+  FROM joined)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(ndw AS BIGINT) AS n_dup_windows,
+       CAST(len(w) - len(kw) AS BIGINT) AS n_removed_tokens,
+       coalesce(array_to_string(kw, ' '), '') AS clean_text
+FROM kept
 """
 
 CLASSIFIER_SQL = f"""
@@ -2816,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
+        "dedup_substrings": q_dedup_substrings,
         "ccnet_buckets": q_ccnet_buckets,
         "ngram_ppl_bigram": q_ngram_ppl,
         "decontaminate": q_decontaminate,
@@ -2950,6 +3037,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": DSIR_SAMPLE_SQL,
         "gopher_rules": GOPHER_RULES_SQL,
         "c4_rules": C4_RULES_SQL,
+        "dedup_substrings": DEDUP_SUBSTRINGS_SQL,
         "ccnet_buckets": CCNET_BUCKETS_SQL,
         "ngram_ppl_bigram": NGRAM_PPL_SQL,
         "decontaminate": DECONTAMINATE_SQL,

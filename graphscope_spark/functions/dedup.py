@@ -485,3 +485,96 @@ def remove_boilerplate(
         F.coalesce("lines_kept", F.lit(0)).alias("lines_kept"),
         "lines_orig",
     )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = " ",
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — ExactSubstr): every token
+    span of >= ``min_len`` tokens that occurs more than once anywhere
+    in the corpus is removed from all but its first occurrence, and
+    documents are reassembled from the surviving tokens.
+
+    The paper builds one suffix array over the concatenated corpus —
+    inherently single-machine. This is the distributed re-expression:
+    a duplicated span of length R >= L is exactly a run of R-L+1
+    duplicated length-L windows, so emitting the md5 rolling window
+    hash of EVERY L-token window and grouping on it finds the same
+    spans. First occurrence = lexicographic min (doc_id, pos) per
+    window hash, so the keeper is deterministic and engine-portable
+    (md5 over the delim-joined window exists verbatim in DuckDB).
+
+    Plan shape (the 100 TB story): one explode to ~n_tokens window
+    rows, ONE hash shuffle on the window hash (count + arg-min
+    keeper per hash — partial aggregation applies), one groupBy doc
+    collecting that doc's removed window starts, one join back to the
+    corpus; token removal is a positional higher-order filter inside
+    codegen. Everything is linear in corpus tokens — no suffix array,
+    no global sort.
+
+    Returns (id, n_tokens, n_dup_windows, n_removed_tokens,
+    clean_text).
+    """
+    L = int(min_len)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(words)
+    idx = F.when(n >= L, F.sequence(F.lit(0), n - L)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    wins = (
+        docs.select(
+            F.col(id_col),
+            words.alias("__w"),
+            F.explode(idx).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.array_join(F.slice(F.col("__w"), F.col("pos") + 1, L),
+                               delim)).alias("h"),
+        )
+    )
+    # per-hash: how many occurrences, and which one is first
+    agg = wins.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct(id_col, "pos")).alias("first"),
+    )
+    removed = (
+        wins.join(agg.where(F.col("cnt") > 1), "h")
+        .where(
+            (F.col(id_col) != F.col(f"first.{id_col}"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select(id_col, "pos")
+    )
+    marks = removed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__marks"),
+        F.count("*").alias("n_dup_windows"),
+    )
+    base = docs.select(F.col(id_col), words.alias("__w"))
+    joined = base.join(marks, id_col, "left").select(
+        id_col,
+        "__w",
+        F.coalesce(F.col("__marks"), F.expr("array()").cast("array<int>"))
+        .alias("__marks"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+    )
+    # token i survives iff no removed window [p, p+L) covers it
+    kept = F.filter(
+        F.col("__w"),
+        lambda w, i: ~F.exists(
+            F.col("__marks"), lambda p: (i >= p) & (i < p + L)
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        F.array_join(kept, delim).alias("clean_text"),
+    )
