@@ -743,6 +743,37 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (multimodal.py image_near_dup_pairs):
+    synth BMP corpus + 10 planted one-pixel-perturbed copies (id+10000)
+    re-encoded in-query; dHash + banded segment join must recover every
+    planted pair. Rows-only driver check (pixel decode is not in
+    DuckDB); the planted-recall contract is pinned by the n_planted
+    aggregate row and tests/test_image_dedup.py."""
+    from graphscope_spark.functions.multimodal import (
+        decode_bmp, encode_bmp, image_near_dup_pairs, synth_media,
+    )
+
+    media = synth_media(spark, n=240)
+    imgs = media.where(F.col("kind") == "image").limit(10).collect()
+    dups = []
+    for r in imgs:
+        img = decode_bmp(bytes(r["payload"]))
+        img2 = img.copy()
+        img2[0, 0, 0] = (int(img2[0, 0, 0]) + 5) % 256
+        dups.append((r["media_id"] + 10000, "image",
+                     bytearray(encode_bmp(img2)), r["width"], r["height"],
+                     r["duration_ms"]))
+    allm = media.unionByName(spark.createDataFrame(dups, media.schema))
+    pairs = image_near_dup_pairs(allm, max_hamming=10)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(((F.col("b") - F.col("a")) == 10000).cast("long"))
+        .alias("n_planted"),
+        F.sum("hamming").alias("sum_hamming"),
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal end-to-end (synth media with REAL BMP/WAV payloads →
     # Arrow-batched decode + feature extraction → frame-sample plan);
@@ -2948,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_path_g2_1_2": q_has_path,
         "closeness_g1_landmarks": q_closeness_landmarks,
         "multimodal_features": q_multimodal,
+        "image_near_dup": q_image_near_dup,
         "property_sssp_g1": q_property_sssp,
         "gremlin_hubs_g1": q_gremlin_hubs,
         "gremlin_2hop_g2": q_gremlin_2hop,

@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, width int, height int, "
@@ -272,3 +273,96 @@ def synth_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
             )
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# -- perceptual near-dup (dHash) ------------------------------------------
+
+def dhash64_py(payload: bytes | None) -> int | None:
+    """64-bit difference hash of a BMP payload: 9x8 nearest-neighbor
+    luma grid, bit r*8+c = [luma(r,c) > luma(r,c+1)] — the standard
+    perceptual fingerprint (robust to resize/re-encode, flips few bits
+    under small edits). Non-BMP / corrupt payloads -> None (callers
+    drop undecodable rows; the production swap-in point for JPEG/PNG
+    is the same `_decode_payload` dispatch). Signed int64."""
+    if payload is None:
+        return None
+    try:
+        if bytes(payload[:2]) != b"BM":
+            return None
+        img = decode_bmp(bytes(payload))
+    except Exception:
+        return None
+    f = img.astype(np.float32)
+    luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    grid = resize_nearest(luma[:, :, None], 8, 9)[:, :, 0]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c] > grid[r, c + 1]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@F.pandas_udf(LongType())
+def dhash64(payload: pd.Series) -> pd.Series:
+    """Arrow-batched dHash (pixel decode is not SQL-expressible)."""
+    return payload.map(dhash64_py)
+
+
+def image_dhash(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, dhash) for every decodable image row; payload projected
+    away in the same select so downstream shuffles never carry bytes."""
+    return (
+        media.select(F.col(id_col), dhash64(F.col(payload_col)).alias("dhash"))
+        .where(F.col("dhash").isNotNull())
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    bands: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual image near-dup pairs (a, b, hamming): dHash, banded
+    OR-construction over `bands` equal bit segments (any shared segment
+    -> candidate; pigeonhole guarantees recall for hamming < bands),
+    verified with bit_count(xor) <= max_hamming.
+
+    Scale shape: one Arrow-batched decode pass emitting 8 bytes/row,
+    `bands` rows per image into ONE (band, segment) shuffle — the
+    image-modality sibling of simhash_near_pairs/minhash_lsh_pairs;
+    never an all-pairs join."""
+    bands = int(bands)
+    width = 64 // bands
+    h = image_dhash(media, payload_col, id_col)
+    seg = h.select(
+        F.col(id_col),
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftrightunsigned(F.col("dhash"), k * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("seg"),
+                )
+                for k in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "dhash", "bk.band", "bk.seg")
+    a = seg.select(F.col(id_col).alias("a"), F.col("dhash").alias("ha"),
+                   "band", "seg")
+    b = seg.select(F.col(id_col).alias("b"), F.col("dhash").alias("hb"),
+                   "band", "seg")
+    return (
+        a.join(b, ["band", "seg"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                .alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
