@@ -256,6 +256,16 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(H.g2(spark, sf_dir), k=20)
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-Luby maximal independent set on G2, fixed 3
+    rounds so the DuckDB twin unrolls bit-exactly (undecided vertices
+    carry NULL state; tests/test_mis.py checks run-to-completion
+    independence + maximality)."""
+    from graphscope_spark.algorithms.mis import maximal_independent_set
+
+    return maximal_independent_set(H.g2(spark, sf_dir), fixed_rounds=3)
+
+
 def q_graph_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g1(spark, sf_dir)
     return spark.createDataFrame(
@@ -3011,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_g1": q_node2vec,
         "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
+        "mis_g2_r3": q_mis,
         "anf_nf_g1_r4": q_anf_nf,
         "hyperball_harmonic_g1": q_hyperball_harmonic,
         "anf_balls_g1_r2": q_anf_balls,
@@ -3145,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
+        "mis_g2_r3": H.mis_sql(3),
         "anf_nf_g1_r4": H.anf_nf_sql(4),
         "hyperball_harmonic_g1": H.hyperball_harmonic_sql(6),
         "anf_balls_g1_r2": H.anf_balls_sql(2),

@@ -37,6 +37,7 @@ from graphscope_spark.algorithms.sssp import (
 )
 from graphscope_spark.algorithms.centrality import eigenvector_centrality, katz_centrality
 from graphscope_spark.algorithms.lpa import lpa_u2i
+from graphscope_spark.algorithms.mis import maximal_independent_set
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.paths import is_simple_path
 from graphscope_spark.algorithms.closeness import (
@@ -111,4 +112,5 @@ __all__ = [
     "reciprocity", "overall_reciprocity", "condensation_edges",
     "salsa", "k_truss", "cocitation", "bibliographic_coupling",
     "bipartite_components", "is_bipartite", "two_coloring",
+    "maximal_independent_set",
 ]

@@ -2010,3 +2010,60 @@ SELECT f.vec_id, f.cluster,
        COALESCE(s.max_sim, -1.0) < {float(threshold)} AS keep
 FROM fin f LEFT JOIN sims s ON s.vec_id = f.vec_id"""
     )
+
+
+def mis_sql(rounds: int, edges_sql: str | None = None) -> str:
+    """Unrolled deterministic-Luby MIS (algorithms/mis.py) — fixed
+    ``rounds``; vertices still active after the last round surface
+    with NULL in_mis/round, exactly like the Spark fixed_rounds mode.
+    The round key md5(id || ':' || r) || lpad(id, 20, '0') is the same
+    string both engines build, so the match is bit-exact."""
+    ctes = [
+        f"eraw AS MATERIALIZED ({edges_sql if edges_sql is not None else G2_SQL})",
+        """e AS MATERIALIZED (
+            SELECT src, dst FROM (
+              SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw)
+            WHERE src <> dst)""",
+        "a0 AS MATERIALIZED (SELECT src AS id FROM eraw UNION SELECT dst FROM eraw)",
+    ]
+    parts = []
+    for r in range(1, rounds + 1):
+        prev = f"a{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+              SELECT id, md5(CAST(id AS VARCHAR) || ':{r}')
+                     || lpad(CAST(id AS VARCHAR), 20, '0') AS k
+              FROM {prev})"""
+        )
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+              SELECT e.dst AS id, MIN(p.k) AS nk
+              FROM e JOIN p{r} p ON p.id = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+              SELECT p.id FROM p{r} p LEFT JOIN n{r} n USING (id)
+              WHERE n.nk IS NULL OR p.k < n.nk)"""
+        )
+        ctes.append(
+            f"""x{r} AS MATERIALIZED (
+              SELECT DISTINCT e.dst AS id
+              FROM e JOIN w{r} w ON e.src = w.id
+                     JOIN {prev} a ON a.id = e.dst)"""
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+              SELECT id FROM {prev}
+              EXCEPT (SELECT id FROM w{r} UNION SELECT id FROM x{r}))"""
+        )
+        parts.append(
+            f"SELECT id, TRUE AS in_mis, CAST({r} AS INT) AS round FROM w{r}"
+        )
+        parts.append(
+            f"SELECT id, FALSE AS in_mis, CAST({r} AS INT) AS round FROM x{r}"
+        )
+    parts.append(
+        f"SELECT id, CAST(NULL AS BOOLEAN) AS in_mis,"
+        f" CAST(NULL AS INT) AS round FROM a{rounds}"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
