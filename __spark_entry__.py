@@ -354,6 +354,31 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (functions/bpe.py): 8 merges learned on
+    the documents corpus; output is the ranked merge table, matched
+    bit-exactly (incl. pair counts) by the unrolled DuckDB chain."""
+    from graphscope_spark.functions.bpe import bpe_train
+
+    _, mdf = bpe_train(H.load(spark, sf_dir, "documents"), n_merges=8)
+    return mdf
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 8 learned merges back to the corpus: per-doc token
+    counts and the full space-joined token stream (byte-identical to
+    the oracle's nested-replace re-derivation)."""
+    from graphscope_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = H.load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=8)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id", "n_words", "n_tokens",
+        F.array_join("tokens", " ").alias("token_str"),
+    )
+
+
 def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (functions/text.py c4_rules). The synthetic
     corpus has no newlines or punctuation, so line structure is
@@ -392,6 +417,117 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOILER = ("subscribe to our newsletter for daily updates and weekly "
            "offers today")
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared CTE chain for the BPE oracles: word-frequency table,
+    sentinel-encoded symbol strings (chr(1)-wrapped tokens,
+    chr(1)chr(1) between — token boundaries survive replace()), and
+    per-step (pair counts -> argmax -> greedy rewrite). replace()'s
+    scan-resumes-after-the-replacement rule IS the reference
+    algorithm's greedy left-to-right in-word merge pass (see
+    functions/bpe.py module docstring)."""
+    sep = "chr(1)"
+    sep2 = "chr(1) || chr(1)"
+    ctes = [
+        r"""wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+'),
+                  x -> x <> '')) AS word
+    FROM documents) GROUP BY word)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT freq,
+         {sep} || array_to_string(
+           list_append(list_transform(range(1, length(word) + 1),
+                                      i -> substring(word, i, 1)), '</w>'),
+           {sep2}) || {sep} AS s
+  FROM wf)""",
+    ]
+    for m in range(1, n_merges + 1):
+        prev = f"s{m - 1}"
+        ctes.append(
+            f"""p{m} AS (
+  SELECT a, b, SUM(freq) AS cnt FROM (
+    SELECT freq, toks[i] AS a, toks[i + 1] AS b
+    FROM (SELECT freq,
+                 string_split(substring(s, 2, length(s) - 2), {sep2}) AS toks
+          FROM {prev}),
+         unnest(range(1, len(toks))) AS u(i))
+  GROUP BY a, b)"""
+        )
+        ctes.append(
+            f"""best{m} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{m} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{m} AS MATERIALIZED (
+  SELECT freq,
+         replace(s,
+           {sep} || (SELECT a FROM best{m}) || {sep2}
+                 || (SELECT b FROM best{m}) || {sep},
+           {sep} || (SELECT a FROM best{m})
+                 || (SELECT b FROM best{m}) || {sep}) AS s
+  FROM {prev})"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    parts = [
+        f"SELECT CAST({m} AS INT) AS rank, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM best{m}"
+        for m in range(1, n_merges + 1)
+    ]
+    return _bpe_ctes(n_merges) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Re-derives the merge chain, then applies all n nested replaces
+    to every corpus word and reassembles per-doc token streams."""
+    sep = "chr(1)"
+    sep2 = "chr(1) || chr(1)"
+    expr = (
+        f"{sep} || array_to_string(list_append("
+        "list_transform(range(1, length(w) + 1),"
+        f" i -> substring(w, i, 1)), '</w>'), {sep2}) || {sep}"
+    )
+    # DuckDB lambdas cannot contain subqueries — the merge pairs enter
+    # as cross-joined single-row tables m1..mN referenced as columns.
+    for m in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr},\n  {sep} || m{m}.a || {sep2}"
+            f" || m{m}.b || {sep},\n  {sep} ||"
+            f" m{m}.a || m{m}.b || {sep})"
+        )
+    crosses = " ".join(
+        f"CROSS JOIN best{m} m{m}" for m in range(1, n_merges + 1)
+    )
+    return (
+        _bpe_ctes(n_merges)
+        + f""",
+dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+enc0 AS (
+  SELECT doc_id, len(words) AS n_words,
+         list_transform(words, w -> {expr}) AS wss
+  FROM dw {crosses}),
+enc AS (
+  SELECT doc_id, n_words,
+         list_transform(wss, s ->
+           string_split(substring(s, 2, length(s) - 2), {sep2})) AS wt
+  FROM enc0)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(wt, t -> len(t))), 0)
+            AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(flatten(wt), ' '), '') AS token_str
+FROM enc
+"""
+    )
 
 
 def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2943,6 +3079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "dedup_substrings": q_dedup_substrings,
         "ccnet_buckets": q_ccnet_buckets,
         "ngram_ppl_bigram": q_ngram_ppl,
@@ -3080,6 +3218,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": DSIR_SAMPLE_SQL,
         "gopher_rules": GOPHER_RULES_SQL,
         "c4_rules": C4_RULES_SQL,
+        "bpe_train": _bpe_train_sql(8),
+        "bpe_encode": _bpe_encode_sql(8),
         "dedup_substrings": DEDUP_SUBSTRINGS_SQL,
         "ccnet_buckets": CCNET_BUCKETS_SQL,
         "ngram_ppl_bigram": NGRAM_PPL_SQL,
