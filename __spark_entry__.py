@@ -266,6 +266,16 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(H.g2(spark, sf_dir), fixed_rounds=3)
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones–Plassmann greedy coloring on G2, fixed 4 rounds so the
+    DuckDB twin unrolls bit-exactly (still-uncolored vertices carry
+    NULL state; tests/test_coloring.py checks run-to-completion
+    properness + the Δ+1 bound)."""
+    from graphscope_spark.algorithms.coloring import greedy_color
+
+    return greedy_color(H.g2(spark, sf_dir), fixed_rounds=4)
+
+
 def q_graph_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g1(spark, sf_dir)
     return spark.createDataFrame(
@@ -3160,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
         "mis_g2_r3": q_mis,
+        "coloring_g2_r4": q_coloring,
         "anf_nf_g1_r4": q_anf_nf,
         "hyperball_harmonic_g1": q_hyperball_harmonic,
         "anf_balls_g1_r2": q_anf_balls,
@@ -3297,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
         "mis_g2_r3": H.mis_sql(3),
+        "coloring_g2_r4": H.coloring_sql(4),
         "anf_nf_g1_r4": H.anf_nf_sql(4),
         "hyperball_harmonic_g1": H.hyperball_harmonic_sql(6),
         "anf_balls_g1_r2": H.anf_balls_sql(2),

@@ -149,6 +149,8 @@ def _register_builtins() -> None:
         "property_sssp": A.property_sssp,
         "property_bfs": A.property_bfs,
         "sampling_path": A.sampling_path,
+        "mis": A.maximal_independent_set,
+        "greedy_color": A.greedy_color,
     }.items():
         _REGISTRY.setdefault(name, fn)
 

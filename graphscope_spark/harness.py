@@ -2067,3 +2067,69 @@ def mis_sql(rounds: int, edges_sql: str | None = None) -> str:
         f" CAST(NULL AS INT) AS round FROM a{rounds}"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+def coloring_sql(rounds: int, edges_sql: str | None = None) -> str:
+    """Unrolled Jones–Plassmann greedy coloring
+    (algorithms/coloring.py) — fixed ``rounds``; vertices still
+    uncolored after the last round surface with NULL color/round,
+    exactly like the Spark fixed_rounds mode. The STATIC priority
+    md5(id) || lpad(id, 20, '0') is the same string both engines
+    build; the mex is computed by anti-joining candidate colors
+    0..r-1 (colors assigned in round r are provably ≤ r-1) against
+    the colored-neighbor set, so the match is bit-exact."""
+    ctes = [
+        f"eraw AS MATERIALIZED ({edges_sql if edges_sql is not None else G2_SQL})",
+        """e AS MATERIALIZED (
+            SELECT src, dst FROM (
+              SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw)
+            WHERE src <> dst)""",
+        "a0 AS MATERIALIZED (SELECT src AS id FROM eraw UNION SELECT dst FROM eraw)",
+        """p AS MATERIALIZED (
+            SELECT id, md5(CAST(id AS VARCHAR))
+                   || lpad(CAST(id AS VARCHAR), 20, '0') AS k
+            FROM a0)""",
+        """c0 AS MATERIALIZED (
+            SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color,
+                   CAST(NULL AS INT) AS round WHERE FALSE)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"a{r - 1}"
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+              SELECT e.dst AS id, MIN(p.k) AS nk
+              FROM e JOIN {prev} a ON a.id = e.src
+                     JOIN p ON p.id = e.src
+              GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+              SELECT a.id FROM {prev} a JOIN p USING (id)
+              LEFT JOIN n{r} n USING (id)
+              WHERE n.nk IS NULL OR p.k < n.nk)"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+              SELECT w.id, CAST(MIN(cd.c) AS INT) AS color,
+                     CAST({r} AS INT) AS round
+              FROM w{r} w CROSS JOIN (SELECT unnest(range(0, {r})) AS c) cd
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN c{r - 1} cl ON cl.id = e.src
+                WHERE e.dst = w.id AND cl.color = cd.c)
+              GROUP BY w.id)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+              SELECT * FROM c{r - 1} UNION ALL SELECT * FROM m{r})"""
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+              SELECT id FROM {prev} EXCEPT SELECT id FROM w{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, color, round FROM c{rounds}"
+        + f"\nUNION ALL\nSELECT id, CAST(NULL AS INT), CAST(NULL AS INT)"
+        f" FROM a{rounds}"
+    )
