@@ -276,6 +276,23 @@ def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_color(H.g2(spark, sf_dir), fixed_rounds=4)
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer butterfly counts on the bipartite G1
+    customer→supplier graph (tests/test_butterfly.py pins the motif
+    arithmetic on K2,2/K2,3 and a python twin)."""
+    from graphscope_spark.algorithms.butterfly import butterflies
+
+    return butterflies(H.g1(spark, sf_dir))
+
+
+def q_butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global butterfly count, length-3 path count, and the
+    Robins–Alexander bipartite clustering coefficient on G1."""
+    from graphscope_spark.algorithms.butterfly import butterfly_stats
+
+    return butterfly_stats(H.g1(spark, sf_dir))
+
+
 def q_graph_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g1(spark, sf_dir)
     return spark.createDataFrame(
@@ -3171,6 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers_g1": q_core_numbers,
         "mis_g2_r3": q_mis,
         "coloring_g2_r4": q_coloring,
+        "butterflies_g1": q_butterflies,
+        "butterfly_stats_g1": q_butterfly_stats,
         "anf_nf_g1_r4": q_anf_nf,
         "hyperball_harmonic_g1": q_hyperball_harmonic,
         "anf_balls_g1_r2": q_anf_balls,
@@ -3309,6 +3328,8 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers_g1": H.core_numbers_sql(6),
         "mis_g2_r3": H.mis_sql(3),
         "coloring_g2_r4": H.coloring_sql(4),
+        "butterflies_g1": H.butterflies_sql(),
+        "butterfly_stats_g1": H.butterfly_stats_sql(),
         "anf_nf_g1_r4": H.anf_nf_sql(4),
         "hyperball_harmonic_g1": H.hyperball_harmonic_sql(6),
         "anf_balls_g1_r2": H.anf_balls_sql(2),

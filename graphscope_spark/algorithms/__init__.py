@@ -39,6 +39,10 @@ from graphscope_spark.algorithms.centrality import eigenvector_centrality, katz_
 from graphscope_spark.algorithms.lpa import lpa_u2i
 from graphscope_spark.algorithms.mis import maximal_independent_set
 from graphscope_spark.algorithms.coloring import greedy_color  # noqa: F401
+from graphscope_spark.algorithms.butterfly import (  # noqa: F401
+    butterflies,
+    butterfly_stats,
+)
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.paths import is_simple_path
 from graphscope_spark.algorithms.closeness import (

@@ -2069,6 +2069,62 @@ def mis_sql(rounds: int, edges_sql: str | None = None) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
 
 
+def _butterfly_pairs_cte(edges_sql: str | None) -> list[str]:
+    return [
+        f"""e AS MATERIALIZED (
+            SELECT DISTINCT src, dst
+            FROM ({edges_sql if edges_sql is not None else G1_SQL}))""",
+        """pairs AS MATERIALIZED (
+            SELECT a.src AS u, b.src AS v, COUNT(*) AS w
+            FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)""",
+    ]
+
+
+def butterflies_sql(edges_sql: str | None = None) -> str:
+    """Per-src-vertex butterfly counts (algorithms/butterfly.py) —
+    b(u) = Σ_v C(w_uv, 2) over same-side pairs sharing w ≥ 2
+    neighbors; every src vertex present with 0 default."""
+    ctes = _butterfly_pairs_cte(edges_sql) + [
+        """contrib AS MATERIALIZED (
+            SELECT u AS id, CAST(w * (w - 1) / 2 AS BIGINT) AS b FROM pairs
+            UNION ALL
+            SELECT v, CAST(w * (w - 1) / 2 AS BIGINT) FROM pairs)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT v.id, CAST(COALESCE(SUM(c.b), 0) AS BIGINT) AS butterflies
+        FROM verts v LEFT JOIN contrib c USING (id) GROUP BY v.id"""
+    )
+
+
+def butterfly_stats_sql(edges_sql: str | None = None) -> str:
+    """Global butterfly stats twin: B, L3 (length-3 paths counted at
+    their middle edge) and the Robins–Alexander cc = 4B/L3."""
+    ctes = _butterfly_pairs_cte(edges_sql) + [
+        """b AS MATERIALIZED (
+            SELECT CAST(COALESCE(SUM(CAST(w * (w - 1) / 2 AS BIGINT)), 0)
+                        AS BIGINT) AS n_butterflies FROM pairs)""",
+        "d1 AS MATERIALIZED (SELECT src, COUNT(*) AS du FROM e GROUP BY src)",
+        "d2 AS MATERIALIZED (SELECT dst, COUNT(*) AS dx FROM e GROUP BY dst)",
+        """l3 AS MATERIALIZED (
+            SELECT CAST(COALESCE(SUM(CAST((du - 1) * (dx - 1) AS BIGINT)), 0)
+                        AS BIGINT) AS n_paths3
+            FROM e JOIN d1 USING (src) JOIN d2 USING (dst))""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT n_butterflies, n_paths3,
+               ROUND(CASE WHEN n_paths3 > 0
+                          THEN 4.0 * n_butterflies / n_paths3
+                          ELSE 0.0 END, 6) AS bipartite_cc
+        FROM b, l3"""
+    )
+
+
 def coloring_sql(rounds: int, edges_sql: str | None = None) -> str:
     """Unrolled Jones–Plassmann greedy coloring
     (algorithms/coloring.py) — fixed ``rounds``; vertices still
