@@ -293,6 +293,31 @@ def q_butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return butterfly_stats(H.g1(spark, sf_dir))
 
 
+def q_modularity_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 5-round CDLP assignment on G2 — the
+    standalone quality metric next to louvain's internal halt Q."""
+    from graphscope_spark.algorithms.louvain import modularity
+
+    g = H.g2(spark, sf_dir).build()
+    return modularity(g, cdlp(g, max_round=5))
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of G1 (the Broder WWW'00 fig. 2
+    report)."""
+    from graphscope_spark.algorithms.degree import degree_histogram
+
+    return degree_histogram(H.g1(spark, sf_dir), mode="in")
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset–Shalizi–Newman power-law exponent MLE for G1's
+    in-degree tail (d ≥ 2)."""
+    from graphscope_spark.algorithms.degree import powerlaw_alpha
+
+    return powerlaw_alpha(H.g1(spark, sf_dir), d_min=2, mode="in")
+
+
 def q_graph_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g1(spark, sf_dir)
     return spark.createDataFrame(
@@ -3190,6 +3215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_g2_r4": q_coloring,
         "butterflies_g1": q_butterflies,
         "butterfly_stats_g1": q_butterfly_stats,
+        "modularity_cdlp_g2": q_modularity_cdlp,
+        "degree_histogram_g1": q_degree_histogram,
+        "powerlaw_alpha_g1": q_powerlaw_alpha,
         "anf_nf_g1_r4": q_anf_nf,
         "hyperball_harmonic_g1": q_hyperball_harmonic,
         "anf_balls_g1_r2": q_anf_balls,
@@ -3330,6 +3358,9 @@ def oracle_sql() -> dict[str, str]:
         "coloring_g2_r4": H.coloring_sql(4),
         "butterflies_g1": H.butterflies_sql(),
         "butterfly_stats_g1": H.butterfly_stats_sql(),
+        "modularity_cdlp_g2": H.modularity_sql(H.cdlp_sql(5)),
+        "degree_histogram_g1": H.degree_histogram_sql(),
+        "powerlaw_alpha_g1": H.powerlaw_alpha_sql(),
         "anf_nf_g1_r4": H.anf_nf_sql(4),
         "hyperball_harmonic_g1": H.hyperball_harmonic_sql(6),
         "anf_balls_g1_r2": H.anf_balls_sql(2),

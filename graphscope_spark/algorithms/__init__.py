@@ -11,9 +11,11 @@ from graphscope_spark.algorithms.pagerank import pagerank
 from graphscope_spark.algorithms.wcc import wcc
 from graphscope_spark.algorithms.cdlp import cdlp
 from graphscope_spark.algorithms.triangles import triangles, triangle_count
-from graphscope_spark.algorithms.degree import (
+from graphscope_spark.algorithms.degree import (  # noqa: F401
     degree_centrality,
     degree_assortativity_coefficient,
+    degree_histogram,
+    powerlaw_alpha,
 )
 from graphscope_spark.algorithms.hits import hits
 from graphscope_spark.algorithms.kcore import (
@@ -49,7 +51,7 @@ from graphscope_spark.algorithms.closeness import (
     all_pairs_shortest_path_length,
     closeness_centrality,
 )
-from graphscope_spark.algorithms.louvain import louvain
+from graphscope_spark.algorithms.louvain import louvain, modularity  # noqa: F401
 from graphscope_spark.algorithms.property import property_bfs, property_sssp
 from graphscope_spark.algorithms.walks import node2vec_path, sampling_path
 from graphscope_spark.algorithms.dfs import dfs

@@ -72,3 +72,65 @@ def degree_assortativity_coefficient(
         .collect()[0]
     )
     return float(row["r"]) if row["r"] is not None else float("nan")
+
+
+def _degrees(graph: LinkGraph, mode: str) -> DataFrame:
+    """(id, degree long) — every vertex present, isolated-in-mode
+    vertices carry 0."""
+    if mode == "in":
+        ends = graph.edges.select(F.col(DST).alias(ID))
+    elif mode == "out":
+        ends = graph.edges.select(F.col(SRC).alias(ID))
+    elif mode == "both":
+        ends = graph.edges.select(F.col(SRC).alias(ID)).unionAll(
+            graph.edges.select(F.col(DST).alias(ID))
+        )
+    else:
+        raise ValueError(f"mode must be in/out/both, got {mode!r}")
+    d = ends.groupBy(ID).agg(F.count("*").alias("degree"))
+    return (
+        graph.vertices.select(ID)
+        .join(d, ID, "left")
+        .select(ID, F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+    )
+
+
+def degree_histogram(graph: LinkGraph, mode: str = "in") -> DataFrame:
+    """(degree long, cnt long) — the degree distribution, the first
+    report run on any crawled link graph (Broder WWW'00 fig. 2/3).
+    Two hash aggregates, no window, no collect — the histogram is
+    |distinct degrees| rows regardless of graph size."""
+    return (
+        _degrees(graph, mode)
+        .groupBy("degree")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def powerlaw_alpha(
+    graph: LinkGraph, d_min: int = 2, mode: str = "in"
+) -> DataFrame:
+    """One row (alpha double, n_tail long, d_min long) — the
+    Clauset–Shalizi–Newman discrete-data MLE for the power-law
+    exponent of the ``mode``-degree tail:
+
+        α̂ = 1 + n_tail / Σ_{d_i ≥ d_min} ln(d_i / (d_min − 0.5))
+
+    (SIAM Rev. 51(4) 2009 eq. 3.7 — the continuous approximation
+    recommended there for discrete degrees). Web link graphs are the
+    canonical subject (in-degree α ≈ 2.1, Broder WWW'00 §3). One
+    aggregate over the degree table; α is 6-dp rounded, NULL when the
+    tail is empty or d_min ≤ 1."""
+    if d_min <= 1:
+        raise ValueError("d_min must be ≥ 2 (ln(d/(d_min-0.5)) > 0)")
+    tail = _degrees(graph, mode).where(F.col("degree") >= int(d_min))
+    return tail.agg(
+        F.round(
+            1.0
+            + F.count("*")
+            / F.sum(F.log(F.col("degree") / (d_min - 0.5))),
+            6,
+        ).alias("alpha"),
+        F.count("*").alias("n_tail"),
+        F.lit(int(d_min)).cast("long").alias("d_min"),
+    )

@@ -292,3 +292,84 @@ def louvain(
     if info_out is not None:
         info_out["levels"] = level_info
     return membership.select(ID, F.col("node").alias("community"))
+
+
+def modularity(
+    graph: LinkGraph,
+    communities: DataFrame,
+    label_col: str = "label",
+    weight: str | None = None,
+) -> DataFrame:
+    """Newman modularity of a given assignment — one row
+    (n_communities long, modularity double, 6 dp).
+
+    Q = Σ_C ( intra_C / m2 − (d_C / m2)² ) over the symmetrized
+    simple graph (self-loops excluded; each undirected edge counted
+    in both directions, so m2 = 2m and intra_C counts both rows) —
+    the same aggregated form the reference's Louvain halt evaluates
+    (louvain_app_base.h:220-247); exposed standalone so cdlp / LPA /
+    external assignments can be scored without running Louvain.
+
+    ``communities`` is DataFrame(id, <label_col>); vertices absent
+    from it contribute nothing. With ``weight`` the per-row edge
+    weight replaces the unit count (reversed rows merge per
+    to_undirected's deterministic min convention).
+
+    Plan: two broadcast-size label joins onto the edge fabric, three
+    hash aggregates, m2 rides a 1-row cross join — no collect, no
+    window.
+    """
+    lab = communities.select(ID, F.col(label_col).alias("__c"))
+    if weight is None:
+        e = (
+            graph.undirected_edges()
+            .where(F.col(SRC) != F.col(DST))
+            .withColumn("__w", F.lit(1.0))
+        )
+    else:
+        ew = graph.edges.select(SRC, DST, F.col(weight).alias("__w")).where(
+            F.col(SRC) != F.col(DST)
+        )
+        e = (
+            ew.unionByName(
+                ew.select(
+                    F.col(DST).alias(SRC), F.col(SRC).alias(DST), "__w"
+                )
+            )
+            .groupBy(SRC, DST)
+            .agg(F.min("__w").alias("__w"))
+        )
+    deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.sum("__w").alias("__d"))
+    m2 = e.agg(F.sum("__w").alias("__m2"))
+    dc = (
+        lab.join(deg, ID, "left")
+        .groupBy("__c")
+        .agg(F.sum(F.coalesce("__d", F.lit(0.0))).alias("__dc"))
+    )
+    intra = (
+        e.join(lab.withColumnRenamed(ID, SRC), SRC)
+        .join(
+            lab.select(F.col(ID).alias(DST), F.col("__c").alias("__c2")),
+            DST,
+        )
+        .where(F.col("__c") == F.col("__c2"))
+        .groupBy("__c")
+        .agg(F.sum("__w").alias("__ir"))
+    )
+    q = (
+        dc.join(intra, "__c", "left")
+        .crossJoin(F.broadcast(m2))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.coalesce("__ir", F.lit(0.0)) / F.col("__m2")
+                    - (F.col("__dc") / F.col("__m2")) ** 2
+                ),
+                F.lit(0.0),
+            ).alias("__q")
+        )
+    )
+    n = lab.agg(F.countDistinct("__c").alias("n_communities"))
+    return n.crossJoin(q).select(
+        "n_communities", F.round("__q", 6).alias("modularity")
+    )

@@ -2069,6 +2069,80 @@ def mis_sql(rounds: int, edges_sql: str | None = None) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
 
 
+def modularity_sql(labels_sql: str, edges_sql: str | None = None) -> str:
+    """Newman modularity of the assignment produced by ``labels_sql``
+    (any query yielding (id, label)) over the symmetrized simple
+    graph — twin of algorithms/louvain.modularity (unweighted)."""
+    ctes = [
+        f"lab AS MATERIALIZED ({labels_sql})",
+        f"eraw AS MATERIALIZED ({edges_sql if edges_sql is not None else G2_SQL})",
+        """e AS MATERIALIZED (
+            SELECT src, dst FROM (
+              SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw)
+            WHERE src <> dst)""",
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "m2 AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM e)",
+        """dc AS MATERIALIZED (
+            SELECT l.label, SUM(COALESCE(d.d, 0)) AS dc
+            FROM lab l LEFT JOIN deg d ON d.id = l.id GROUP BY l.label)""",
+        """intra AS MATERIALIZED (
+            SELECT l1.label, CAST(COUNT(*) AS DOUBLE) AS ir
+            FROM e JOIN lab l1 ON l1.id = e.src
+                   JOIN lab l2 ON l2.id = e.dst
+            WHERE l2.label = l1.label GROUP BY l1.label)""",
+        """q AS MATERIALIZED (
+            SELECT COALESCE(SUM(COALESCE(i.ir, 0) / (SELECT m2 FROM m2)
+                   - POW(c.dc / (SELECT m2 FROM m2), 2)), 0) AS q
+            FROM dc c LEFT JOIN intra i ON i.label = c.label)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT (SELECT COUNT(DISTINCT label) FROM lab) AS n_communities,
+               ROUND(q, 6) AS modularity FROM q"""
+    )
+
+
+def _degree_ctes(edges_sql: str | None, mode: str) -> list[str]:
+    ends = {
+        "in": "SELECT dst AS id FROM eraw",
+        "out": "SELECT src AS id FROM eraw",
+        "both": "SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw",
+    }[mode]
+    return [
+        f"eraw AS MATERIALIZED ({edges_sql if edges_sql is not None else G1_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM eraw UNION SELECT dst FROM eraw)",
+        f"""dd AS MATERIALIZED (
+            SELECT id, COUNT(*) AS degree FROM ({ends}) GROUP BY id)""",
+        """degs AS MATERIALIZED (
+            SELECT v.id, CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+            FROM verts v LEFT JOIN dd d USING (id))""",
+    ]
+
+
+def degree_histogram_sql(edges_sql: str | None = None, mode: str = "in") -> str:
+    """Twin of algorithms/degree.degree_histogram."""
+    return (
+        "WITH " + ",\n".join(_degree_ctes(edges_sql, mode))
+        + "\nSELECT degree, COUNT(*) AS cnt FROM degs GROUP BY degree"
+    )
+
+
+def powerlaw_alpha_sql(
+    edges_sql: str | None = None, d_min: int = 2, mode: str = "in"
+) -> str:
+    """Twin of algorithms/degree.powerlaw_alpha (CSN discrete MLE)."""
+    return (
+        "WITH " + ",\n".join(_degree_ctes(edges_sql, mode))
+        + f"""
+        SELECT ROUND(1 + COUNT(*) / SUM(ln(degree / {d_min - 0.5})), 6)
+                 AS alpha,
+               COUNT(*) AS n_tail,
+               CAST({d_min} AS BIGINT) AS d_min
+        FROM degs WHERE degree >= {d_min}"""
+    )
+
+
 def _butterfly_pairs_cte(edges_sql: str | None) -> list[str]:
     return [
         f"""e AS MATERIALIZED (
