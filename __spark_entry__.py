@@ -302,6 +302,14 @@ def q_modularity_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(g, cdlp(g, max_round=5))
 
 
+def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound on undirected G2 (BFS from
+    min id, re-BFS from the farthest min-id vertex)."""
+    from graphscope_spark.algorithms.paths import diameter_double_sweep
+
+    return diameter_double_sweep(H.g2(spark, sf_dir).build())
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree distribution of G1 (the Broder WWW'00 fig. 2
     report)."""
@@ -3216,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_g1": q_butterflies,
         "butterfly_stats_g1": q_butterfly_stats,
         "modularity_cdlp_g2": q_modularity_cdlp,
+        "diameter_g2": q_diameter,
         "degree_histogram_g1": q_degree_histogram,
         "powerlaw_alpha_g1": q_powerlaw_alpha,
         "anf_nf_g1_r4": q_anf_nf,
@@ -3359,6 +3368,7 @@ def oracle_sql() -> dict[str, str]:
         "butterflies_g1": H.butterflies_sql(),
         "butterfly_stats_g1": H.butterfly_stats_sql(),
         "modularity_cdlp_g2": H.modularity_sql(H.cdlp_sql(5)),
+        "diameter_g2": H.diameter_sweep_sql(12),
         "degree_histogram_g1": H.degree_histogram_sql(),
         "powerlaw_alpha_g1": H.powerlaw_alpha_sql(),
         "anf_nf_g1_r4": H.anf_nf_sql(4),

@@ -43,3 +43,36 @@ def is_simple_path(graph: LinkGraph, nodes: list[int]) -> bool:
         )
     matched = hops.join(edges, [SRC, DST], "left_semi").count()
     return matched == len(nodes) - 1
+
+
+def diameter_double_sweep(graph: LinkGraph, start: int | None = None):
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib,
+    JEA 2009 — the standard exact-BFS probe run on web graphs before
+    committing to iFUB/ANF): BFS from ``start`` (default: minimum
+    vertex id — deterministic), hop to the farthest vertex (min-id
+    tiebreak), BFS again; the second eccentricity lower-bounds the
+    true diameter and is exact on trees.
+
+    One row: (start, ecc_start, far, diameter_lb) — over the
+    symmetrized graph, unreachable vertices ignored. Cost: exactly
+    two BFS runs (each one frontier shuffle per level) plus two
+    1-row TakeOrdered reads; no pair-state blowup, unlike APSP.
+    """
+    from graphscope_spark.algorithms.sssp import bfs
+
+    spark = graph.vertices.sparkSession
+    if graph.directed:
+        graph = graph.to_undirected()  # the bound is an undirected notion
+    if start is None:
+        start = graph.vertices.agg(F.min(ID)).collect()[0][0]
+    d1 = bfs(graph, int(start)).where(F.col("depth") >= 0)
+    r1 = (
+        d1.orderBy(F.desc("depth"), F.asc(ID)).limit(1).collect()[0]
+    )
+    far, ecc1 = int(r1[ID]), int(r1["depth"])
+    d2 = bfs(graph, far).where(F.col("depth") >= 0)
+    lb = d2.agg(F.max("depth")).collect()[0][0]
+    return spark.createDataFrame(
+        [(int(start), ecc1, far, int(lb))],
+        "start long, ecc_start long, far long, diameter_lb long",
+    )

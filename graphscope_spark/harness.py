@@ -2069,6 +2069,52 @@ def mis_sql(rounds: int, edges_sql: str | None = None) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
 
 
+def diameter_sweep_sql(rounds: int) -> str:
+    """Twin of algorithms/paths.diameter_double_sweep over undirected
+    G2 — two unrolled BFS chains; the second is seeded by the scalar
+    subquery picking the farthest (max depth, min id) vertex of the
+    first. ``rounds`` must exceed the diameter."""
+    big = "1e17"
+    ctes = [_G2_UND.strip()]
+    for tag, src_expr in (
+        ("a", "(SELECT MIN(id) FROM verts)"),
+        ("b", "(SELECT id FROM fara)"),
+    ):
+        ctes.append(
+            f"""{tag}0 AS MATERIALIZED (SELECT id,
+              CASE WHEN id = {src_expr} THEN 0.0 ELSE 1e18 END AS dist
+              FROM verts)"""
+        )
+        for i in range(rounds):
+            prev, cur = f"{tag}{i}", f"{tag}{i + 1}"
+            ctes.append(
+                f"""{tag}m{i} AS MATERIALIZED (
+                  SELECT e.dst AS id, MIN(p.dist + 1.0) AS cand
+                  FROM und e JOIN {prev} p ON p.id = e.src AND p.dist < {big}
+                  GROUP BY e.dst)"""
+            )
+            ctes.append(
+                f"""{cur} AS MATERIALIZED (
+                  SELECT p.id, LEAST(p.dist, COALESCE(m.cand, 1e18)) AS dist
+                  FROM {prev} p LEFT JOIN {tag}m{i} m ON m.id = p.id)"""
+            )
+        if tag == "a":
+            ctes.append(
+                f"""fara AS MATERIALIZED (
+                  SELECT id, CAST(dist AS BIGINT) AS ecc FROM a{rounds}
+                  WHERE dist < {big}
+                  ORDER BY dist DESC, id ASC LIMIT 1)"""
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT (SELECT MIN(id) FROM verts) AS start,
+       (SELECT ecc FROM fara) AS ecc_start,
+       (SELECT id FROM fara) AS far,
+       CAST(MAX(dist) AS BIGINT) AS diameter_lb
+FROM b{rounds} WHERE dist < {big}"""
+    )
+
+
 def modularity_sql(labels_sql: str, edges_sql: str | None = None) -> str:
     """Newman modularity of the assignment produced by ``labels_sql``
     (any query yielding (id, label)) over the symmetrized simple
