@@ -310,6 +310,48 @@ def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diameter_double_sweep(H.g2(spark, sf_dir).build())
 
 
+def q_annd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NX average_neighbor_degree over undirected G2 (bit-exact
+    integer-sum/count division)."""
+    from graphscope_spark.algorithms.structure import average_neighbor_degree
+
+    return average_neighbor_degree(H.g2(spark, sf_dir))
+
+
+def q_degree_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation function knn(k) (NX
+    average_degree_connectivity) over undirected G2."""
+    from graphscope_spark.algorithms.structure import (
+        average_degree_connectivity,
+    )
+
+    return average_degree_connectivity(H.g2(spark, sf_dir))
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-normalized rich-club coefficient φ(k) over undirected G2
+    (suffix-sum windows over degree histograms only)."""
+    from graphscope_spark.algorithms.structure import rich_club_coefficient
+
+    return rich_club_coefficient(H.g2(spark, sf_dir))
+
+
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex eccentricity over undirected G2w (same pair fabric
+    as apsp_g2)."""
+    from graphscope_spark.algorithms.structure import eccentricity
+
+    return eccentricity(H.g2w(spark, sf_dir).build())
+
+
+def q_graph_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """radius / diameter / |center| / |periphery| over undirected
+    G2w."""
+    from graphscope_spark.algorithms.structure import graph_extremes
+
+    return graph_extremes(H.g2w(spark, sf_dir).build())
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree distribution of G1 (the Broder WWW'00 fig. 2
     report)."""
@@ -3225,6 +3267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_stats_g1": q_butterfly_stats,
         "modularity_cdlp_g2": q_modularity_cdlp,
         "diameter_g2": q_diameter,
+        "annd_g2": q_annd,
+        "degree_connectivity_g2": q_degree_connectivity,
+        "rich_club_g2": q_rich_club,
+        "eccentricity_g2": q_eccentricity,
+        "graph_extremes_g2": q_graph_extremes,
         "degree_histogram_g1": q_degree_histogram,
         "powerlaw_alpha_g1": q_powerlaw_alpha,
         "anf_nf_g1_r4": q_anf_nf,
@@ -3369,6 +3416,11 @@ def oracle_sql() -> dict[str, str]:
         "butterfly_stats_g1": H.butterfly_stats_sql(),
         "modularity_cdlp_g2": H.modularity_sql(H.cdlp_sql(5)),
         "diameter_g2": H.diameter_sweep_sql(12),
+        "annd_g2": H.avg_neighbor_degree_sql(),
+        "degree_connectivity_g2": H.degree_connectivity_sql(),
+        "rich_club_g2": H.rich_club_sql(),
+        "eccentricity_g2": H.eccentricity_sql(12),
+        "graph_extremes_g2": H.graph_extremes_sql(12),
         "degree_histogram_g1": H.degree_histogram_sql(),
         "powerlaw_alpha_g1": H.powerlaw_alpha_sql(),
         "anf_nf_g1_r4": H.anf_nf_sql(4),

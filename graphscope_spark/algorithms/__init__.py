@@ -45,6 +45,14 @@ from graphscope_spark.algorithms.butterfly import (  # noqa: F401
     butterflies,
     butterfly_stats,
 )
+from graphscope_spark.algorithms.structure import (  # noqa: F401
+    average_degree_connectivity,
+    average_neighbor_degree,
+    eccentricity,
+    graph_extremes,
+    rich_club_coefficient,
+)
+from graphscope_spark.algorithms.paths import diameter_double_sweep  # noqa: F401
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.paths import is_simple_path
 from graphscope_spark.algorithms.closeness import (

@@ -1,0 +1,178 @@
+"""Degree-correlation & rich-club structure reports, plus the
+eccentricity family — the remaining "shape of the web graph" metrics
+(Pastor-Satorras & Vespignani PRL'01 degree correlations; Colizza et
+al. Nature Physics'06 rich club; NX eccentricity/radius/center).
+
+Reference parity: the reference exposes eccentricity-family results
+through its NX shim's distance_measures passthrough
+(python/graphscope/nx/); average_degree_connectivity and
+rich_club_coefficient mirror the upstream NX functions the shim
+forwards. All are defined over the symmetrized simple graph.
+
+The 100 TB shapes:
+- average_neighbor_degree: one degree join onto the edge fabric +
+  one hash aggregate.
+- average_degree_connectivity: the same plus one more tiny aggregate
+  keyed by degree (rows = |distinct degrees|, thousands at most).
+- rich_club_coefficient: two histograms (vertex degrees, per-edge
+  min endpoint degree) + suffix-sum windows over those HISTOGRAM
+  tables — windows over |distinct degrees| rows, never over vertices
+  or edges.
+- eccentricity/graph_extremes: per-source max over the same
+  pair-distance fabric as all_pairs_shortest_path_length — true
+  all-pairs below the landmark threshold, landmark-bounded above
+  (inherits closeness.py's guard semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, ID, SRC, LinkGraph
+
+
+def _sym_simple(graph: LinkGraph) -> DataFrame:
+    """Symmetrized distinct self-loop-free rows (each undirected edge
+    twice)."""
+    return graph.undirected_edges().where(F.col(SRC) != F.col(DST))
+
+
+def average_neighbor_degree(graph: LinkGraph) -> DataFrame:
+    """(id, avg_nbr_deg double) — NX average_neighbor_degree over the
+    undirected simple graph; vertices with no simple-graph neighbor
+    carry 0.0 (the NX convention for isolates)."""
+    e = _sym_simple(graph)
+    deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d"))
+    annd = (
+        e.join(deg.select(F.col(ID).alias(DST), F.col("d").alias("nd")), DST)
+        .groupBy(F.col(SRC).alias(ID))
+        # integer sum / integer count: order-independent, bit-exact
+        .agg((F.sum("nd") / F.count("*")).alias("avg_nbr_deg"))
+    )
+    return (
+        graph.vertices.select(ID)
+        .join(annd, ID, "left")
+        .select(ID, F.coalesce("avg_nbr_deg", F.lit(0.0)).alias("avg_nbr_deg"))
+    )
+
+
+def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
+    """(degree long, knn double) — the degree-correlation function
+    knn(k) = mean neighbor degree of degree-k vertices (NX
+    average_degree_connectivity): Σ_{v:d(v)=k} Σ_{u∈N(v)} d(u) /
+    (k·N_k). Rows = |distinct degrees ≥ 1|."""
+    e = _sym_simple(graph)
+    deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d"))
+    joined = (
+        e.join(deg.select(F.col(ID).alias(SRC), F.col("d").alias("ds")), SRC)
+        .join(deg.select(F.col(ID).alias(DST), F.col("d").alias("dt")), DST)
+    )
+    return (
+        joined.groupBy(F.col("ds").cast("long").alias("degree"))
+        # mean neighbor degree over all edge-endpoints of degree-k
+        # vertices: integer sum / integer count — bit-exact
+        .agg((F.sum("dt") / F.count("*")).alias("knn"))
+    )
+
+
+def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
+    """(k long, phi double) — non-normalized rich-club coefficient
+    φ(k) = 2·E_k / (N_k·(N_k−1)) for k = 0..maxdeg−1 where N_k
+    vertices have degree > k and E_k edges join two of them (NX
+    rich_club_coefficient(G, normalized=False)); rows with N_k < 2
+    are omitted (φ undefined). Windows run over degree HISTOGRAMS
+    (|distinct degrees| rows), never the vertex or edge tables."""
+    e = _sym_simple(graph)
+    deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d"))
+    # undirected edge once: src < dst rows of the symmetric fabric
+    once = e.where(F.col(SRC) < F.col(DST))
+    emin = (
+        once.join(deg.select(F.col(ID).alias(SRC), F.col("d").alias("ds")), SRC)
+        .join(deg.select(F.col(ID).alias(DST), F.col("d").alias("dt")), DST)
+        .select(F.least("ds", "dt").alias("md"))
+        .groupBy("md")
+        .agg(F.count("*").alias("me"))
+    )
+    dh = deg.groupBy("d").agg(F.count("*").alias("nd"))
+    maxd = deg.agg(F.max("d").alias("mx"))
+    ks = maxd.select(
+        F.explode(F.sequence(F.lit(0), F.col("mx") - 1)).alias("k")
+    )
+    wk = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    n_gt = dh.select(
+        (F.col("d") - 1).alias("k"),  # N_k for k = d-1 is the cum count ≥ d
+        F.sum("nd").over(wk).alias("n_k"),
+    )
+    we = Window.orderBy(F.desc("md")).rowsBetween(Window.unboundedPreceding, 0)
+    e_gt = emin.select(
+        (F.col("md") - 1).alias("k"),
+        F.sum("me").over(we).alias("e_k"),
+    )
+    # as-of join: for each k, the stats at the smallest threshold ≥ k
+    wfill_n = Window.orderBy("k").rowsBetween(0, Window.unboundedFollowing)
+    joined = (
+        ks.join(n_gt, "k", "left")
+        .join(e_gt, "k", "left")
+        .select(
+            "k",
+            F.first("n_k", ignorenulls=True).over(wfill_n).alias("n_k"),
+            F.first("e_k", ignorenulls=True).over(wfill_n).alias("e_k"),
+        )
+    )
+    return (
+        joined.where(F.coalesce("n_k", F.lit(0)) >= 2)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.round(
+                2.0 * F.coalesce("e_k", F.lit(0))
+                / (F.col("n_k") * (F.col("n_k") - 1)),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+def eccentricity(graph: LinkGraph, **kw) -> DataFrame:
+    """(id, eccentricity double) — max finite shortest-path length
+    from each vertex over the undirected simple graph (NX
+    eccentricity; computed per component, so disconnected inputs get
+    within-component eccentricities instead of NX's raise). Inherits
+    the landmark guard of all_pairs_shortest_path_length above the
+    threshold (sources become landmarks — documented approximation)."""
+    from graphscope_spark.algorithms.closeness import (
+        all_pairs_shortest_path_length,
+    )
+
+    if graph.directed:
+        graph = graph.to_undirected()  # NX eccentricity is undirected
+    pairs = all_pairs_shortest_path_length(graph, **kw)
+    return pairs.groupBy(F.col("source").alias(ID)).agg(
+        F.max("distance").alias("eccentricity")
+    )
+
+
+def graph_extremes(graph: LinkGraph, **kw) -> DataFrame:
+    """One row (radius double, diameter double, n_center long,
+    n_periphery long) — NX radius/diameter/center/periphery sizes
+    from the eccentricity table (largest-component semantics when
+    disconnected: extremes are taken over all per-component
+    eccentricities)."""
+    ecc = eccentricity(graph, **kw)
+    r = ecc.agg(
+        F.min("eccentricity").alias("radius"),
+        F.max("eccentricity").alias("diameter"),
+    )
+    return (
+        ecc.crossJoin(F.broadcast(r))
+        .agg(
+            F.first("radius").alias("radius"),
+            F.first("diameter").alias("diameter"),
+            F.sum(
+                F.when(F.col("eccentricity") == F.col("radius"), 1).otherwise(0)
+            ).cast("long").alias("n_center"),
+            F.sum(
+                F.when(F.col("eccentricity") == F.col("diameter"), 1).otherwise(0)
+            ).cast("long").alias("n_periphery"),
+        )
+    )

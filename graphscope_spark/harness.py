@@ -2069,6 +2069,106 @@ def mis_sql(rounds: int, edges_sql: str | None = None) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
 
 
+_STRUCT_CTES = """eraw AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+    SELECT src, dst FROM (
+      SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw)
+    WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS id FROM eraw UNION SELECT dst FROM eraw),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src)"""
+
+
+def avg_neighbor_degree_sql(edges_sql: str | None = None) -> str:
+    """Twin of algorithms/structure.average_neighbor_degree."""
+    return (
+        "WITH "
+        + _STRUCT_CTES.format(
+            edges_sql=edges_sql if edges_sql is not None else G2_SQL
+        )
+        + """,
+        annd AS MATERIALIZED (
+            SELECT e.src AS id, SUM(dd.d) / COUNT(*) AS avg_nbr_deg
+            FROM e JOIN deg dd ON dd.id = e.dst GROUP BY e.src)
+        SELECT v.id, COALESCE(a.avg_nbr_deg, 0.0) AS avg_nbr_deg
+        FROM verts v LEFT JOIN annd a USING (id)"""
+    )
+
+
+def degree_connectivity_sql(edges_sql: str | None = None) -> str:
+    """Twin of algorithms/structure.average_degree_connectivity."""
+    return (
+        "WITH "
+        + _STRUCT_CTES.format(
+            edges_sql=edges_sql if edges_sql is not None else G2_SQL
+        )
+        + """
+        SELECT CAST(ds.d AS BIGINT) AS degree, SUM(dt.d) / COUNT(*) AS knn
+        FROM e JOIN deg ds ON ds.id = e.src
+               JOIN deg dt ON dt.id = e.dst
+        GROUP BY ds.d"""
+    )
+
+
+def rich_club_sql(edges_sql: str | None = None) -> str:
+    """Twin of algorithms/structure.rich_club_coefficient —
+    suffix-sum windows over the two degree histograms, forward-filled
+    to every k in 0..maxdeg−1 via correlated min-threshold picks."""
+    return (
+        "WITH "
+        + _STRUCT_CTES.format(
+            edges_sql=edges_sql if edges_sql is not None else G2_SQL
+        )
+        + """,
+        emin AS MATERIALIZED (
+            SELECT LEAST(ds.d, dt.d) AS md, COUNT(*) AS me
+            FROM e JOIN deg ds ON ds.id = e.src
+                   JOIN deg dt ON dt.id = e.dst
+            WHERE e.src < e.dst
+            GROUP BY LEAST(ds.d, dt.d)),
+        dh AS MATERIALIZED (SELECT d, COUNT(*) AS nd FROM deg GROUP BY d),
+        n_gt AS MATERIALIZED (
+            SELECT d - 1 AS k, SUM(nd) OVER (ORDER BY d DESC) AS n_k FROM dh),
+        e_gt AS MATERIALIZED (
+            SELECT md - 1 AS k, SUM(me) OVER (ORDER BY md DESC) AS e_k
+            FROM emin),
+        ks AS MATERIALIZED (
+            SELECT unnest(range(0, (SELECT MAX(d) FROM deg))) AS k),
+        filled AS MATERIALIZED (
+            SELECT k.k,
+              (SELECT n.n_k FROM n_gt n WHERE n.k >= k.k
+               ORDER BY n.k LIMIT 1) AS n_k,
+              (SELECT g.e_k FROM e_gt g WHERE g.k >= k.k
+               ORDER BY g.k LIMIT 1) AS e_k
+            FROM ks k)
+        SELECT CAST(k AS BIGINT) AS k,
+               ROUND(2.0 * COALESCE(e_k, 0) / (n_k * (n_k - 1)), 6) AS phi
+        FROM filled WHERE COALESCE(n_k, 0) >= 2"""
+    )
+
+
+def eccentricity_sql(rounds: int) -> str:
+    """Twin of algorithms/structure.eccentricity over undirected G2
+    (per-component max finite pair distance per source)."""
+    return f"""{_pair_bfs_ctes(rounds)}
+SELECT s AS id, MAX(dist) AS eccentricity
+FROM p{rounds} WHERE dist < 1e17 GROUP BY s
+"""
+
+
+def graph_extremes_sql(rounds: int) -> str:
+    """Twin of algorithms/structure.graph_extremes."""
+    return f"""{_pair_bfs_ctes(rounds)},
+ecc AS MATERIALIZED (
+    SELECT s AS id, MAX(dist) AS ecc
+    FROM p{rounds} WHERE dist < 1e17 GROUP BY s)
+SELECT MIN(ecc) AS radius, MAX(ecc) AS diameter,
+       CAST(SUM(CASE WHEN ecc = (SELECT MIN(ecc) FROM ecc)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_center,
+       CAST(SUM(CASE WHEN ecc = (SELECT MAX(ecc) FROM ecc)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_periphery
+FROM ecc"""
+
+
 def diameter_sweep_sql(rounds: int) -> str:
     """Twin of algorithms/paths.diameter_double_sweep over undirected
     G2 — two unrolled BFS chains; the second is seeded by the scalar
