@@ -54,6 +54,9 @@ __all__ = [
     "empty_graph", "path_graph", "cycle_graph", "complete_graph",
     "star_graph", "gnp_random_graph",
     "betweenness_centrality", "harmonic_centrality",
+    "eccentricity", "radius", "diameter", "center", "periphery",
+    "average_neighbor_degree", "rich_club_coefficient", "greedy_color",
+    "modularity",
     # generators (continued)
     "complete_bipartite_graph", "barbell_graph", "balanced_tree",
     # readwrite (nx/readwrite/edgelist.py, adjlist.py)
@@ -1288,3 +1291,115 @@ def read_graphml(path: str, node_type=str) -> "Graph":
             G.add_edge(node_type(el.get("source")),
                        node_type(el.get("target")), **datas(el))
     return G
+
+
+# ---------------------------------------------------------------------------
+# distance measures / degree correlations / coloring / community quality
+# (upstream networkx/algorithms/{distance_measures,assortativity,coloring,
+# community/quality}.py signatures)
+# ---------------------------------------------------------------------------
+def _ecc_connected(G: Graph) -> dict:
+    """Eccentricity dict; raises like NX when the graph is
+    disconnected (infinite path lengths)."""
+    comps = list(connected_components(G))
+    if len(comps) > 1:
+        raise ValueError(
+            "Found infinite path length because the graph is not connected"
+        )
+    from graphscope_spark.algorithms.structure import eccentricity as _e
+
+    return _to_dict(G, _e(G._flush()), "eccentricity")
+
+
+def eccentricity(G: Graph, v: Hashable | None = None):
+    """networkx/algorithms/distance_measures.py::eccentricity —
+    {node: ecc} (ints for unit weights), or the scalar for ``v``."""
+    d = {k: int(x) for k, x in _ecc_connected(G).items()}
+    return d if v is None else d[v]
+
+
+def radius(G: Graph) -> int:
+    return min(eccentricity(G).values())
+
+
+def diameter(G: Graph) -> int:
+    return max(eccentricity(G).values())
+
+
+def center(G: Graph) -> list:
+    e = eccentricity(G)
+    r = min(e.values())
+    return [v for v, x in e.items() if x == r]
+
+
+def periphery(G: Graph) -> list:
+    e = eccentricity(G)
+    d = max(e.values())
+    return [v for v, x in e.items() if x == d]
+
+
+def average_neighbor_degree(G: Graph) -> dict:
+    """networkx/algorithms/assortativity/neighbor_degree.py (undirected
+    unweighted form)."""
+    from graphscope_spark.algorithms.structure import (
+        average_neighbor_degree as _annd,
+    )
+
+    return _to_dict(G, _annd(G._flush()), "avg_nbr_deg")
+
+
+def rich_club_coefficient(G: Graph, normalized: bool = False) -> dict:
+    """networkx/algorithms/richclub.py — non-normalized only (the
+    normalized variant needs degree-preserving rewiring, a sequential
+    randomized process out of scope; pass normalized=False)."""
+    if normalized:
+        raise NotImplementedError(
+            "rich_club_coefficient(normalized=True) requires random "
+            "rewiring; only normalized=False is supported"
+        )
+    from graphscope_spark.algorithms.structure import (
+        rich_club_coefficient as _rc,
+    )
+
+    return {
+        int(r["k"]): r["phi"] for r in _rc(G._flush()).collect()
+    }
+
+
+def greedy_color(G: Graph, strategy: str = "jones_plassmann") -> dict:
+    """networkx/algorithms/coloring/greedy_coloring.py signature —
+    {node: color}, always a proper coloring with ≤ Δ+1 colors.
+    DEVIATION: NX's sequential strategies (largest_first, …) are
+    inherently ordered; the distributed engine runs Jones–Plassmann
+    (deterministic md5 priorities), so color VALUES differ from NX
+    while properness and the Δ+1 bound hold."""
+    if strategy != "jones_plassmann":
+        raise NotImplementedError(
+            "only the distributed 'jones_plassmann' strategy is supported"
+        )
+    from graphscope_spark.algorithms.coloring import greedy_color as _gc
+
+    return _to_dict(G, _gc(G._flush()).select(ID, "color"), "color")
+
+
+def modularity(G: Graph, communities, weight: str | None = "weight") -> float:
+    """networkx/algorithms/community/quality.py::modularity — Q of an
+    iterable of node sets."""
+    from graphscope_spark.algorithms.louvain import modularity as _q
+
+    if G.is_directed():
+        raise NotImplementedError(
+            "modularity for DiGraph (in/out-degree form) is not supported; "
+            "convert with .to_undirected()"
+        )
+    rows = [
+        (G._id_of[n] if G._base_lg is None else int(n), ci)
+        for ci, c in enumerate(communities)
+        for n in c
+    ]
+    lab = G._session().createDataFrame(rows, f"{ID} long, label long")
+    wc = _weight_col(G, weight)
+    lg = G._flush(weight)
+    has_w = wc is not None and wc in lg.edges.columns
+    row = _q(lg, lab, weight=wc if has_w else None).collect()[0]
+    return float(row["modularity"])
