@@ -310,6 +310,24 @@ def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diameter_double_sweep(H.g2(spark, sf_dir).build())
 
 
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Borůvka MSF edges on weighted G2W, fixed 2
+    rounds so the DuckDB twin unrolls bit-exactly (the partial forest
+    is a subset of the full one; tests/test_msf.py checks the full
+    run vs networkx)."""
+    from graphscope_spark.algorithms.msf import boruvka_msf
+
+    return boruvka_msf(H.g2w(spark, sf_dir), fixed_rounds=2)
+
+
+def q_msf_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-forest edge count + total weight on G2W (8 unrolled twin
+    rounds ≥ ⌈log2 |V|⌉ cover the run-to-convergence result)."""
+    from graphscope_spark.algorithms.msf import msf_weight
+
+    return msf_weight(H.g2w(spark, sf_dir))
+
+
 def q_annd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NX average_neighbor_degree over undirected G2 (bit-exact
     integer-sum/count division)."""
@@ -3267,6 +3285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_stats_g1": q_butterfly_stats,
         "modularity_cdlp_g2": q_modularity_cdlp,
         "diameter_g2": q_diameter,
+        "msf_g2w_r2": q_msf,
+        "msf_weight_g2w": q_msf_weight,
         "annd_g2": q_annd,
         "degree_connectivity_g2": q_degree_connectivity,
         "rich_club_g2": q_rich_club,
@@ -3416,6 +3436,13 @@ def oracle_sql() -> dict[str, str]:
         "butterfly_stats_g1": H.butterfly_stats_sql(),
         "modularity_cdlp_g2": H.modularity_sql(H.cdlp_sql(5)),
         "diameter_g2": H.diameter_sweep_sql(12),
+        "msf_g2w_r2": H.boruvka_sql(2),
+        "msf_weight_g2w": (
+            "SELECT COUNT(*) AS n_edges,"
+            " ROUND(COALESCE(SUM(w), 0), 6) AS total_weight FROM ("
+            + H.boruvka_sql(8)
+            + ")"
+        ),
         "annd_g2": H.avg_neighbor_degree_sql(),
         "degree_connectivity_g2": H.degree_connectivity_sql(),
         "rich_club_g2": H.rich_club_sql(),

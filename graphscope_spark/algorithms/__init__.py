@@ -53,6 +53,7 @@ from graphscope_spark.algorithms.structure import (  # noqa: F401
     rich_club_coefficient,
 )
 from graphscope_spark.algorithms.paths import diameter_double_sweep  # noqa: F401
+from graphscope_spark.algorithms.msf import boruvka_msf, msf_weight  # noqa: F401
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.paths import is_simple_path
 from graphscope_spark.algorithms.closeness import (

@@ -2215,6 +2215,73 @@ FROM b{rounds} WHERE dist < {big}"""
     )
 
 
+def boruvka_sql(rounds: int, edges_sql: str | None = None) -> str:
+    """Unrolled deterministic Borůvka MSF (algorithms/msf.py) over
+    weighted G2W — per round: struct-MIN pick keyed by component
+    ((w,u,v) total order, cu/cv riding along), recursive-CTE
+    min-label closure over the contracted component graph. With
+    ``rounds`` ≥ ⌈log2 |V|⌉ the union of per-round picks IS the full
+    forest (later rounds choose nothing)."""
+    ctes = [
+        f"eraw AS MATERIALIZED ({edges_sql if edges_sql is not None else G2W_SQL})",
+        """eu AS MATERIALIZED (
+            SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, MIN(w) AS w
+            FROM eraw WHERE src <> dst GROUP BY 1, 2)""",
+        "verts AS MATERIALIZED (SELECT src AS id FROM eraw UNION SELECT dst FROM eraw)",
+        "c0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)",
+    ]
+    struct = "{'w': w, 'u': u, 'v': v, 'cu': cu, 'cv': cv}"
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        ctes.append(
+            f"""x{r} AS MATERIALIZED (
+              SELECT a.comp AS cu, b.comp AS cv, e.w, e.u, e.v
+              FROM eu e JOIN {prev} a ON a.id = e.u
+                        JOIN {prev} b ON b.id = e.v
+              WHERE a.comp <> b.comp)"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+              SELECT c, MIN(s) AS s FROM (
+                SELECT cu AS c, {struct} AS s FROM x{r}
+                UNION ALL
+                SELECT cv, {struct} FROM x{r}) GROUP BY c)"""
+        )
+        ctes.append(
+            f"""ch{r} AS MATERIALIZED (
+              SELECT DISTINCT s['u'] AS u, s['v'] AS v, s['w'] AS w,
+                     s['cu'] AS cu, s['cv'] AS cv FROM p{r})"""
+        )
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+              SELECT cu AS a, cv AS b FROM ch{r}
+              UNION SELECT cv, cu FROM ch{r})"""
+        )
+        ctes.append(
+            f"""cc{r} AS (
+              SELECT comp AS node, comp AS lbl
+              FROM (SELECT DISTINCT comp FROM {prev})
+              UNION
+              SELECT g.b, c.lbl FROM cc{r} c JOIN g{r} g ON g.a = c.node)"""
+        )
+        ctes.append(
+            f"""rl{r} AS MATERIALIZED (
+              SELECT node, MIN(lbl) AS lbl FROM cc{r} GROUP BY node)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+              SELECT c.id, r.lbl AS comp
+              FROM {prev} c JOIN rl{r} r ON r.node = c.comp)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT u, v, w FROM ch{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"\nSELECT u AS src, v AS dst, w FROM ({union})"
+    )
+
+
 def modularity_sql(labels_sql: str, edges_sql: str | None = None) -> str:
     """Newman modularity of the assignment produced by ``labels_sql``
     (any query yielding (id, label)) over the symmetrized simple
