@@ -29,6 +29,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, LinkGraph
+from graphscope_spark.superstep import _CKPT_LEVEL
+
+
+def _distinct_edges(graph: LinkGraph) -> DataFrame:
+    """Distinct (src, dst), materialized once — read by the pair join
+    AND the vertex/degree branches (re-derived per branch otherwise,
+    the dsir/robots audit finding)."""
+    return (
+        graph.edges.select(SRC, DST)
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
 
 
 def _pairs(edges: DataFrame, side: str, max_fanout: int | None) -> DataFrame:
@@ -63,7 +75,8 @@ def butterflies(
     ``side`` vertex present (0 when in no butterfly). Each butterfly
     is counted once per endpoint, i.e. twice per side across the
     column's sum (global B = Σ b(u) / 2)."""
-    pairs = _pairs(graph.edges.select(SRC, DST).distinct(), side, max_fanout)
+    edges = _distinct_edges(graph)
+    pairs = _pairs(edges, side, max_fanout)
     per_pair = pairs.select(
         "u", "v",
         (F.col("w") * (F.col("w") - 1) / 2).cast("long").alias("b"),
@@ -71,7 +84,7 @@ def butterflies(
     contrib = per_pair.select(F.col("u").alias("id"), "b").unionAll(
         per_pair.select(F.col("v").alias("id"), "b")
     )
-    verts = graph.edges.select(F.col(side).alias("id")).distinct()
+    verts = edges.select(F.col(side).alias("id")).distinct()
     return (
         verts.join(contrib.groupBy("id").agg(F.sum("b").alias("b")), "id", "left")
         .select("id", F.coalesce("b", F.lit(0)).cast("long").alias("butterflies"))
@@ -88,7 +101,7 @@ def butterfly_stats(
     length 3 counted once each at their middle edge
     (Σ_(u,x)∈E (d(u)−1)(d(x)−1)), Robins–Alexander cc = 4B/L3
     (rounded to 6 dp; 0 when L3 = 0)."""
-    edges = graph.edges.select(SRC, DST).distinct()
+    edges = _distinct_edges(graph)
     pairs = _pairs(edges, side, max_fanout)
     b = (
         pairs.agg(

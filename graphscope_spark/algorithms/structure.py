@@ -30,12 +30,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, ID, SRC, LinkGraph
+from graphscope_spark.superstep import _CKPT_LEVEL
 
 
 def _sym_simple(graph: LinkGraph) -> DataFrame:
     """Symmetrized distinct self-loop-free rows (each undirected edge
-    twice)."""
-    return graph.undirected_edges().where(F.col(SRC) != F.col(DST))
+    twice), materialized once — every function below reads it in ≥ 2
+    branches (pairs + degrees), and without the checkpoint Catalyst
+    re-derives the whole fabric subtree per branch (the dsir/robots
+    audit finding, BENCH/PLANS.md)."""
+    return (
+        graph.undirected_edges()
+        .where(F.col(SRC) != F.col(DST))
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
 
 
 def average_neighbor_degree(graph: LinkGraph) -> DataFrame:
@@ -63,7 +71,11 @@ def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
     average_degree_connectivity): Σ_{v:d(v)=k} Σ_{u∈N(v)} d(u) /
     (k·N_k). Rows = |distinct degrees ≥ 1|."""
     e = _sym_simple(graph)
-    deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d"))
+    deg = (
+        e.groupBy(F.col(SRC).alias(ID))
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
     joined = (
         e.join(deg.select(F.col(ID).alias(SRC), F.col("d").alias("ds")), SRC)
         .join(deg.select(F.col(ID).alias(DST), F.col("d").alias("dt")), DST)
@@ -84,7 +96,11 @@ def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
     are omitted (φ undefined). Windows run over degree HISTOGRAMS
     (|distinct degrees| rows), never the vertex or edge tables."""
     e = _sym_simple(graph)
-    deg = e.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d"))
+    deg = (
+        e.groupBy(F.col(SRC).alias(ID))
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
     # undirected edge once: src < dst rows of the symmetric fabric
     once = e.where(F.col(SRC) < F.col(DST))
     emin = (
