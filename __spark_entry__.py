@@ -328,6 +328,14 @@ def q_msf_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msf_weight(H.g2w(spark, sf_dir))
 
 
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clusters of G2W at distance 1.5 (MSF cut —
+    Gower & Ross equivalence; forest is the only pair state)."""
+    from graphscope_spark.algorithms.msf import single_linkage
+
+    return single_linkage(H.g2w(spark, sf_dir), threshold=1.5)
+
+
 def q_annd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NX average_neighbor_degree over undirected G2 (bit-exact
     integer-sum/count division)."""
@@ -3287,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_g2": q_diameter,
         "msf_g2w_r2": q_msf,
         "msf_weight_g2w": q_msf_weight,
+        "single_linkage_g2w": q_single_linkage,
         "annd_g2": q_annd,
         "degree_connectivity_g2": q_degree_connectivity,
         "rich_club_g2": q_rich_club,
@@ -3437,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity_cdlp_g2": H.modularity_sql(H.cdlp_sql(5)),
         "diameter_g2": H.diameter_sweep_sql(12),
         "msf_g2w_r2": H.boruvka_sql(2),
+        "single_linkage_g2w": H.single_linkage_sql(1.5, 8),
         "msf_weight_g2w": (
             "SELECT COUNT(*) AS n_edges,"
             " ROUND(COALESCE(SUM(w), 0), 6) AS total_weight FROM ("

@@ -130,3 +130,34 @@ def msf_weight(graph: LinkGraph, weight_col: str = "w", **kw) -> DataFrame:
         F.count("*").alias("n_edges"),
         F.round(F.coalesce(F.sum("w"), F.lit(0.0)), 6).alias("total_weight"),
     )
+
+
+def single_linkage(
+    graph: LinkGraph,
+    threshold: float,
+    weight_col: str = "w",
+    **kw,
+) -> DataFrame:
+    """Single-linkage clustering at distance ``threshold`` —
+    (id, cluster long), cluster = MIN member id: the components of
+    the MSF after cutting edges with w > threshold (the classic
+    equivalence: single-linkage dendrogram = MSF; Gower & Ross 1969).
+    The at-scale sibling of fuzzy_dedup's verified-pair WCC — but
+    over a WEIGHTED similarity/distance graph, with the forest (≤
+    |V|−1 edges) as the only pair state ever materialized.
+
+    Plan: boruvka_msf (O(log n) rounds), a codegen filter, then
+    hash-min WCC over forest edges only.
+    """
+    from graphscope_spark.algorithms.wcc import wcc
+
+    forest = boruvka_msf(graph, weight_col, **kw)
+    kept = forest.where(F.col("w") <= float(threshold)).select(SRC, DST)
+    lg = LinkGraph(
+        vertices=graph.vertices.select(ID),
+        edges=kept,
+        directed=False,
+    )
+    return wcc(lg, two_phase=False).select(
+        ID, F.col("comp").alias("cluster")
+    )

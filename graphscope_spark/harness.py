@@ -2222,6 +2222,41 @@ def boruvka_sql(rounds: int, edges_sql: str | None = None) -> str:
     min-label closure over the contracted component graph. With
     ``rounds`` ≥ ⌈log2 |V|⌉ the union of per-round picks IS the full
     forest (later rounds choose nothing)."""
+    ctes, union = _boruvka_ctes(rounds, edges_sql)
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"\nSELECT u AS src, v AS dst, w FROM ({union})"
+    )
+
+
+def single_linkage_sql(
+    threshold: float, rounds: int, edges_sql: str | None = None
+) -> str:
+    """Twin of algorithms/msf.single_linkage: components (min-label,
+    recursive closure) of the ``rounds``-round Borůvka forest after
+    cutting edges with w > threshold."""
+    ctes, union = _boruvka_ctes(rounds, edges_sql)
+    ctes.append(f"forest AS MATERIALIZED ({union})")
+    ctes.append(
+        f"""kept AS MATERIALIZED (
+          SELECT u AS a, v AS b FROM forest WHERE w <= {threshold}
+          UNION SELECT v, u FROM forest WHERE w <= {threshold})"""
+    )
+    ctes.append(
+        """cl AS (
+          SELECT id AS node, id AS lbl FROM verts
+          UNION
+          SELECT k.b, c.lbl FROM cl c JOIN kept k ON k.a = c.node)"""
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + "\nSELECT node AS id, MIN(lbl) AS cluster FROM cl GROUP BY node"
+    )
+
+
+def _boruvka_ctes(
+    rounds: int, edges_sql: str | None = None
+) -> tuple[list[str], str]:
     ctes = [
         f"eraw AS MATERIALIZED ({edges_sql if edges_sql is not None else G2W_SQL})",
         """eu AS MATERIALIZED (
@@ -2276,10 +2311,7 @@ def boruvka_sql(rounds: int, edges_sql: str | None = None) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT u, v, w FROM ch{r}" for r in range(1, rounds + 1)
     )
-    return (
-        "WITH RECURSIVE " + ",\n".join(ctes)
-        + f"\nSELECT u AS src, v AS dst, w FROM ({union})"
-    )
+    return ctes, union
 
 
 def modularity_sql(labels_sql: str, edges_sql: str | None = None) -> str:

@@ -132,3 +132,42 @@ def test_parallel_and_self_edges(spark):
     ).build()
     got = {(r["src"], r["dst"], r["w"]) for r in boruvka_msf(g).collect()}
     assert got == {(1, 2, 3.0), (2, 3, 4.0)}
+
+
+def test_single_linkage_vs_scipy_semantics(spark):
+    """Single-linkage clusters at threshold t = connected components
+    of the w<=t subgraph (exact equivalence via the MSF)."""
+    from graphscope_spark.algorithms.msf import single_linkage
+
+    es = _edges()
+    g = LinkGraph.from_edges(
+        spark.createDataFrame(es, "src long, dst long, w double"),
+        directed=True,
+    ).build()
+    t = 6.0
+    got = {r["id"]: r["cluster"] for r in single_linkage(g, t).collect()}
+    G = nx.Graph()
+    G.add_nodes_from({v for a, b, _ in es for v in (a, b)})
+    for u, v, w in es:
+        if w <= t and u != v:
+            G.add_edge(u, v)
+    for comp in nx.connected_components(G):
+        m = min(comp)
+        for v in comp:
+            assert got[v] == m, (v, comp)
+
+
+def test_single_linkage_extremes(spark):
+    from graphscope_spark.algorithms.msf import single_linkage
+
+    es = [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 9.0)]
+    g = LinkGraph.from_edges(
+        spark.createDataFrame(es, "src long, dst long, w double"),
+        directed=True,
+    ).build()
+    # t below all weights: singletons
+    got = {r["id"]: r["cluster"] for r in single_linkage(g, 0.5).collect()}
+    assert got == {v: v for v in range(4)}
+    # t above all weights: one cluster
+    got = {r["id"]: r["cluster"] for r in single_linkage(g, 10.0).collect()}
+    assert got == {v: 0 for v in range(4)}
