@@ -53,7 +53,11 @@ from graphscope_spark.algorithms.structure import (  # noqa: F401
     rich_club_coefficient,
 )
 from graphscope_spark.algorithms.paths import diameter_double_sweep  # noqa: F401
-from graphscope_spark.algorithms.msf import boruvka_msf, msf_weight  # noqa: F401
+from graphscope_spark.algorithms.msf import (  # noqa: F401
+    boruvka_msf,
+    msf_weight,
+    single_linkage,
+)
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.paths import is_simple_path
 from graphscope_spark.algorithms.closeness import (
@@ -129,4 +133,9 @@ __all__ = [
     "salsa", "k_truss", "cocitation", "bibliographic_coupling",
     "bipartite_components", "is_bipartite", "two_coloring",
     "maximal_independent_set",
+    "greedy_color", "butterflies", "butterfly_stats", "modularity",
+    "degree_histogram", "powerlaw_alpha", "diameter_double_sweep",
+    "average_neighbor_degree", "average_degree_connectivity",
+    "rich_club_coefficient", "eccentricity", "graph_extremes",
+    "boruvka_msf", "msf_weight", "single_linkage",
 ]

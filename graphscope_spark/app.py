@@ -151,6 +151,12 @@ def _register_builtins() -> None:
         "sampling_path": A.sampling_path,
         "mis": A.maximal_independent_set,
         "greedy_color": A.greedy_color,
+        "msf": A.boruvka_msf,
+        "single_linkage": A.single_linkage,
+        "butterflies": A.butterflies,
+        "modularity": A.modularity,
+        "degree_histogram": A.degree_histogram,
+        "eccentricity": A.eccentricity,
     }.items():
         _REGISTRY.setdefault(name, fn)
 
