@@ -811,11 +811,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index (term → sorted posting list) with a df band
-    filter; one explode + distinct + one hash aggregate."""
+    filter; one explode + distinct + one hash aggregate.  The library
+    API returns a real array<long> postings column; the driver-facing
+    query stringifies it (array_join) because the driver's pandas
+    canonicalizer cannot hash list cells."""
     from graphscope_spark.functions import ranking as R
 
-    return R.inverted_index(H.load(spark, sf_dir, "documents"),
-                            min_df=2, max_df=450)
+    idx = R.inverted_index(H.load(spark, sf_dir, "documents"),
+                           min_df=2, max_df=450)
+    return idx.select(
+        "term", "df",
+        F.array_join("postings", ",").alias("postings"))
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,13 +1552,16 @@ def q_gremlin_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g.V().group().by().by(__.out().id_().fold()) on G1 — per-vertex
     sorted out-neighbor list (GIE group().by().by(), rst:320-330):
     prefix sub-plan + ONE hash-aggregate on the key, empty keys kept
-    as [] (Gremlin fold-of-empty)."""
+    as [] (Gremlin fold-of-empty). The driver-facing query stringifies
+    the fold (array_join) — the driver's pandas canonicalizer cannot
+    hash list cells; the traversal API itself returns real arrays."""
     from graphscope_spark.traversal import __, traversal
 
     g = H.g1(spark, sf_dir).build()
     t = traversal(g)
     return (t.V().group().by().by(__.out().id_().fold()).toDF()
-            .select(F.col("key").alias("id"), F.col("val").alias("succ")))
+            .select(F.col("key").alias("id"),
+                    F.array_join(F.col("val"), ",").alias("succ")))
 
 
 def q_gremlin_until(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2124,7 +2133,8 @@ WITH dt AS (
     SELECT doc_id, unnest({_RANK_TERMS}) AS term FROM documents)),
 idx AS (
   SELECT term, COUNT(*) AS df,
-         list(doc_id ORDER BY doc_id) AS postings
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
   FROM dt GROUP BY term)
 SELECT term, df, postings FROM idx WHERE df BETWEEN 2 AND 450
 """
@@ -2789,8 +2799,10 @@ SELECT dst AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY dst
 GREMLIN_GROUP_SQL = f"""
 WITH e AS MATERIALIZED ({H.G1_SQL}),
 verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
-folded AS (SELECT src AS id, LIST(dst ORDER BY dst) AS succ FROM e GROUP BY src)
-SELECT v.id, COALESCE(f.succ, CAST([] AS BIGINT[])) AS succ
+folded AS (SELECT src AS id,
+           string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succ
+           FROM e GROUP BY src)
+SELECT v.id, COALESCE(f.succ, '') AS succ
 FROM verts v LEFT JOIN folded f ON f.id = v.id
 """
 
