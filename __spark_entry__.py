@@ -1391,6 +1391,18 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("id", F.round("centrality", 6).alias("centrality"))
 
 
+def q_betweenness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (all-sources) WEIGHTED betweenness over the weighted
+    supplier co-occurrence graph G2W (networkx weight= semantics):
+    multi-source Bellman-Ford distances → shortest-path DAG → hop
+    levels → sigma sweep → backward dependency accumulation. The
+    DuckDB twin unrolls the same three fixpoints with poison-row
+    non-convergence guards (harness.betweenness_w_sql)."""
+    g = H.g2w(spark, sf_dir).build()
+    b = betweenness_centrality(g, weight_col="w", normalized=True)
+    return b.select("id", F.round("centrality", 6).alias("centrality"))
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """networkx harmonic_centrality (sum of reciprocal shortest-path
     distances) over undirected G1, landmark sources {id % 97 == 1}."""
@@ -3260,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_g2": q_closeness,
         "apsp_g2": q_apsp,
         "betweenness_g1_s97": q_betweenness,
+        "betweenness_w_g2w": q_betweenness_weighted,
         "harmonic_g1_s97": q_harmonic,
         "louvain_g2w_l1_i2": q_louvain,
         "sssp_path_g2w_src1": q_sssp_path,
@@ -3414,6 +3427,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_g2": H.closeness_sql(12),
         "apsp_g2": H.apsp_sql(12),
         "betweenness_g1_s97": H.betweenness_sql(14),
+        "betweenness_w_g2w": H.betweenness_w_sql(6),
         "harmonic_g1_s97": H.harmonic_sql(15),
         "louvain_g2w_l1_i2": H.louvain_sql(2),
         "sssp_path_g2w_src1": H.sssp_path_sql(1, 20),

@@ -103,18 +103,206 @@ def _forward_levels(
     return levels
 
 
+def _weighted_dag_levels(
+    graph: LinkGraph,
+    weight_col: str,
+    sources: DataFrame,
+    max_depth: int,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Weighted forward sweep. Four superstep families, each one
+    edges⋈frontier join per round (no per-row Python anywhere):
+
+    1. distances — the multi-source Bellman-Ford from closeness.py
+       (the Spark-native stand-in for per-source Dijkstra: all sources
+       relax together, shuffle key carries the source id);
+    2. shortest-path DAG — edges (s, v, w) with
+       dist(s,v) + weight(v,w) == dist(s,w), one 3-way join. Float
+       equality here mirrors networkx's own Dijkstra path counting
+       (`vu_dist == seen[u]`), so equal-cost-path semantics match;
+    3. hop levels — longest-path depth L per (s, v) via monotone
+       max-propagation over the DAG (frontier = rows whose L rose).
+       Every DAG edge satisfies L(dst) >= L(src)+1, never equal-level,
+       so L is a valid parallel schedule for both remaining sweeps;
+    4. sigma — ascending-level path counting: all DAG predecessors of
+       a level-L vertex sit strictly below L and are already settled.
+
+    Returns (levels, dag): levels[L] = DataFrame(s, id, sigma), and
+    dag = cached DataFrame(s, src, dst, src_lvl, dst_lvl).
+    Caller must unpersist `dag`.
+    """
+    from graphscope_spark.algorithms.closeness import _pair_distances
+
+    w = F.col(weight_col).cast("double")
+    e = (
+        graph.edges.where(F.col(SRC) != F.col(DST))
+        .select(SRC, DST, w.alias("w"))
+    )
+    if not graph.directed:
+        e = e.unionAll(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w"))
+    # parallel edges: min weight (a simple-graph view, the networkx
+    # Graph semantics target has one weight per endpoint pair)
+    e = e.groupBy(SRC, DST).agg(F.min("w").alias("w"))
+
+    dist = _pair_distances(graph, weight_col, sources, reverse=False)
+    fin = dist.where(F.col("distance") != INF).localCheckpoint(eager=True)
+
+    dag = (
+        e.join(
+            fin.select("s", F.col(ID).alias(SRC), F.col("distance").alias("du")),
+            SRC,
+        )
+        .join(
+            fin.select("s", F.col(ID).alias(DST), F.col("distance").alias("dv")),
+            ["s", DST],
+        )
+        .where(F.col("du") + F.col("w") == F.col("dv"))
+        .select("s", SRC, DST)
+        .localCheckpoint(eager=True)
+    )
+
+    # hop levels: monotone longest-path fixpoint, changed-rows frontier
+    state = sources.select(
+        F.col(ID).alias("s"), F.col(ID), F.lit(0).alias("lvl")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    depth = 0
+    while depth < max_depth:
+        cand = (
+            dag.join(
+                frontier.select("s", F.col(ID).alias(SRC), "lvl"), ["s", SRC]
+            )
+            .groupBy("s", DST)
+            .agg((F.max("lvl") + F.lit(1)).alias("cand"))
+            .withColumnRenamed(DST, ID)
+        )
+        merged = (
+            state.join(cand, ["s", ID], "full")
+            .select(
+                "s",
+                ID,
+                F.greatest(
+                    F.coalesce("lvl", F.lit(-1)), F.coalesce("cand", F.lit(-1))
+                ).alias("lvl"),
+                (
+                    F.coalesce("cand", F.lit(-1))
+                    > F.coalesce("lvl", F.lit(-1))
+                ).alias("rose"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where("rose").select("s", ID, "lvl")
+        state = merged.select("s", ID, "lvl")
+        if frontier.isEmpty():
+            break
+        depth += 1
+
+    dag = (
+        dag.join(
+            state.select("s", F.col(ID).alias(SRC), F.col("lvl").alias("src_lvl")),
+            ["s", SRC],
+        )
+        .join(
+            state.select("s", F.col(ID).alias(DST), F.col("lvl").alias("dst_lvl")),
+            ["s", DST],
+        )
+        .cache()
+    )
+    dag.count()
+
+    d_max = state.agg(F.max("lvl")).first()[0] or 0
+
+    # sigma: ascending levels; preds of level L sit strictly below L
+    sig0 = state.where("lvl = 0").select(
+        "s", ID, F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [sig0]
+    settled = sig0
+    for lvl in range(1, d_max + 1):
+        sig = (
+            dag.where(F.col("dst_lvl") == lvl)
+            .join(settled.select("s", F.col(ID).alias(SRC), "sigma"), ["s", SRC])
+            .groupBy("s", DST)
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed(DST, ID)
+            .localCheckpoint(eager=True)
+        )
+        levels.append(sig)
+        settled = settled.unionAll(sig)
+    return levels, dag
+
+
+def _finish_dag(
+    graph: LinkGraph,
+    dag: DataFrame,
+    levels: list[DataFrame],
+    n: int,
+    n_sources: int,
+    normalized: bool,
+    endpoints: bool,
+    k_sampled: bool,
+) -> DataFrame:
+    """Backward Brandes accumulation over a weighted shortest-path
+    DAG. Unlike the unweighted sweep (where every DAG successor sits
+    exactly one level deeper), a weighted DAG edge can skip levels —
+    so finalized multipliers m = (1+delta)/sigma accumulate in a
+    running table, and level L's contribution joins the (small)
+    src_lvl == L edge slice against everything already finalized
+    (which is exactly the set of all possible successors)."""
+    acc: DataFrame | None = None
+    m_table: DataFrame | None = None
+    for lvl in range(len(levels) - 1, 0, -1):
+        if m_table is None:
+            delta_cur = levels[lvl].withColumn("delta", F.lit(0.0))
+        else:
+            contrib = (
+                dag.where(F.col("src_lvl") == lvl)
+                .join(m_table.select("s", F.col(ID).alias(DST), "m"), ["s", DST])
+                .groupBy("s", SRC)
+                .agg(F.sum("m").alias("m"))
+                .withColumnRenamed(SRC, ID)
+            )
+            delta_cur = (
+                levels[lvl]
+                .join(contrib, ["s", ID], "left")
+                .select(
+                    "s",
+                    ID,
+                    "sigma",
+                    (F.col("sigma") * F.coalesce("m", F.lit(0.0))).alias(
+                        "delta"
+                    ),
+                )
+            )
+        delta_cur = delta_cur.localCheckpoint(eager=True)
+        part = delta_cur.select("s", ID, "delta")
+        acc = part if acc is None else acc.unionAll(part)
+        m_row = delta_cur.select(
+            "s",
+            ID,
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("m"),
+        )
+        m_table = m_row if m_table is None else m_table.unionAll(m_row)
+    return _tail(
+        graph, acc, levels, n, n_sources, normalized, endpoints, k_sampled
+    )
+
+
 def betweenness_centrality(
     graph: LinkGraph,
     k: int | None = None,
     normalized: bool = True,
     endpoints: bool = False,
+    weight_col: str | None = None,
     sources: DataFrame | None = None,
     landmark_threshold: int = LANDMARK_THRESHOLD,
     auto_k: int = AUTO_LANDMARKS,
     max_depth: int = 10_000,
 ) -> DataFrame:
     """DataFrame(id long, centrality double), networkx
-    betweenness_centrality semantics (unweighted shortest paths).
+    betweenness_centrality semantics. weight_col=None counts hops
+    (level-synchronous Brandes); a weight column switches to the
+    weighted shortest-path DAG sweep (positive weights, networkx
+    `weight=` semantics including float-equality equal-cost paths).
 
     k=None runs every vertex as a source when |V| <=
     landmark_threshold; above it a deterministic `auto_k`-source
@@ -125,37 +313,43 @@ def betweenness_centrality(
     """
     n = graph.num_vertices()
     if sources is not None:
-        n_sources = sources.select(ID).distinct().count()
-        edges = _bfs_fabric(graph).cache()
-        edges.count()
-        levels = _forward_levels(
-            edges, sources.select(ID).distinct(), max_depth
-        )
-        return _finish(
-            graph, edges, levels, n, n_sources,
-            normalized, endpoints, k_sampled=(n_sources < n),
-        )
-    if k is None and n > landmark_threshold:
-        import warnings
+        srcs = sources.select(ID).distinct()
+        n_sources = srcs.count()
+        k_sampled = n_sources < n
+    else:
+        if k is None and n > landmark_threshold:
+            import warnings
 
-        warnings.warn(
-            f"graph has > {landmark_threshold} vertices: exact "
-            f"betweenness is |V|^2 pair state — auto-switching to the "
-            f"k={auto_k} sampled-source estimator (networkx k= "
-            "semantics). Pass k= explicitly to control the sample.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        k = auto_k
-    sources = _sample_sources(graph, k) if k is not None else graph.vertices
-    n_sources = k if k is not None else n
+            warnings.warn(
+                f"graph has > {landmark_threshold} vertices: exact "
+                f"betweenness is |V|^2 pair state — auto-switching to the "
+                f"k={auto_k} sampled-source estimator (networkx k= "
+                "semantics). Pass k= explicitly to control the sample.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            k = auto_k
+        srcs = (
+            _sample_sources(graph, k) if k is not None else graph.vertices
+        ).select(ID)
+        n_sources = k if k is not None else n
+        k_sampled = k is not None
+
+    if weight_col is not None:
+        levels, dag = _weighted_dag_levels(graph, weight_col, srcs, max_depth)
+        try:
+            return _finish_dag(
+                graph, dag, levels, n, n_sources, normalized, endpoints,
+                k_sampled,
+            )
+        finally:
+            dag.unpersist()
 
     edges = _bfs_fabric(graph).cache()
     edges.count()
-    levels = _forward_levels(edges, sources, max_depth)
+    levels = _forward_levels(edges, srcs, max_depth)
     return _finish(
-        graph, edges, levels, n, n_sources, normalized, endpoints,
-        k_sampled=(k is not None),
+        graph, edges, levels, n, n_sources, normalized, endpoints, k_sampled
     )
 
 
@@ -214,11 +408,27 @@ def _finish(
     # but its delta must still flow upward — there is nothing above
     # level 0, so nothing to do. endpoints=True adds, per source s,
     # (reachable(s) - 1) to s itself and +1 to every reached vertex.
+    out = _tail(
+        graph, acc, levels, n, n_sources, normalized, endpoints, k_sampled
+    )
+    edges.unpersist()
+    return out
+
+
+def _tail(
+    graph: LinkGraph,
+    acc: DataFrame | None,
+    levels: list[DataFrame],
+    n: int,
+    n_sources: int,
+    normalized: bool,
+    endpoints: bool,
+    k_sampled: bool,
+) -> DataFrame:
+    """Shared finish: sum per-source deltas, apply endpoints=True
+    credit and networkx's _rescale, left-join onto the vertex base."""
     if acc is None:
-        base = graph.vertices.select(ID)
-        bc = base.withColumn("centrality", F.lit(0.0))
-        edges.unpersist()
-        return bc
+        return graph.vertices.select(ID).withColumn("centrality", F.lit(0.0))
 
     bc = acc.groupBy(ID).agg(F.sum("delta").alias("centrality"))
     if endpoints:
@@ -264,11 +474,9 @@ def _finish(
             scale = scale * n / n_sources
         bc = bc.select(ID, (F.col("centrality") * F.lit(scale)).alias("centrality"))
 
-    out = graph.vertices.select(ID).join(bc, ID, "left").select(
+    return graph.vertices.select(ID).join(bc, ID, "left").select(
         ID, F.coalesce("centrality", F.lit(0.0)).alias("centrality")
     )
-    edges.unpersist()
-    return out
 
 
 def harmonic_centrality(

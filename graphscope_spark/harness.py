@@ -967,6 +967,132 @@ FROM verts v LEFT JOIN bc b ON b.id = v.id
 """
 
 
+def betweenness_w_sql(rounds: int) -> str:
+    """Exact (all-sources) WEIGHTED Brandes betweenness over
+    weighted-undirected G2W, normalized (networkx `weight=`
+    semantics), unrolled as three Jacobi fixpoints that mirror the
+    Spark sweep in betweenness.py::_weighted_dag_levels/_finish_dag:
+
+    1. dist — `rounds` Bellman-Ford relaxations (exact once rounds >=
+       the hop length of every weighted shortest path);
+    2. dag — shortest-path DAG by float equality du + w = dv (the
+       identical doubles both engines compute, since both accumulate
+       path sums source-forward);
+    3. sigma — path counts, Jacobi over the DAG (exact once rounds >=
+       the DAG's longest path);
+    4. delta — Brandes dependency, Jacobi from the leaf end.
+
+    The unroll depth is SELF-VERIFYING, not trusted: each fixpoint
+    runs one extra round and, if anything still changed, the final
+    SELECT injects a poison row (id -1/-2/-3) so the driver's value
+    hash fails loudly instead of silently accepting a truncated
+    iteration."""
+    inf = "CAST('inf' AS DOUBLE)"
+    ctes = [
+        f"e0 AS MATERIALIZED ({G2W_SQL})",
+        """wund AS MATERIALIZED (
+          SELECT src, dst, MIN(w) AS w FROM (
+            SELECT src, dst, w FROM e0
+            UNION ALL SELECT dst, src, w FROM e0)
+          GROUP BY src, dst)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM wund)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        f"""d0 AS MATERIALIZED (
+          SELECT s.id AS s, v.id AS id,
+                 CASE WHEN s.id = v.id THEN 0.0 ELSE {inf} END AS dist
+          FROM verts s CROSS JOIN verts v)""",
+    ]
+    for i in range(rounds + 1):
+        ctes.append(
+            f"""d{i + 1} AS MATERIALIZED (
+              SELECT p.s, p.id, LEAST(p.dist, COALESCE(r.cand, {inf})) AS dist
+              FROM d{i} p LEFT JOIN (
+                SELECT d.s, e.dst AS id, MIN(d.dist + e.w) AS cand
+                FROM wund e JOIN d{i} d ON d.id = e.src
+                WHERE d.dist < {inf}
+                GROUP BY d.s, e.dst) r ON r.s = p.s AND r.id = p.id)"""
+        )
+    r1 = rounds + 1
+    ctes.append(
+        f"""dchg AS MATERIALIZED (
+          SELECT 1 AS x FROM d{rounds} a JOIN d{r1} b
+            ON a.s = b.s AND a.id = b.id
+          WHERE a.dist <> b.dist LIMIT 1)"""
+    )
+    ctes.append(
+        f"fin AS MATERIALIZED (SELECT s, id, dist FROM d{rounds} WHERE dist < {inf})"
+    )
+    ctes.append(
+        """dag AS MATERIALIZED (
+          SELECT u.s, e.src, e.dst FROM wund e
+          JOIN fin u ON u.id = e.src
+          JOIN fin v ON v.s = u.s AND v.id = e.dst
+          WHERE u.dist + e.w = v.dist)"""
+    )
+    ctes.append(
+        """s0 AS MATERIALIZED (
+          SELECT s, id, CASE WHEN s = id THEN 1.0 ELSE 0.0 END AS sigma
+          FROM fin)"""
+    )
+    for i in range(rounds + 1):
+        ctes.append(
+            f"""s{i + 1} AS MATERIALIZED (
+              SELECT f.s, f.id,
+                     CASE WHEN f.s = f.id THEN 1.0
+                          ELSE COALESCE(c.sg, 0.0) END AS sigma
+              FROM fin f LEFT JOIN (
+                SELECT g.s, g.dst AS id, SUM(x.sigma) AS sg
+                FROM dag g JOIN s{i} x ON x.s = g.s AND x.id = g.src
+                GROUP BY g.s, g.dst) c ON c.s = f.s AND c.id = f.id)"""
+        )
+    ctes.append(
+        f"""schg AS MATERIALIZED (
+          SELECT 1 AS x FROM s{rounds} a JOIN s{r1} b
+            ON a.s = b.s AND a.id = b.id
+          WHERE a.sigma <> b.sigma LIMIT 1)"""
+    )
+    ctes.append(
+        f"""x0 AS MATERIALIZED (
+          SELECT s, id, sigma, 0.0 AS delta FROM s{rounds})"""
+    )
+    for i in range(rounds + 1):
+        ctes.append(
+            f"""x{i + 1} AS MATERIALIZED (
+              SELECT f.s, f.id, f.sigma,
+                     f.sigma * COALESCE(c.m, 0.0) AS delta
+              FROM x0 f LEFT JOIN (
+                SELECT g.s, g.src AS id, SUM((1.0 + x.delta) / x.sigma) AS m
+                FROM dag g JOIN x{i} x ON x.s = g.s AND x.id = g.dst
+                WHERE x.sigma > 0
+                GROUP BY g.s, g.src) c ON c.s = f.s AND c.id = f.id)"""
+        )
+    ctes.append(
+        f"""xchg AS MATERIALIZED (
+          SELECT 1 AS x FROM x{rounds} a JOIN x{r1} b
+            ON a.s = b.s AND a.id = b.id
+          WHERE a.delta <> b.delta LIMIT 1)"""
+    )
+    ctes.append(
+        f"""bc AS MATERIALIZED (
+          SELECT id, SUM(delta) AS c FROM x{rounds}
+          WHERE id <> s GROUP BY id)"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT v.id,
+       ROUND(COALESCE(b.c, 0.0) *
+             CASE WHEN (SELECT n FROM nn) > 2
+                  THEN 1.0 / (((SELECT n FROM nn) - 1.0)
+                              * ((SELECT n FROM nn) - 2.0))
+                  ELSE 1.0 END,
+             6) AS centrality
+FROM verts v LEFT JOIN bc b ON b.id = v.id
+UNION ALL SELECT -1, -1.0 WHERE EXISTS (SELECT 1 FROM dchg)
+UNION ALL SELECT -2, -2.0 WHERE EXISTS (SELECT 1 FROM schg)
+UNION ALL SELECT -3, -3.0 WHERE EXISTS (SELECT 1 FROM xchg)
+"""
+
+
 def louvain_sql(iters: int) -> str:
     """Unrolled Louvain phase-1 local-move cycles over weighted G2
     (louvain.h:228-279 semantics: ΔQ = k_i_in − k_i·σ'/m2, winner =

@@ -531,15 +531,13 @@ def betweenness_centrality(G: Graph, k: int | None = None,
                            seed=None) -> dict:
     """networkx betweenness_centrality (the reference forwards NX's own
     test suite for it — nx/tests/algorithms/forward/centrality/
-    test_betweenness_centrality.py:1-7). Unweighted shortest paths
-    only; `seed` is accepted for signature parity but the k-sample is
-    a deterministic min-xxhash64 draw."""
-    if weight is not None:
-        raise NotImplementedError(
-            "betweenness_centrality: weighted shortest paths not supported"
-        )
+    test_betweenness_centrality.py:1-7). weight= switches to the
+    weighted shortest-path-DAG sweep (positive weights); `seed` is
+    accepted for signature parity but the k-sample is a deterministic
+    min-xxhash64 draw."""
     r = A.betweenness_centrality(
-        G._flush(), k=k, normalized=normalized, endpoints=endpoints)
+        G._flush(weight), k=k, normalized=normalized, endpoints=endpoints,
+        weight_col=_weight_col(G, weight))
     return _to_dict(G, r, "centrality")
 
 

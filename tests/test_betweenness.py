@@ -139,3 +139,89 @@ def test_betweenness_multi_edges_collapse(spark):
            for r in betweenness_centrality(lg, normalized=False).collect()}
     want = realnx.betweenness_centrality(nxg, normalized=False)
     assert got == pytest.approx(want)
+
+
+def _mirror_w(nxg, spark):
+    g = gnx.DiGraph(spark=spark) if nxg.is_directed() else gnx.Graph(spark=spark)
+    g.add_nodes_from(nxg.nodes)
+    g.add_weighted_edges_from(
+        (u, v, d["weight"]) for u, v, d in nxg.edges(data=True))
+    return g
+
+
+@pytest.fixture(scope="module")
+def und_w(spark):
+    nxg = realnx.gnp_random_graph(24, 0.14, seed=7)
+    rng = __import__("random").Random(3)
+    for u, v in nxg.edges:
+        # small integers: equal-cost multi-path ties are common, so the
+        # float-equality path counting is genuinely exercised
+        nxg[u][v]["weight"] = rng.choice([1.0, 2.0, 3.0])
+    nxg.add_edge(100, 101, weight=5.0)  # disconnected component
+    nxg.add_node(200)  # isolate
+    return nxg, _mirror_w(nxg, spark)
+
+
+@pytest.fixture(scope="module")
+def dig_w(spark):
+    nxg = realnx.gnp_random_graph(22, 0.12, seed=11, directed=True)
+    rng = __import__("random").Random(5)
+    for u, v in nxg.edges:
+        nxg[u][v]["weight"] = float(rng.randint(1, 4))
+    return nxg, _mirror_w(nxg, spark)
+
+
+def test_betweenness_weighted_undirected(und_w):
+    nxg, g = und_w
+    _close(gnx.betweenness_centrality(g, weight="weight"),
+           realnx.betweenness_centrality(nxg, weight="weight"))
+
+
+def test_betweenness_weighted_directed(dig_w):
+    nxg, g = dig_w
+    _close(gnx.betweenness_centrality(g, weight="weight"),
+           realnx.betweenness_centrality(nxg, weight="weight"))
+
+
+def test_betweenness_weighted_unnormalized_endpoints(und_w):
+    nxg, g = und_w
+    _close(gnx.betweenness_centrality(g, weight="weight", normalized=False),
+           realnx.betweenness_centrality(nxg, weight="weight",
+                                         normalized=False))
+    _close(gnx.betweenness_centrality(g, weight="weight", endpoints=True),
+           realnx.betweenness_centrality(nxg, weight="weight",
+                                         endpoints=True))
+
+
+def test_betweenness_weighted_vs_unweighted_differ(spark):
+    """A weighted detour flips which vertex is the broker: P3 1-2-3
+    plus a heavy direct edge 1-3 — unweighted says 2 has 0 (direct
+    edge wins ties? no: direct path length 1 < 2, so 2 gets 0);
+    weighted with w(1,3)=10 routes through 2."""
+    nxg = realnx.Graph()
+    nxg.add_edge(1, 2, weight=1.0)
+    nxg.add_edge(2, 3, weight=1.0)
+    nxg.add_edge(1, 3, weight=10.0)
+    g = _mirror_w(nxg, spark)
+    got_w = gnx.betweenness_centrality(g, weight="weight",
+                                       normalized=False)
+    want_w = realnx.betweenness_centrality(nxg, weight="weight",
+                                           normalized=False)
+    _close(got_w, want_w)
+    assert got_w[2] == pytest.approx(1.0)
+    got_u = gnx.betweenness_centrality(g, normalized=False)
+    assert got_u[2] == pytest.approx(0.0)
+
+
+def test_betweenness_weighted_equal_cost_paths(spark):
+    """diamond with equal-cost parallel routes: sigma must split the
+    dependency between the two mid vertices."""
+    nxg = realnx.Graph()
+    for u, v, w in [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
+                    (3, 4, 2.0), (0, 4, 4.0)]:
+        nxg.add_edge(u, v, weight=w)
+    g = _mirror_w(nxg, spark)
+    _close(gnx.betweenness_centrality(g, weight="weight",
+                                      normalized=False),
+           realnx.betweenness_centrality(nxg, weight="weight",
+                                         normalized=False))
