@@ -320,20 +320,43 @@ def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_msf(H.g2w(spark, sf_dir), fixed_rounds=2)
 
 
+_BORUVKA_TWIN_ROUNDS = 8  # oracle_sql() unroll depth for the two below
+
+
+def _assert_boruvka_unroll_covers(g) -> None:
+    """The msf_weight/single_linkage twins unroll exactly
+    _BORUVKA_TWIN_ROUNDS Borůvka rounds, which equals convergence only
+    while ceil(log2 |V|) <= rounds. Guard it here so a scale factor
+    with more vertices turns into a loud driver error on this row, not
+    a silently diverging oracle."""
+    n = g.vertices.count()
+    if n > (1 << _BORUVKA_TWIN_ROUNDS):
+        raise AssertionError(
+            f"G2W has {n} vertices > 2**{_BORUVKA_TWIN_ROUNDS}: the "
+            "unrolled DuckDB Borůvka twin no longer covers "
+            "run-to-convergence — raise _BORUVKA_TWIN_ROUNDS"
+        )
+
+
 def q_msf_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-forest edge count + total weight on G2W (8 unrolled twin
-    rounds ≥ ⌈log2 |V|⌉ cover the run-to-convergence result)."""
+    """Full-forest edge count + total weight on G2W (twin unrolls
+    _BORUVKA_TWIN_ROUNDS ≥ ⌈log2 |V|⌉ rounds, guarded below)."""
     from graphscope_spark.algorithms.msf import msf_weight
 
-    return msf_weight(H.g2w(spark, sf_dir))
+    g = H.g2w(spark, sf_dir)
+    _assert_boruvka_unroll_covers(g)
+    return msf_weight(g)
 
 
 def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-linkage clusters of G2W at distance 1.5 (MSF cut —
-    Gower & Ross equivalence; forest is the only pair state)."""
+    Gower & Ross equivalence; forest is the only pair state). Twin
+    unroll depth guarded like q_msf_weight."""
     from graphscope_spark.algorithms.msf import single_linkage
 
-    return single_linkage(H.g2w(spark, sf_dir), threshold=1.5)
+    g = H.g2w(spark, sf_dir)
+    _assert_boruvka_unroll_covers(g)
+    return single_linkage(g, threshold=1.5)
 
 
 def q_annd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,10 +379,12 @@ def q_degree_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-normalized rich-club coefficient φ(k) over undirected G2
-    (suffix-sum windows over degree histograms only)."""
+    (suffix-sum windows over degree histograms only); the library
+    returns exact phi, rounded here to match the twin's ROUND 6."""
     from graphscope_spark.algorithms.structure import rich_club_coefficient
 
-    return rich_club_coefficient(H.g2(spark, sf_dir))
+    rc = rich_club_coefficient(H.g2(spark, sf_dir))
+    return rc.select("k", F.round("phi", 6).alias("phi"))
 
 
 def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +773,29 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g2(spark, sf_dir)
     seeds = g.vertices.where(F.col("id") % 7 == 1)
     return neighbor_sample(g, seeds, [3, 2])
+
+
+def q_sage_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE mean-pool feature aggregation (walks.sage_features)
+    over UNDIRECTED G1 from the id%31==1 seeds, fanouts [3, 2]:
+    per root its own (degree, id%10) features plus the bit-exact
+    integer-mean of each sampled hop's features. Twin unrolls the same
+    md5 ticket draws + SUM/COUNT pooling."""
+    from graphscope_spark.algorithms.walks import sage_features
+
+    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False)
+    deg = (
+        g.undirected_edges()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    feats = g.vertices.select("id").join(deg, "id", "left").select(
+        "id",
+        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        (F.col("id") % 10).cast("long").alias("idmod"),
+    )
+    seeds = g.vertices.where(F.col("id") % 31 == 1)
+    return sage_features(g, feats, seeds, [3, 2], agg="mean")
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2252,7 +2300,7 @@ scored AS (
            l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
                 AND len(list_filter(regexp_split_to_array(l, '\s+'),
                                     x -> x <> '')) >= 5
-                AND NOT contains(lower(l), 'javascript')) AS kept,
+                AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept,
          NOT contains(lower(text), 'lorem ipsum') AS ok_no_bad_phrase,
          NOT contains(text, '{') AS ok_no_brace
   FROM base)
@@ -2867,6 +2915,55 @@ SELECT 'example,shop' || c || ')/o/' || k AS surt,
 FROM p
 """
 
+SAGE_FEATURES_SQL = f"""
+WITH g AS MATERIALIZED ({H.G1_SQL}),
+e AS MATERIALIZED (
+  SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g),
+v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+feat AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+         v.id % 10 AS idmod
+  FROM v LEFT JOIN deg d ON d.id = v.id),
+roots AS (SELECT id AS root FROM v WHERE id % 31 = 1),
+h0 AS (
+  SELECT root, e.src, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY root, e.src ORDER BY
+           md5('42:' || CAST(root AS VARCHAR) || ':0:'
+               || CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)))
+           AS rn
+  FROM roots JOIN e ON e.src = root),
+s0 AS (SELECT root, src, dst FROM h0 WHERE rn <= 3),
+f1 AS (SELECT DISTINCT root, dst AS node FROM s0),
+h1 AS (
+  SELECT f1.root, e.src, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY f1.root, e.src ORDER BY
+           md5('42:' || CAST(f1.root AS VARCHAR) || ':1:'
+               || CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)))
+           AS rn
+  FROM f1 JOIN e ON e.src = f1.node),
+s1 AS (SELECT root, src, dst FROM h1 WHERE rn <= 2),
+p0 AS (
+  SELECT root, SUM(f.deg) * 1.0 / COUNT(*) AS m_deg,
+         SUM(f.idmod) * 1.0 / COUNT(*) AS m_idmod
+  FROM s0 JOIN feat f ON f.id = s0.dst GROUP BY root),
+p1 AS (
+  SELECT root, SUM(f.deg) * 1.0 / COUNT(*) AS m_deg,
+         SUM(f.idmod) * 1.0 / COUNT(*) AS m_idmod
+  FROM s1 JOIN feat f ON f.id = s1.dst GROUP BY root)
+SELECT r.root,
+       CAST(f.deg AS DOUBLE) AS self_deg,
+       CAST(f.idmod AS DOUBLE) AS self_idmod,
+       COALESCE(p0.m_deg, 0.0) AS h1_mean_deg,
+       COALESCE(p0.m_idmod, 0.0) AS h1_mean_idmod,
+       COALESCE(p1.m_deg, 0.0) AS h2_mean_deg,
+       COALESCE(p1.m_idmod, 0.0) AS h2_mean_idmod
+FROM roots r
+JOIN feat f ON f.id = r.root
+LEFT JOIN p0 ON p0.root = r.root
+LEFT JOIN p1 ON p1.root = r.root
+"""
+
 NEIGHBOR_SAMPLE_SQL = f"""
 WITH e AS MATERIALIZED ({H.G2_SQL}),
 v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -3295,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "robots_filter": q_robots_filter,
         "neighbor_sample_g2": q_neighbor_sample,
+        "sage_features_g1": q_sage_features,
         "gremlin_coalesce_g1": q_gremlin_coalesce,
         "saveload_degrees_g1": q_saveload_degrees,
         "registry_sssp_g2w": q_registry_sssp,
@@ -3448,6 +3546,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": CDX_INDEX_SQL,
         "robots_filter": ROBOTS_FILTER_SQL,
         "neighbor_sample_g2": NEIGHBOR_SAMPLE_SQL,
+        "sage_features_g1": SAGE_FEATURES_SQL,
         "gremlin_coalesce_g1": GREMLIN_COALESCE_SQL,
         "saveload_degrees_g1": SAVELOAD_DEGREES_SQL,
         "registry_sssp_g2w": H.sssp_sql(1, 20),
@@ -3472,11 +3571,11 @@ def oracle_sql() -> dict[str, str]:
         "modularity_cdlp_g2": H.modularity_sql(H.cdlp_sql(5)),
         "diameter_g2": H.diameter_sweep_sql(12),
         "msf_g2w_r2": H.boruvka_sql(2),
-        "single_linkage_g2w": H.single_linkage_sql(1.5, 8),
+        "single_linkage_g2w": H.single_linkage_sql(1.5, _BORUVKA_TWIN_ROUNDS),
         "msf_weight_g2w": (
             "SELECT COUNT(*) AS n_edges,"
             " ROUND(COALESCE(SUM(w), 0), 6) AS total_weight FROM ("
-            + H.boruvka_sql(8)
+            + H.boruvka_sql(_BORUVKA_TWIN_ROUNDS)
             + ")"
         ),
         "annd_g2": H.avg_neighbor_degree_sql(),

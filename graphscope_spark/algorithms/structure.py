@@ -69,7 +69,9 @@ def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
     """(degree long, knn double) — the degree-correlation function
     knn(k) = mean neighbor degree of degree-k vertices (NX
     average_degree_connectivity): Σ_{v:d(v)=k} Σ_{u∈N(v)} d(u) /
-    (k·N_k). Rows = |distinct degrees ≥ 1|."""
+    (k·N_k). Rows = |distinct degrees ≥ 1|, plus NX's (0, 0.0) row
+    when the graph has simple-graph isolates (a vertex with no
+    non-self-loop neighbor)."""
     e = _sym_simple(graph)
     deg = (
         e.groupBy(F.col(SRC).alias(ID))
@@ -80,12 +82,22 @@ def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
         e.join(deg.select(F.col(ID).alias(SRC), F.col("d").alias("ds")), SRC)
         .join(deg.select(F.col(ID).alias(DST), F.col("d").alias("dt")), DST)
     )
-    return (
+    knn = (
         joined.groupBy(F.col("ds").cast("long").alias("degree"))
         # mean neighbor degree over all edge-endpoints of degree-k
         # vertices: integer sum / integer count — bit-exact
         .agg((F.sum("dt") / F.count("*")).alias("knn"))
     )
+    # NX emits dc[0] = 0.0 for isolates — a cheap anti-join (vertex
+    # table vs the degree table's keys), collapsed to 0-or-1 rows
+    zero = (
+        graph.vertices.select(ID)
+        .join(deg.select(ID), ID, "left_anti")
+        .limit(1)
+        .select(F.lit(0).cast("long").alias("degree"),
+                F.lit(0.0).alias("knn"))
+    )
+    return knn.unionAll(zero)
 
 
 def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
@@ -140,10 +152,9 @@ def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
         joined.where(F.coalesce("n_k", F.lit(0)) >= 2)
         .select(
             F.col("k").cast("long").alias("k"),
-            F.round(
+            (
                 2.0 * F.coalesce("e_k", F.lit(0))
-                / (F.col("n_k") * (F.col("n_k") - 1)),
-                6,
+                / (F.col("n_k") * (F.col("n_k") - 1))
             ).alias("phi"),
         )
     )

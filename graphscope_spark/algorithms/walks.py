@@ -292,3 +292,89 @@ def neighbor_sample(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def sage_features(
+    graph: LinkGraph,
+    features: DataFrame,
+    seeds: "list[int] | DataFrame",
+    fanouts: list[int],
+    agg: str = "mean",
+    seed: int = 42,
+    strategy: str = "random",
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """GraphSAGE data-side feature aggregation (the learning engine's
+    neighbor-pooling step — reference demos feed graph-learn
+    EgoGraphs whose per-hop features are exactly this pooling;
+    learning_engine/README.md, python/graphscope/learning/graph.py:
+    263-331). Per seed root: its own features plus, for every hop h,
+    the `agg` pool (mean|max) of the sampled hop-h neighborhood's
+    features.
+
+    One Catalyst plan end-to-end: the `neighbor_sample` expansion, ONE
+    sample⋈features hash join, ONE (root, hop) aggregate, and a static
+    per-hop pivot (fanouts is 2-3 entries in GraphSAGE practice, so
+    the pivot is a short chain of per-hop left joins on the root key —
+    no dynamic pivot shuffle). Mean is computed as SUM/COUNT so
+    integer feature columns pool bit-exactly (the structure.py
+    discipline). Roots whose hop-h sample is empty pool to 0.0 — the
+    GraphSAGE zero-vector convention for empty neighborhoods.
+    """
+    if agg not in ("mean", "max"):
+        raise ValueError(f"agg must be mean|max, got {agg!r}")
+    spark = graph.vertices.sparkSession
+    if isinstance(seeds, DataFrame):
+        roots = seeds.select(F.col(ID).cast("long").alias("root"))
+    else:
+        roots = spark.createDataFrame([(int(s),) for s in seeds], "root long")
+    roots = roots.join(
+        graph.vertices.select(F.col(ID).alias("root")), "root", "left_semi"
+    ).distinct()
+
+    if feature_cols is None:
+        feature_cols = [c for c in features.columns if c != ID]
+
+    samp = neighbor_sample(
+        graph, roots.select(F.col("root").alias(ID)), fanouts,
+        seed=seed, strategy=strategy,
+    )
+    joined = samp.join(
+        features.select(F.col(ID).alias(DST), *feature_cols), DST
+    )
+    if agg == "mean":
+        aggs = [
+            (F.sum(c) / F.count(F.lit(1))).alias(c) for c in feature_cols
+        ]
+    else:
+        aggs = [F.max(c).cast("double").alias(c) for c in feature_cols]
+    pooled = joined.groupBy("root", "hop").agg(*aggs)
+
+    out = roots.join(
+        features.select(
+            F.col(ID).alias("root"),
+            *[
+                F.col(c).cast("double").alias(f"self_{c}")
+                for c in feature_cols
+            ],
+        ),
+        "root",
+        "left",
+    )
+    sel = [F.col("root")] + [
+        F.coalesce(f"self_{c}", F.lit(0.0)).alias(f"self_{c}")
+        for c in feature_cols
+    ]
+    for h in range(len(fanouts)):
+        ph = pooled.where(F.col("hop") == h).select(
+            "root",
+            *[F.col(c).alias(f"h{h + 1}_{agg}_{c}") for c in feature_cols],
+        )
+        out = out.join(ph, "root", "left")
+        sel += [
+            F.coalesce(f"h{h + 1}_{agg}_{c}", F.lit(0.0)).alias(
+                f"h{h + 1}_{agg}_{c}"
+            )
+            for c in feature_cols
+        ]
+    return out.select(*sel)

@@ -323,7 +323,7 @@ def image_dhash(
 def image_near_dup_pairs(
     media: DataFrame,
     max_hamming: int = 10,
-    bands: int = 4,
+    bands: int | None = None,
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
@@ -332,11 +332,34 @@ def image_near_dup_pairs(
     -> candidate; pigeonhole guarantees recall for hamming < bands),
     verified with bit_count(xor) <= max_hamming.
 
+    bands=None derives the smallest band count that makes the
+    pigeonhole guarantee cover the verification filter
+    (bands > max_hamming, rounded up to a divisor of 64), so the
+    output is COMPLETE up to max_hamming by construction. An explicit
+    bands <= max_hamming is allowed as a recall/cost trade-off but
+    warns, since pairs with bands..max_hamming differing bits can then
+    be missed.
+
     Scale shape: one Arrow-batched decode pass emitting 8 bytes/row,
     `bands` rows per image into ONE (band, segment) shuffle — the
     image-modality sibling of simhash_near_pairs/minhash_lsh_pairs;
     never an all-pairs join."""
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64)
+                     if b > int(max_hamming))
     bands = int(bands)
+    if bands <= int(max_hamming):
+        import warnings
+
+        warnings.warn(
+            f"bands={bands} <= max_hamming={max_hamming}: the banded "
+            "candidate join only guarantees recall for hamming < "
+            f"{bands}; pairs with {bands}..{max_hamming} differing "
+            "bits may be missed. Pass bands=None to derive a complete "
+            "setting.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     width = 64 // bands
     h = image_dhash(media, payload_col, id_col)
     seg = h.select(
@@ -347,7 +370,11 @@ def image_near_dup_pairs(
                 F.struct(
                     F.lit(k).alias("band"),
                     F.shiftrightunsigned(F.col("dhash"), k * width)
-                    .bitwiseAND(F.lit((1 << width) - 1)).alias("seg"),
+                    # width == 64 (bands=1): mask with -1 (all bits);
+                    # (1 << 64) - 1 would overflow the JVM long literal
+                    .bitwiseAND(
+                        F.lit(-1 if width == 64 else (1 << width) - 1)
+                    ).alias("seg"),
                 )
                 for k in range(bands)
             ])

@@ -10,6 +10,8 @@ except the lexicon join (broadcast) and explicit groupBys.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -483,8 +485,11 @@ def c4_rules(
         )
         nwords = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
         ok = terminal & (nwords >= F.lit(int(min_words_per_line)))
+        # C4 (Raffel et al. 2020) drops lines containing the WORD, not
+        # the substring ('javascripted' must survive) — word boundaries.
         for w in drop_line_words:
-            ok = ok & ~F.lower(l).contains(w.lower())
+            ok = ok & ~F.lower(l).rlike(
+                r"\b" + _re.escape(w.lower()) + r"\b")
         return ok
 
     kept = F.filter(lines, _line_ok)

@@ -63,13 +63,52 @@ __all__ = [
     "read_edgelist", "write_edgelist",
     "read_adjlist", "write_adjlist",
     "read_graphml", "write_graphml",
+    # exceptions + classic named graphs + helpers (upstream parity)
+    "NetworkXException", "NetworkXError", "NetworkXNotImplemented",
+    "exception", "richclub",
+    "add_path", "ladder_graph", "krackhardt_kite_graph",
+    "florentine_families_graph", "karate_club_graph",
+    "les_miserables_graph",
 ]
+
+
+class NetworkXException(Exception):
+    """Base exception, upstream networkx/exception.py parity."""
+
+
+class NetworkXError(NetworkXException, ValueError):
+    """upstream NetworkXError; also a ValueError so pre-existing
+    callers catching ValueError keep working."""
+
+
+class NetworkXNotImplemented(NetworkXException):
+    """upstream not-implemented-for-this-graph-type dispatch error."""
 
 # non-int node objects get synthetic ids from this base upward; int
 # nodes keep their value (the reference likewise keeps int64 oids
 # 1:1 and maps other oid types through the vertex map,
 # core/vertex_map/global_vertex_map.h:78-108).
 _SYNTH_BASE = 1 << 40
+
+
+class _NodeList(list):
+    """List of nodes that is also callable, like NX's NodeView:
+    ``G.nodes()`` → the list itself, ``G.nodes(data=True)`` →
+    ``[(n, attrdict)]``, ``G.nodes(data='attr', default=d)`` →
+    ``[(n, value)]``."""
+
+    def __init__(self, seq, node_attrs: dict):
+        super().__init__(seq)
+        self._attrs = node_attrs
+
+    def __call__(self, data=False, default=None):
+        if data is False:
+            return self
+        if data is True:
+            return [(n, self._attrs.get(n, {})) for n in self]
+        return [
+            (n, self._attrs.get(n, {}).get(data, default)) for n in self
+        ]
 
 
 class Graph:
@@ -224,13 +263,13 @@ class Graph:
         return self._directed
 
     @property
-    def nodes(self) -> list:
+    def nodes(self) -> "_NodeList":
         if self._base_lg is not None:
             raise NotImplementedError(
                 "nodes/edges lists would materialize the distributed graph "
                 "on the driver; read base LinkGraph.vertices/edges DataFrames"
             )
-        return list(self._node)
+        return _NodeList(self._node, self._node)
 
     @property
     def edges(self) -> list[tuple]:
@@ -267,6 +306,12 @@ class Graph:
         return (sum(len(n) for n in self._succ.values()) + loops) // 2
 
     size = number_of_edges
+
+    def number_of_selfloops(self) -> int:
+        if self._base_lg is not None:
+            e = self._base_lg.edges
+            return e.where(F.col(SRC) == F.col(DST)).count()
+        return sum(1 for u, nbrs in self._succ.items() if u in nbrs)
 
     def __len__(self) -> int:
         return self.number_of_nodes()
@@ -506,7 +551,11 @@ def hits(G: Graph, max_iter: int = 100, tol: float = 1.0e-8,
 
 def degree_centrality(G: Graph) -> dict:
     """builtin.py:162. Undirected graphs store the symmetric closure, so
-    out-degree there IS the NX degree (counting each neighbor once)."""
+    out-degree there IS the NX degree (counting each neighbor once).
+    n <= 1 short-circuits to {n: 1} (upstream convention — the 1/(n-1)
+    scale is undefined there)."""
+    if len(G) <= 1:
+        return {n: 1 for n in G.nodes}
     kind = "both" if G.is_directed() else "out"
     return _to_dict(G, A.degree_centrality(G._flush(), centrality_type=kind),
                     "centrality")
@@ -515,12 +564,16 @@ def degree_centrality(G: Graph) -> dict:
 def in_degree_centrality(G: DiGraph) -> dict:
     if not G.is_directed():
         raise TypeError("in_degree_centrality: not defined for undirected graphs")
+    if len(G) <= 1:
+        return {n: 1 for n in G.nodes}
     return _to_dict(G, A.degree_centrality(G._flush(), "in"), "centrality")
 
 
 def out_degree_centrality(G: DiGraph) -> dict:
     if not G.is_directed():
         raise TypeError("out_degree_centrality: not defined for undirected graphs")
+    if len(G) <= 1:
+        return {n: 1 for n in G.nodes}
     return _to_dict(G, A.degree_centrality(G._flush(), "out"), "centrality")
 
 
@@ -534,7 +587,19 @@ def betweenness_centrality(G: Graph, k: int | None = None,
     test_betweenness_centrality.py:1-7). weight= switches to the
     weighted shortest-path-DAG sweep (positive weights); `seed` is
     accepted for signature parity but the k-sample is a deterministic
-    min-xxhash64 draw."""
+    min-xxhash64 draw. k bounds checked with the upstream error types
+    (negative/larger → ValueError, 0 → ZeroDivisionError)."""
+    if k is not None:
+        if k < 0:
+            raise ValueError(f"k must not be negative: {k}")
+        if k > len(G):
+            raise ValueError(
+                f"k ({k}) is larger than the number of nodes ({len(G)})")
+        if k == 0:
+            raise ZeroDivisionError(
+                "k must be positive: the n/k sample rescale divides by k")
+        if k == len(G):
+            k = None  # full population — exact path, upstream parity
     r = A.betweenness_centrality(
         G._flush(weight), k=k, normalized=normalized, endpoints=endpoints,
         weight_col=_weight_col(G, weight))
@@ -836,18 +901,18 @@ def number_strongly_connected_components(G: Graph) -> int:
 def overall_reciprocity(G: Graph) -> float:
     """upstream networkx/algorithms/reciprocity.py::overall_reciprocity."""
     if not G.is_directed():
-        raise TypeError("overall_reciprocity: not defined for undirected type")
+        raise NetworkXError("overall_reciprocity: not defined for undirected type")
     if G.number_of_edges() == 0:
-        raise ValueError("Not defined for empty graphs")
+        raise NetworkXError("Not defined for empty graphs")
     return A.overall_reciprocity(G._flush()).collect()[0]["reciprocity"]
 
 
 def reciprocity(G: Graph, nodes=None):
     """upstream reciprocity.py::reciprocity — None -> graph-level float,
     single node -> float, iterable -> {node: value}. Isolated nodes are
-    undefined (ValueError), matching NX's NetworkXError."""
+    undefined (NetworkXError, a ValueError subclass)."""
     if not G.is_directed():
-        raise TypeError("reciprocity: not defined for undirected type")
+        raise NetworkXError("reciprocity: not defined for undirected type")
     if nodes is None:
         return overall_reciprocity(G)
     vals = {G._back(r[ID]): r["reciprocity"]
@@ -860,7 +925,7 @@ def reciprocity(G: Graph, nodes=None):
     out = {}
     for v in targets:
         if v not in vals:
-            raise ValueError("Not defined for isolated nodes.")
+            raise NetworkXError("Not defined for isolated nodes.")
         out[v] = vals[v]
     return out[nodes] if single else out
 
@@ -1159,6 +1224,171 @@ def balanced_tree(r: int, h: int, create_using=None) -> "Graph":
     return G
 
 
+def ladder_graph(n: int, create_using=None) -> "Graph":
+    """generators/classic.py ladder_graph: two n-paths 0..n-1 and
+    n..2n-1 plus the n rungs (i, i+n)."""
+    n = int(n)
+    G = empty_graph(2 * n, create_using)
+    G.add_edges_from((i, i + 1) for i in range(n - 1))
+    G.add_edges_from((i, i + 1) for i in range(n, 2 * n - 1))
+    G.add_edges_from((i, i + n) for i in range(n))
+    return G
+
+
+def add_path(G: "Graph", nodes, **attr) -> None:
+    """upstream networkx/classes/function.py add_path."""
+    nodes = list(nodes)
+    if len(nodes) == 1:
+        G.add_node(nodes[0])
+        return
+    G.add_edges_from(zip(nodes, nodes[1:]), **attr)
+
+
+# ----------------------------------------------------------------------
+# Classic named small graphs (generators/small.py, generators/social.py
+# parity). The datasets are public-domain classics: Krackhardt (1990)
+# kite, Padgett's Florentine families, Zachary (1977) karate club, and
+# Knuth's Stanford GraphBase Les Misérables co-occurrence network.
+# ----------------------------------------------------------------------
+def krackhardt_kite_graph(create_using=None) -> "Graph":
+    """generators/small.py krackhardt_kite_graph (10 nodes)."""
+    G = empty_graph(10, create_using)
+    G.add_edges_from([
+        (0, 1), (0, 2), (0, 3), (0, 5), (1, 3), (1, 4), (1, 6),
+        (2, 3), (2, 5), (3, 4), (3, 5), (3, 6), (4, 6), (5, 6),
+        (5, 7), (6, 7), (7, 8), (8, 9)])
+    return G
+
+
+def florentine_families_graph() -> "Graph":
+    """generators/social.py florentine_families_graph (15 families;
+    the Pucci isolate is excluded, matching upstream)."""
+    G = Graph()
+    G.add_edges_from([
+        ("Acciaiuoli", "Medici"), ("Castellani", "Peruzzi"),
+        ("Castellani", "Strozzi"), ("Castellani", "Barbadori"),
+        ("Medici", "Barbadori"), ("Medici", "Ridolfi"),
+        ("Medici", "Tornabuoni"), ("Medici", "Albizzi"),
+        ("Medici", "Salviati"), ("Salviati", "Pazzi"),
+        ("Peruzzi", "Strozzi"), ("Peruzzi", "Bischeri"),
+        ("Strozzi", "Ridolfi"), ("Strozzi", "Bischeri"),
+        ("Ridolfi", "Tornabuoni"), ("Tornabuoni", "Guadagni"),
+        ("Albizzi", "Ginori"), ("Albizzi", "Guadagni"),
+        ("Bischeri", "Guadagni"), ("Guadagni", "Lamberteschi")])
+    return G
+
+
+_KARATE_EDGES = (
+    "0-1 0-2 0-3 0-4 0-5 0-6 0-7 0-8 0-10 0-11 0-12 0-13 0-17 0-19 "
+    "0-21 0-31 1-2 1-3 1-7 1-13 1-17 1-19 1-21 1-30 2-3 2-7 2-8 2-9 "
+    "2-13 2-27 2-28 2-32 3-7 3-12 3-13 4-6 4-10 5-6 5-10 5-16 6-16 "
+    "8-30 8-32 8-33 9-33 13-33 14-32 14-33 15-32 15-33 18-32 18-33 "
+    "19-33 20-32 20-33 22-32 22-33 23-25 23-27 23-29 23-32 23-33 "
+    "24-25 24-27 24-31 25-31 26-29 26-33 27-33 28-31 28-33 29-32 "
+    "29-33 30-32 30-33 31-32 31-33 32-33"
+)
+_KARATE_OFFICERS = frozenset(
+    {9, 14, 15, 18, 20, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33})
+
+
+def karate_club_graph() -> "Graph":
+    """generators/social.py karate_club_graph: Zachary's 34-member
+    club, 78 edges, node attribute 'club' in {'Mr. Hi', 'Officer'}."""
+    G = Graph(name="Zachary's Karate Club")
+    for i in range(34):
+        G.add_node(i, club="Officer" if i in _KARATE_OFFICERS else "Mr. Hi")
+    for tok in _KARATE_EDGES.split():
+        u, v = tok.split("-")
+        G.add_edge(int(u), int(v))
+    return G
+
+
+_LES_MIS_DATA = (
+    "Babet|Brujon|3 Babet|Claquesous|4 Babet|Montparnasse|2 Bahorel|Bossuet|4 "
+    "Bahorel|Grantaire|1 Bahorel|Joly|5 Bahorel|MmeHucheloup|1 Bamatabois|Brevet|1 "
+    "Bamatabois|Champmathieu|2 Bamatabois|Chenildieu|1 Bamatabois|Cochepaille|1 "
+    "Bamatabois|Judge|2 Blacheville|Dahlia|3 Blacheville|Fantine|3 Blacheville|Favourite|4 "
+    "Blacheville|Zephine|3 Bossuet|Grantaire|3 Bossuet|Joly|7 Bossuet|MmeHucheloup|1 "
+    "Brevet|Chenildieu|2 Brevet|Cochepaille|2 Champmathieu|Brevet|2 "
+    "Champmathieu|Chenildieu|2 Champmathieu|Cochepaille|2 Chenildieu|Cochepaille|2 "
+    "Child1|Child2|3 Claquesous|Brujon|1 Claquesous|Montparnasse|2 Combeferre|Bahorel|5 "
+    "Combeferre|Bossuet|9 Combeferre|Courfeyrac|13 Combeferre|Feuilly|5 "
+    "Combeferre|Grantaire|1 Combeferre|Joly|5 Combeferre|Prouvaire|2 "
+    "Cosette|Gillenormand|3 Cosette|Javert|1 Cosette|LtGillenormand|1 "
+    "Cosette|Marius|21 Cosette|MlleGillenormand|2 Cosette|Toussaint|2 "
+    "Cosette|Woman2|1 Courfeyrac|Bahorel|6 Courfeyrac|Bossuet|12 Courfeyrac|Grantaire|2 "
+    "Courfeyrac|Joly|5 Courfeyrac|MmeHucheloup|1 Dahlia|Fantine|4 Dahlia|Zephine|4 "
+    "Enjolras|Bahorel|4 Enjolras|Bossuet|10 Enjolras|Claquesous|1 Enjolras|Combeferre|15 "
+    "Enjolras|Courfeyrac|17 Enjolras|Feuilly|6 Enjolras|Grantaire|3 "
+    "Enjolras|Joly|5 Enjolras|MmeHucheloup|1 Enjolras|Prouvaire|4 Eponine|Anzelma|2 "
+    "Eponine|Babet|1 Eponine|Brujon|1 Eponine|Claquesous|1 Eponine|Courfeyrac|1 "
+    "Eponine|Gueulemer|1 Eponine|Mabeuf|1 Eponine|Marius|5 Eponine|Montparnasse|1 "
+    "Fameuil|Blacheville|4 Fameuil|Dahlia|3 Fameuil|Fantine|3 Fameuil|Favourite|3 "
+    "Fameuil|Zephine|3 Fantine|Bamatabois|1 Fantine|Javert|5 Fantine|MmeThenardier|2 "
+    "Fantine|Perpetue|1 Fantine|Simplice|2 Fantine|Thenardier|1 Fauchelevent|Gribier|2 "
+    "Fauchelevent|MotherInnocent|3 Favourite|Dahlia|5 Favourite|Fantine|4 "
+    "Favourite|Zephine|4 Feuilly|Bahorel|3 Feuilly|Bossuet|6 Feuilly|Courfeyrac|6 "
+    "Feuilly|Grantaire|1 Feuilly|Joly|5 Gavroche|Babet|1 Gavroche|Bahorel|5 "
+    "Gavroche|Bossuet|5 Gavroche|Brujon|1 Gavroche|Child1|2 Gavroche|Child2|2 "
+    "Gavroche|Combeferre|6 Gavroche|Courfeyrac|7 Gavroche|Enjolras|7 "
+    "Gavroche|Feuilly|2 Gavroche|Grantaire|1 Gavroche|Gueulemer|1 Gavroche|Joly|3 "
+    "Gavroche|Mabeuf|1 Gavroche|Marius|4 Gavroche|MmeHucheloup|1 Gavroche|Montparnasse|1 "
+    "Gavroche|Prouvaire|1 Gillenormand|BaronessT|1 Gillenormand|LtGillenormand|1 "
+    "Gillenormand|Magnon|1 Gillenormand|Marius|12 Gillenormand|MlleGillenormand|9 "
+    "Grantaire|MmeHucheloup|1 Gueulemer|Babet|6 Gueulemer|Brujon|3 Gueulemer|Claquesous|4 "
+    "Gueulemer|Montparnasse|2 Javert|Babet|2 Javert|Bamatabois|1 Javert|Claquesous|1 "
+    "Javert|Enjolras|6 Javert|Fauchelevent|1 Javert|Gavroche|1 Javert|Gueulemer|1 "
+    "Javert|Montparnasse|1 Javert|Simplice|1 Javert|Toussaint|1 Javert|Woman1|1 "
+    "Javert|Woman2|1 Joly|Grantaire|2 Joly|MmeHucheloup|1 Judge|Brevet|2 "
+    "Judge|Champmathieu|3 Judge|Chenildieu|2 Judge|Cochepaille|2 Listolier|Blacheville|4 "
+    "Listolier|Dahlia|3 Listolier|Fameuil|4 Listolier|Fantine|3 Listolier|Favourite|3 "
+    "Listolier|Tholomyes|4 Listolier|Zephine|3 LtGillenormand|Marius|1 "
+    "Mabeuf|Bahorel|2 Mabeuf|Bossuet|1 Mabeuf|Combeferre|2 Mabeuf|Courfeyrac|2 "
+    "Mabeuf|Enjolras|1 Mabeuf|Feuilly|1 Mabeuf|Joly|1 Mabeuf|MotherPlutarch|3 "
+    "Marguerite|Fantine|2 Marius|Bahorel|1 Marius|BaronessT|1 Marius|Bossuet|5 "
+    "Marius|Combeferre|5 Marius|Courfeyrac|9 Marius|Enjolras|7 Marius|Feuilly|1 "
+    "Marius|Joly|2 Marius|Mabeuf|1 MlleBaptistine|MmeMagloire|6 MlleBaptistine|Valjean|3 "
+    "MlleGillenormand|LtGillenormand|2 MlleGillenormand|Marius|6 MlleGillenormand|MlleVaubois|1 "
+    "MlleGillenormand|MmePontmercy|1 MmeBurgon|Gavroche|2 MmeBurgon|Jondrette|1 "
+    "MmeMagloire|Valjean|3 MmeThenardier|Anzelma|1 MmeThenardier|Babet|1 "
+    "MmeThenardier|Claquesous|1 MmeThenardier|Cosette|4 MmeThenardier|Eponine|2 "
+    "MmeThenardier|Gueulemer|1 MmeThenardier|Javert|1 MmeThenardier|Magnon|1 "
+    "MmeThenardier|Thenardier|13 Montparnasse|Brujon|1 Myriel|Champtercier|1 "
+    "Myriel|Count|2 Myriel|CountessDeLo|1 Myriel|Cravatte|1 Myriel|Geborand|1 "
+    "Myriel|MlleBaptistine|8 Myriel|MmeMagloire|10 Myriel|OldMan|1 Myriel|Valjean|5 "
+    "Napoleon|Myriel|1 Perpetue|Simplice|2 Pontmercy|Marius|1 Pontmercy|MmePontmercy|1 "
+    "Prouvaire|Bahorel|2 Prouvaire|Bossuet|2 Prouvaire|Courfeyrac|3 "
+    "Prouvaire|Feuilly|2 Prouvaire|Grantaire|1 Prouvaire|Joly|2 Thenardier|Anzelma|2 "
+    "Thenardier|Babet|6 Thenardier|Boulatruelle|1 Thenardier|Brujon|3 "
+    "Thenardier|Claquesous|4 Thenardier|Cosette|1 Thenardier|Eponine|3 "
+    "Thenardier|Gavroche|1 Thenardier|Gueulemer|5 Thenardier|Javert|5 "
+    "Thenardier|Marius|2 Thenardier|Montparnasse|1 Thenardier|Pontmercy|1 "
+    "Tholomyes|Blacheville|4 Tholomyes|Cosette|1 Tholomyes|Dahlia|3 "
+    "Tholomyes|Fameuil|4 Tholomyes|Fantine|3 Tholomyes|Favourite|3 Tholomyes|Marius|1 "
+    "Tholomyes|Zephine|3 Valjean|Babet|1 Valjean|Bamatabois|2 Valjean|Bossuet|1 "
+    "Valjean|Brevet|2 Valjean|Champmathieu|3 Valjean|Chenildieu|2 Valjean|Claquesous|1 "
+    "Valjean|Cochepaille|2 Valjean|Cosette|31 Valjean|Enjolras|4 Valjean|Fantine|9 "
+    "Valjean|Fauchelevent|8 Valjean|Gavroche|1 Valjean|Gervais|1 Valjean|Gillenormand|2 "
+    "Valjean|Gueulemer|1 Valjean|Isabeau|1 Valjean|Javert|17 Valjean|Judge|3 "
+    "Valjean|Labarre|1 Valjean|Marguerite|1 Valjean|Marius|19 Valjean|MlleGillenormand|2 "
+    "Valjean|MmeDeR|1 Valjean|MmeThenardier|7 Valjean|Montparnasse|1 "
+    "Valjean|MotherInnocent|1 Valjean|Scaufflaire|1 Valjean|Simplice|3 "
+    "Valjean|Thenardier|12 Valjean|Toussaint|1 Valjean|Woman1|2 Valjean|Woman2|3 "
+    "Zephine|Fantine|4 "
+)
+
+def les_miserables_graph() -> "Graph":
+    """generators/social.py les_miserables_graph: Knuth's SGB
+    77-character co-occurrence network, integer 'weight' edge attrs."""
+    G = Graph()
+    for tok in _LES_MIS_DATA.split(" "):
+        if not tok:
+            continue
+        u, v, w = tok.split("|")
+        G.add_edge(u, v, weight=int(w))
+    return G
+
+
 def write_adjlist(G: "Graph", path: str, delimiter: str = " ") -> None:
     """readwrite/adjlist.py write_adjlist (networkx line format:
     `node nbr1 nbr2 ...`, undirected edges emitted once — at the
@@ -1346,15 +1576,33 @@ def average_neighbor_degree(G: Graph) -> dict:
     return _to_dict(G, _annd(G._flush()), "avg_nbr_deg")
 
 
-def rich_club_coefficient(G: Graph, normalized: bool = False) -> dict:
+def rich_club_coefficient(G: Graph, normalized: bool = True,
+                          Q: float = 100, seed=None) -> dict:
     """networkx/algorithms/richclub.py — non-normalized only (the
     normalized variant needs degree-preserving rewiring, a sequential
-    randomized process out of scope; pass normalized=False)."""
+    randomized process out of scope; pass normalized=False — note the
+    default is True for upstream signature parity, so a bare call
+    raises the documented NotImplementedError). Upstream guard order
+    preserved: directed → NetworkXNotImplemented, self-loops → the
+    upstream message, normalized on < 4 nodes → NetworkXError, all
+    BEFORE the normalized NotImplementedError."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "rich_club_coefficient is not implemented for directed graphs")
+    if G.number_of_selfloops() > 0:
+        raise NetworkXError(
+            "rich_club_coefficient is not implemented for "
+            "graphs with self loops.")
+    if normalized and len(G) < 4:
+        raise NetworkXError(
+            "Graph has fewer than four nodes")
     if normalized:
         raise NotImplementedError(
             "rich_club_coefficient(normalized=True) requires random "
             "rewiring; only normalized=False is supported"
         )
+    if G.number_of_edges() == 0:
+        return {}
     from graphscope_spark.algorithms.structure import (
         rich_club_coefficient as _rc,
     )
@@ -1401,3 +1649,17 @@ def modularity(G: Graph, communities, weight: str | None = "weight") -> float:
     has_w = wc is not None and wc in lg.edges.columns
     row = _q(lg, lab, weight=wc if has_w else None).collect()[0]
     return float(row["modularity"])
+
+
+# ----------------------------------------------------------------------
+# Namespace mirrors for upstream access paths used by networkx's own
+# test suite (nx.exception.NetworkXError, nx.richclub.rich_club_…).
+# ----------------------------------------------------------------------
+from types import SimpleNamespace as _SimpleNamespace  # noqa: E402
+
+exception = _SimpleNamespace(
+    NetworkXException=NetworkXException,
+    NetworkXError=NetworkXError,
+    NetworkXNotImplemented=NetworkXNotImplemented,
+)
+richclub = _SimpleNamespace(rich_club_coefficient=rich_club_coefficient)

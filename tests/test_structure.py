@@ -58,8 +58,26 @@ def test_average_degree_connectivity(fixture):
         for r in average_degree_connectivity(g).collect()
     }
     want = nx.average_degree_connectivity(G)
-    want = {k: v for k, v in want.items() if k > 0}
     assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_average_degree_connectivity_isolates(spark):
+    """NX emits dc[0] = 0.0 when isolates exist — so do we (r3 ADVICE:
+    the edge-endpoint aggregate alone would omit it)."""
+    es = [(1, 2), (2, 3), (3, 1)]
+    e = spark.createDataFrame(es, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    g = LinkGraph.from_edges(e, vertices=v, directed=False).build()
+    G = nx.Graph(es)
+    G.add_nodes_from([4, 5])
+    got = {
+        r["degree"]: r["knn"]
+        for r in average_degree_connectivity(g).collect()
+    }
+    want = nx.average_degree_connectivity(G)
+    assert set(got) == set(want) and 0 in got
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12), k
 
@@ -73,7 +91,7 @@ def test_rich_club(fixture):
     # nx emits k while >1 node remains; ours requires >= 2 (same set)
     assert set(got) == set(want)
     for k in want:
-        assert got[k] == pytest.approx(round(want[k], 6), abs=2e-6), k
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
 
 
 def test_eccentricity_and_extremes(spark):

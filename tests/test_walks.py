@@ -251,3 +251,51 @@ def test_neighbor_sample_topk_weight(spark):
     # hop 0 from 1: weights 9.0/9.0/5.0 → ties on 9.0 break to min dst: {3, 4}
     assert got == want
     assert (1, 0, 1, 3) in got and (1, 0, 1, 4) in got
+
+
+def test_sage_features_mean_matches_python(spark, toy_graph):
+    """sage_features = neighbor_sample + per-hop feature pooling; the
+    Python twin recomputes the pools from the (already twin-verified)
+    sample rows and a driver-side feature dict."""
+    from graphscope_spark.algorithms.walks import (
+        neighbor_sample, sage_features,
+    )
+    from pyspark.sql import functions as F
+
+    feats = {i: (float(i % 3 + 1), float(i % 5)) for i in range(12)}
+    fdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in feats.items()], "id long, fa double, fb double")
+    got = {
+        r["root"]: r.asDict()
+        for r in sage_features(
+            toy_graph, fdf, [0, 3, 6], [2, 2], agg="mean").collect()
+    }
+    samp = neighbor_sample(toy_graph, [0, 3, 6], [2, 2]).collect()
+    for root in (0, 3, 6):
+        row = got[root]
+        assert row["self_fa"] == feats[root][0]
+        assert row["self_fb"] == feats[root][1]
+        for hop in (0, 1):
+            dsts = [r["dst"] for r in samp
+                    if r["root"] == root and r["hop"] == hop]
+            for ci, cname in enumerate(("fa", "fb")):
+                want = (sum(feats[d][ci] for d in dsts) / len(dsts)
+                        if dsts else 0.0)
+                key = f"h{hop + 1}_mean_{cname}"
+                assert row[key] == want, (root, key, row[key], want)
+
+
+def test_sage_features_max_and_empty_hop(spark):
+    """max pooling; a root whose hop-2 frontier is empty pools 0.0."""
+    from graphscope_spark import LinkGraph
+    from graphscope_spark.algorithms.walks import sage_features
+
+    e = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    g = LinkGraph.from_edges(e).build(2)  # directed; 2,3 are sinks
+    fdf = spark.createDataFrame(
+        [(1, 10.0), (2, 7.0), (3, 9.0)], "id long, f double")
+    rows = {r["root"]: r.asDict()
+            for r in sage_features(g, fdf, [1], [2, 2], agg="max").collect()}
+    assert rows[1]["self_f"] == 10.0
+    assert rows[1]["h1_max_f"] == 9.0
+    assert rows[1]["h2_max_f"] == 0.0  # sinks: empty hop-2 sample
