@@ -1,16 +1,16 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Real decode, stdlib+numpy only, for the spec-simple uncompressed
-formats — BMP (24-bit bottom-up, the Windows DIB everyone writes) and
-WAV (RIFF PCM16 mono) — plus nearest-neighbor resize and genuine
-image/audio feature kernels (channel stats + luma histogram + thumbnail
-grid; RMS + zero-crossings + FFT band energies). Compressed codecs
-(JPEG/PNG/MP3/H.264) are NOT implementable in this sandbox (no
-PIL/libvips/ffmpeg): payloads whose magic bytes we don't recognize fall
-back to a deterministic sha256 pseudo-feature, flagged `decoded=false`,
-so the pipeline stays total and the swap-in point for a production
-decoder is exactly `_decode_payload`.
+Real decode, stdlib+numpy only: BMP (24-bit bottom-up DIB), WAV (RIFF
+PCM16 mono), baseline JPEG and 8-bit PNG (pure-Python codecs in
+jpeg.py — ITU-T T.81 / RFC 2083, self-describing tables, all five PNG
+filters) — plus nearest-neighbor resize and genuine image/audio
+feature kernels (channel stats + luma histogram + thumbnail grid;
+RMS + zero-crossings + FFT band energies). Codecs outside that scope
+(progressive/arithmetic JPEG, 16-bit/interlaced PNG, MP3, H.264) fall
+back to a deterministic sha256 pseudo-feature flagged
+`decoded=false`, so the pipeline stays total and the swap-in point
+for a faster production decoder remains exactly `_decode_payload`.
 
 Scale notes: binary payloads dominate row size, so
 - `spark.sql.files.maxPartitionBytes` (set in session.py) bounds scan
@@ -160,12 +160,23 @@ def _fallback_features(payload: bytes) -> np.ndarray:
 
 def _decode_payload(payload: bytes) -> tuple[np.ndarray, bool]:
     """Magic-byte dispatch: real decode where the format allows, else
-    the flagged fallback."""
+    the flagged fallback. JPEG (baseline) and PNG are REAL decodes via
+    the pure-Python jpeg.py codecs (spec modes outside their scope —
+    progressive JPEG, 16-bit PNG — raise inside and fall back,
+    flagged)."""
     try:
         if payload[:2] == b"BM":
             return _image_features(decode_bmp(payload)), True
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(*decode_wav(payload)), True
+        if payload[:2] == b"\xff\xd8":
+            from graphscope_spark.functions.jpeg import decode_jpeg
+
+            return _image_features(decode_jpeg(payload)), True
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from graphscope_spark.functions.jpeg import decode_png
+
+            return _image_features(decode_png(payload)), True
     except Exception:
         pass  # corrupt container -> fallback, never a task failure
     return _fallback_features(payload), False
