@@ -343,6 +343,68 @@ class Traversal:
                           track_path=False)
         return sub._apply(inner)
 
+    def match(self, *patterns: "_Anon") -> "Traversal":
+        """Gremlin match() as pattern sugar over the existing
+        as_/where/select machinery (BEYOND GIE parity — GIE lists
+        Match unsupported, rst:359-369; shipped in the same spirit as
+        sack/subgraph).
+
+        Each pattern must begin with __.as_(start); a trailing
+        as_(end) binds the endpoint on first occurrence or must AGREE
+        with the existing binding (join semantics). Patterns run in
+        the given order — order them so every pattern after the first
+        starts from an already-bound tag. A pattern without a trailing
+        as_ is a pure constraint on its start binding.
+
+        Compilation: bindings are carried t_ columns; repositioning at
+        a bound tag is a projection; endpoint agreement is a codegen
+        equality filter — so the whole match stays ONE Catalyst plan
+        (k hop-patterns = k shuffle joins, never a driver loop). The
+        result is positioned at the last pattern's endpoint with all
+        bindings retained; chain .select(tags...) to read them out.
+        """
+        self._need("v", "match")
+        if not patterns:
+            raise TypeError("match() needs at least one pattern")
+        cur = self
+        for i, sub in enumerate(patterns):
+            steps = list(getattr(sub, "_steps", ()))
+            if not steps or steps[0][0] != "as_":
+                raise TypeError(
+                    "each match() pattern must start with __.as_(tag)")
+            start = steps[0][1][0]
+            end = None
+            if len(steps) > 1 and steps[-1][0] == "as_":
+                end = steps[-1][1][0]
+                mid = steps[1:-1]
+            else:
+                mid = steps[1:]
+            scol = f"t_{start}"
+            if scol not in cur.df.columns:
+                if i > 0:
+                    raise TypeError(
+                        f"match() pattern {i}: start tag {start!r} is "
+                        "unbound — order patterns so each starts from a "
+                        "bound tag")
+                cur = cur.as_(start)
+            else:
+                cols = [F.col(scol).alias("e")] + [
+                    F.col(c) for c in cur.df.columns if c != "e"]
+                cur = cur._next(cur.df.select(*cols))
+            cur = _Anon(mid)._apply(cur)
+            if cur.kind != "v":
+                raise TypeError(
+                    f"match() pattern {i}: patterns must stay vertex-kind "
+                    f"(got {cur.kind!r}); aggregate/value steps belong in "
+                    "where(), not match()")
+            if end is not None:
+                ecol = f"t_{end}"
+                if ecol in cur.df.columns:
+                    cur = cur._next(cur.df.where(F.col("e") == F.col(ecol)))
+                else:
+                    cur = cur.as_(end)
+        return cur
+
     def where(self, sub: "_Anon") -> "Traversal":
         """Correlated filter: keep elements whose sub-traversal is
         non-empty (GIE `where(out().count().is(gt(4)))`,

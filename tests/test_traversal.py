@@ -662,3 +662,55 @@ def test_union_coalesce_preserve_sack_and_tags(toy_graph):
            .dedup().as_("b").select("a", "b").toDF().collect())
     assert {r["a"] for r in got} == {3}
     assert sorted(r["b"] for r in got) == sorted(OUT[3])
+
+
+def test_match_transitive_triads(g):
+    """match() pattern sugar: a->b, b->c, a->c against the Python
+    adjacency twin."""
+    rows = (g.V().match(
+        __.as_("a").out().as_("b"),
+        __.as_("b").out().as_("c"),
+        __.as_("a").out().as_("c"),
+    ).select("a", "b", "c").toDF().collect())
+    got = sorted((r["a"], r["b"], r["c"]) for r in rows)
+    want = sorted(
+        (a, b, c)
+        for a in OUT for b in OUT.get(a, ())
+        for c in OUT.get(b, ()) if c in OUT.get(a, ()))
+    assert got == want and len(got) > 0
+
+
+def test_match_constraint_and_reuse(g):
+    """A pattern without a trailing as_ constrains its start binding;
+    repositioning at a bound tag works mid-match."""
+    rows = (g.V().match(
+        __.as_("a").out().as_("b"),
+        __.as_("a").hasId(3),
+    ).select("a", "b").toDF().collect())
+    got = sorted((r["a"], r["b"]) for r in rows)
+    assert got == sorted((3, d) for d in OUT[3])
+
+
+def test_match_endpoint_agreement_filters(g):
+    """Binding an already-bound endpoint keeps only agreeing rows —
+    a<-b<-a back-edge pattern = reciprocal pairs."""
+    rows = (g.V().match(
+        __.as_("a").out().as_("b"),
+        __.as_("b").out().as_("a"),
+    ).select("a", "b").toDF().collect())
+    got = sorted((r["a"], r["b"]) for r in rows)
+    want = sorted((a, b) for a in OUT for b in OUT[a]
+                  if a in OUT.get(b, ()))
+    assert got == want and len(got) > 0
+
+
+def test_match_errors(g):
+    with pytest.raises(TypeError, match="start with"):
+        g.V().match(__.out().as_("b")).toDF()
+    with pytest.raises(TypeError, match="unbound"):
+        g.V().match(__.as_("a").out().as_("b"),
+                    __.as_("zzz").out().as_("c")).toDF()
+    with pytest.raises(TypeError, match="vertex-kind"):
+        g.V().match(__.as_("a").out().count().as_("b")).toDF()
+    with pytest.raises(TypeError, match="at least one"):
+        g.V().match()

@@ -45,7 +45,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    qs = entrymod.queries()
+    # sweep the driver-facing core AND the retired extended registry —
+    # the curation (round-4) changes driver sample density, not what
+    # this local gate verifies
+    qs = dict(entrymod.queries())
+    if hasattr(entrymod, "extended_queries"):
+        qs.update(entrymod.extended_queries())
     oracles = entrymod.oracle_sql()
 
     # run ALL DuckDB oracles first (Spark exhausts fds on local[*])
