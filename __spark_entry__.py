@@ -783,7 +783,7 @@ def q_sage_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 ticket draws + SUM/COUNT pooling."""
     from graphscope_spark.algorithms.walks import sage_features
 
-    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False)
+    g = LinkGraph.from_edges(H.g1_edges(spark, sf_dir), directed=False).build()
     deg = (
         g.undirected_edges()
         .groupBy(F.col("src").alias("id"))

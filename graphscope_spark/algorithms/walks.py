@@ -335,6 +335,13 @@ def sage_features(
     if feature_cols is None:
         feature_cols = [c for c in features.columns if c != ID]
 
+    # materialize the shared subtrees ONCE: roots feed the sampler, the
+    # self-feature join, and the output base; features feed the pool
+    # join and the self row; pooled feeds one pivot branch per hop.
+    # Without these cuts every branch re-derives the whole expansion
+    # (the fabric/degree-subtree audit finding, BENCH/PLANS.md r3).
+    roots = roots.localCheckpoint(eager=True)
+    features = features.localCheckpoint(eager=True)
     samp = neighbor_sample(
         graph, roots.select(F.col("root").alias(ID)), fanouts,
         seed=seed, strategy=strategy,
@@ -348,7 +355,9 @@ def sage_features(
         ]
     else:
         aggs = [F.max(c).cast("double").alias(c) for c in feature_cols]
-    pooled = joined.groupBy("root", "hop").agg(*aggs)
+    pooled = joined.groupBy("root", "hop").agg(*aggs).localCheckpoint(
+        eager=True
+    )
 
     out = roots.join(
         features.select(

@@ -35,6 +35,24 @@ def main() -> int:
 
     sections: list[tuple[str, str, str]] = []
 
+    import __spark_entry__ as entrymod
+
+    # round-4 operators
+    sections.append((
+        "sage_features_g1 (GraphSAGE mean-pool, built fabric + "
+        "checkpointed roots/features/pooled)",
+        "one expansion + one features join + one (root,hop) agg + "
+        "static pivot — 8 Exchanges after the shared-subtree fix",
+        plan_of(entrymod.q_sage_features(spark, sf_dir)),
+    ))
+    sections.append((
+        "gremlin_match_g3 (match() pattern sugar)",
+        "3 hop patterns = 3 SMJs over the cached fabric; endpoint "
+        "agreement folds into the 3rd join's key (read Exchanges "
+        "OUTSIDE InMemoryRelation blocks only)",
+        plan_of(entrymod.q_gremlin_match(spark, sf_dir)),
+    ))
+
     g1 = H.g1(spark, sf_dir).build()
 
     # one PageRank superstep body (the per-round plan that repeats)
