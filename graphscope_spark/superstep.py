@@ -17,9 +17,14 @@ for Spark:
   complete iteration.
 
 At cluster scale the checkpoint target is an Iceberg table (snapshot per
-iteration); in the sandbox it is a parquet dir per iteration with the
-same contract. `localCheckpoint` (memory-replicated, no I/O) is the fast
-default when resumability is not required.
+iteration): pass ``checkpoint_format="iceberg"`` and the runner writes
+``<catalog>.<db>.<run>_iter_NNNNN`` tables through any Iceberg catalog
+configured on the session (``spark.sql.catalog.*`` confs + the
+iceberg-spark-runtime jar, neither shippable in this sandbox — the path
+raises a clear error here and is exercised by the catalog-detection
+pytest). The sandbox default is a parquet dir per iteration with the
+same manifest/resume contract. `localCheckpoint` (memory-replicated,
+no I/O) is the fast default when resumability is not required.
 """
 
 from __future__ import annotations
@@ -39,6 +44,24 @@ from pyspark.sql import DataFrame
 # few-core levels: multi-minute) major-GC pauses per round. Serialized
 # blocks are a handful of byte arrays: same data, ~zero GC trace cost.
 _CKPT_LEVEL = StorageLevel(True, True, False, False, 1)  # MEMORY_AND_DISK_SER
+
+
+def iceberg_catalog(spark) -> str | None:
+    """Name of an Iceberg catalog configured on this session, else
+    None. Detection: a ``spark.sql.catalog.<name>`` conf whose value
+    names an Iceberg Spark catalog class. No jar probing — if the conf
+    is set but the jar is missing, the write fails with Spark's own
+    ClassNotFound, which is the right error."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:  # pragma: no cover - no JVM context
+        return None
+    for k, v in confs:
+        parts = k.split(".")
+        if (len(parts) == 4 and k.startswith("spark.sql.catalog.")
+                and "iceberg" in str(v).lower()):
+            return parts[3]
+    return None
 
 
 @dataclass
@@ -65,7 +88,13 @@ class SuperstepRunner:
         checkpoint_dir: str | None = None,
         eager: bool = True,
         adaptive: bool = False,
+        checkpoint_format: str = "parquet",
     ):
+        if checkpoint_format not in ("parquet", "iceberg"):
+            raise ValueError(
+                f"checkpoint_format must be parquet|iceberg, got "
+                f"{checkpoint_format!r}")
+        self.checkpoint_format = checkpoint_format
         self.max_iter = max_iter
         self.checkpoint_every = max(1, checkpoint_every)
         self.checkpoint_dir = checkpoint_dir
@@ -131,6 +160,27 @@ class SuperstepRunner:
 
     # -- checkpointing -------------------------------------------------
     def _checkpoint(self, df: DataFrame, iteration: int) -> tuple[DataFrame, str | None]:
+        if self.checkpoint_dir and self.checkpoint_format == "iceberg":
+            # checkpoint_dir doubles as the run name: one Iceberg table
+            # per iteration under <catalog>.graphscope_ckpt; resume
+            # reads the table back through the catalog. Requires a
+            # configured Iceberg catalog + runtime jar on the session.
+            spark = df.sparkSession
+            cat = iceberg_catalog(spark)
+            if cat is None:
+                raise RuntimeError(
+                    "checkpoint_format='iceberg' but no Iceberg catalog "
+                    "is configured on this SparkSession (need a "
+                    "spark.sql.catalog.<name> conf pointing at an "
+                    "Iceberg SparkCatalog plus the "
+                    "iceberg-spark-runtime jar). In this sandbox use "
+                    "the parquet checkpoint_format — identical "
+                    "manifest/resume contract."
+                )
+            run = os.path.basename(os.path.normpath(self.checkpoint_dir))
+            tbl = f"{cat}.graphscope_ckpt.{run}_iter_{iteration:05d}"
+            df.writeTo(tbl).using("iceberg").createOrReplace()
+            return spark.table(tbl), f"iceberg:{tbl}"
         if self.checkpoint_dir:
             path = os.path.join(self.checkpoint_dir, f"iter_{iteration:05d}")
             df.write.mode("overwrite").parquet(path)
@@ -171,7 +221,10 @@ class SuperstepRunner:
             last = self.last_complete()
             if last and last.get("path"):
                 spark = init_state.sparkSession
-                state = spark.read.parquet(last["path"])
+                p = last["path"]
+                state = (spark.table(p[len("iceberg:"):])
+                         if p.startswith("iceberg:")
+                         else spark.read.parquet(p))
                 start_iter = int(last["iteration"]) + 1
                 history = self.read_manifest()
 

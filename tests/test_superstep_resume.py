@@ -98,3 +98,28 @@ def test_resume_past_max_iter_runs_zero_rounds(spark, tmp_path):
     # manifest gained no record claiming new work
     after = r2.read_manifest()
     assert [r["iteration"] for r in after] == [r["iteration"] for r in before]
+
+
+def test_iceberg_checkpoint_detection_and_guard(spark, tmp_path):
+    """checkpoint_format='iceberg' is a real code path gated on a
+    configured Iceberg catalog: in this sandbox no catalog exists, so
+    detection returns None and the runner raises the documented error
+    instead of silently writing parquet."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.superstep import (
+        SuperstepRunner, iceberg_catalog,
+    )
+
+    assert iceberg_catalog(spark) is None
+    runner = SuperstepRunner(
+        max_iter=2, checkpoint_every=1,
+        checkpoint_dir=str(tmp_path / "run1"),
+        checkpoint_format="iceberg",
+    )
+    init = spark.range(4).select(F.col("id"))
+    with _pytest.raises(RuntimeError, match="Iceberg catalog"):
+        runner.run(init, lambda s, i: s, lambda n, o, i: (False, {}))
+    with _pytest.raises(ValueError, match="parquet\\|iceberg"):
+        SuperstepRunner(checkpoint_format="delta")
