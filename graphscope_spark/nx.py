@@ -53,7 +53,8 @@ __all__ = [
     # generators (nx/generators/classic.py, random_graphs.py)
     "empty_graph", "path_graph", "cycle_graph", "complete_graph",
     "star_graph", "gnp_random_graph",
-    "betweenness_centrality", "harmonic_centrality",
+    "betweenness_centrality", "edge_betweenness_centrality",
+    "harmonic_centrality",
     "eccentricity", "radius", "diameter", "center", "periphery",
     "average_neighbor_degree", "rich_club_coefficient", "greedy_color",
     "modularity",
@@ -66,7 +67,8 @@ __all__ = [
     # exceptions + classic named graphs + helpers (upstream parity)
     "NetworkXException", "NetworkXError", "NetworkXNotImplemented",
     "exception", "richclub",
-    "add_path", "ladder_graph", "krackhardt_kite_graph",
+    "add_path", "ladder_graph", "trivial_graph", "krackhardt_kite_graph",
+    "average_degree_connectivity",
     "florentine_families_graph", "karate_club_graph",
     "les_miserables_graph",
 ]
@@ -108,6 +110,25 @@ class _NodeList(list):
             return [(n, self._attrs.get(n, {})) for n in self]
         return [
             (n, self._attrs.get(n, {}).get(data, default)) for n in self
+        ]
+
+
+class _EdgeList(list):
+    """List of (u, v) pairs that is also callable, like NX's EdgeView:
+    ``G.edges()`` → itself, ``G.edges(data=True)`` → [(u, v, attrs)],
+    ``G.edges(data='w', default=d)`` → [(u, v, value)]."""
+
+    def __init__(self, seq, succ: dict):
+        super().__init__(seq)
+        self._succ = succ
+
+    def __call__(self, data=False, default=None):
+        if data is False:
+            return self
+        if data is True:
+            return [(u, v, self._succ[u][v]) for u, v in self]
+        return [
+            (u, v, self._succ[u][v].get(data, default)) for u, v in self
         ]
 
 
@@ -272,14 +293,17 @@ class Graph:
         return _NodeList(self._node, self._node)
 
     @property
-    def edges(self) -> list[tuple]:
+    def edges(self) -> "_EdgeList":
         if self._base_lg is not None:
             raise NotImplementedError(
                 "nodes/edges lists would materialize the distributed graph "
                 "on the driver; read base LinkGraph.vertices/edges DataFrames"
             )
         if self._directed:
-            return [(u, v) for u, nbrs in self._succ.items() for v in nbrs]
+            return _EdgeList(
+                ((u, v) for u, nbrs in self._succ.items() for v in nbrs),
+                self._succ,
+            )
         seen = set()
         out = []
         for u, nbrs in self._succ.items():
@@ -288,7 +312,7 @@ class Graph:
                 if (k[1], k[0]) not in seen:
                     seen.add(k)
                     out.append((u, v))
-        return out
+        return _EdgeList(out, self._succ)
 
     def number_of_nodes(self) -> int:
         if self._base_lg is not None:
@@ -321,6 +345,21 @@ class Graph:
 
     def __iter__(self) -> Iterator:
         return iter(self._node)
+
+    def __getitem__(self, n: Hashable) -> dict:
+        """NX adjacency subscript: G[u] -> {v: attrdict}. The returned
+        attr dicts are LIVE (G[u][v]['weight'] = 5 mutates the edge,
+        upstream semantics), so the access conservatively bumps the
+        edit version — the flush cache must not serve a stale edge
+        table after such a mutation."""
+        if self._base_lg is not None:
+            raise NotImplementedError(
+                "adjacency subscripting would materialize the "
+                "distributed graph on the driver")
+        if n not in self._succ:
+            raise KeyError(n)
+        self._version += 1
+        return self._succ[n]
 
     def has_node(self, n: Hashable) -> bool:
         if self._base_lg is not None:
@@ -606,17 +645,59 @@ def betweenness_centrality(G: Graph, k: int | None = None,
     return _to_dict(G, r, "centrality")
 
 
+def edge_betweenness_centrality(G: Graph, k: int | None = None,
+                                normalized: bool = True,
+                                weight: str | None = None,
+                                seed=None) -> dict:
+    """networkx edge_betweenness_centrality — same forward sweeps as
+    the vertex version, per-DAG-edge dependency accumulation
+    (networkx's own TestEdgeBetweennessCentrality / Weighted classes
+    run against this in tests/test_nx_upstream.py). Keys follow the
+    graph's stored edge order, matching upstream dict keys."""
+    from graphscope_spark.algorithms.betweenness import (
+        edge_betweenness_centrality as _ebc,
+    )
+
+    if k is not None:
+        if k < 0:
+            raise ValueError(f"k must not be negative: {k}")
+        if k > len(G):
+            raise ValueError(
+                f"k ({k}) is larger than the number of nodes ({len(G)})")
+        if k == 0:
+            raise ZeroDivisionError(
+                "k must be positive: the n/k sample rescale divides by k")
+        if k == len(G):
+            k = None
+    r = _ebc(G._flush(weight), k=k, normalized=normalized,
+             weight_col=_weight_col(G, weight))
+    vals = {(G._back(row["src"]), G._back(row["dst"])): row["centrality"]
+            for row in r.collect()}
+    out = {}
+    for u, v in G.edges:
+        if (u, v) in vals:
+            out[(u, v)] = vals[(u, v)]
+        elif (v, u) in vals:  # undirected canonical orientation
+            out[(u, v)] = vals[(v, u)]
+    return out
+
+
 def harmonic_centrality(G: Graph, nbunch: Iterable | None = None,
-                        distance: str | None = None) -> dict:
+                        distance: str | None = None,
+                        sources: Iterable | None = None) -> dict:
     """networkx harmonic_centrality (reference forwards NX's suite —
-    test_harmonic_centrality.py:1-6): sum of 1/d(v→u) over incoming
-    shortest-path distances."""
+    test_harmonic_centrality.py:1-6; the suite itself runs against
+    this in tests/test_nx_upstream.py): sum of 1/d(v→u) over incoming
+    shortest-path distances, v ranging over `sources` when given."""
     lg = G._flush(distance)
     # materialize once: nbunch may be a generator, and it is read twice
     nodes = list(nbunch) if nbunch is not None else None
-    sources = G._ids_df(nodes) if nodes is not None else None
+    nodes_df = G._ids_df(nodes) if nodes is not None else None
+    src_list = list(sources) if sources is not None else None
+    from_df = G._ids_df(src_list) if src_list is not None else None
     r = A.harmonic_centrality(
-        lg, weight_col=_weight_col(G, distance), sources=sources)
+        lg, weight_col=_weight_col(G, distance), sources=nodes_df,
+        from_sources=from_df)
     d = _to_dict(G, r, "centrality")
     return d if nodes is None else {n: d[n] for n in nodes}
 
@@ -1224,6 +1305,11 @@ def balanced_tree(r: int, h: int, create_using=None) -> "Graph":
     return G
 
 
+def trivial_graph(create_using=None) -> "Graph":
+    """generators/classic.py trivial_graph: one node, no edges."""
+    return empty_graph(1, create_using)
+
+
 def ladder_graph(n: int, create_using=None) -> "Graph":
     """generators/classic.py ladder_graph: two n-paths 0..n-1 and
     n..2n-1 plus the n rungs (i, i+n)."""
@@ -1574,6 +1660,33 @@ def average_neighbor_degree(G: Graph) -> dict:
     )
 
     return _to_dict(G, _annd(G._flush()), "avg_nbr_deg")
+
+
+def average_degree_connectivity(G: Graph, source: str = "in+out",
+                                target: str = "in+out", nodes=None,
+                                weight: str | None = None) -> dict:
+    """networkx/algorithms/assortativity/connectivity.py — the FULL
+    upstream surface (source/target degree kinds for DiGraphs, Barrat
+    weighted form, nodes subset). networkx's own TestNeighborConnectivity
+    runs against this in tests/test_nx_upstream.py."""
+    from graphscope_spark.algorithms.structure import (
+        average_degree_connectivity as _adc,
+    )
+
+    # NX: a single node in G is accepted as the nodes argument
+    try:
+        single = nodes is not None and nodes in G
+    except TypeError:
+        single = False
+    node_list = ([nodes] if single
+                 else (list(nodes) if nodes is not None else None))
+    nodes_df = G._ids_df(node_list) if node_list is not None else None
+    try:
+        r = _adc(G._flush(weight), source=source, target=target,
+                 weight_col=_weight_col(G, weight), nodes=nodes_df)
+    except ValueError as err:
+        raise NetworkXError(str(err)) from None
+    return {int(row["degree"]): row["knn"] for row in r.collect()}
 
 
 def rich_club_coefficient(G: Graph, normalized: bool = True,

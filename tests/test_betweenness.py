@@ -225,3 +225,38 @@ def test_betweenness_weighted_equal_cost_paths(spark):
                                       normalized=False),
            realnx.betweenness_centrality(nxg, weight="weight",
                                          normalized=False))
+
+
+def _ebc_close(a: dict, b: dict, und: bool, tol=1e-9):
+    bk = {tuple(sorted(k)) if und else k: v for k, v in b.items()}
+    ak = {tuple(sorted(k)) if und else k: v for k, v in a.items()}
+    assert set(ak) == set(bk)
+    for k in ak:
+        assert math.isclose(ak[k], bk[k], rel_tol=0, abs_tol=tol), (
+            k, ak[k], bk[k])
+
+
+def test_edge_betweenness_undirected(und):
+    nxg, g = und
+    _ebc_close(gnx.edge_betweenness_centrality(g),
+               realnx.edge_betweenness_centrality(nxg), und=True)
+    _ebc_close(gnx.edge_betweenness_centrality(g, normalized=False),
+               realnx.edge_betweenness_centrality(nxg, normalized=False),
+               und=True)
+
+
+def test_edge_betweenness_directed(dig):
+    nxg, g = dig
+    _ebc_close(gnx.edge_betweenness_centrality(g),
+               realnx.edge_betweenness_centrality(nxg), und=False)
+
+
+def test_edge_betweenness_weighted(und_w, dig_w):
+    nxg, g = und_w
+    _ebc_close(gnx.edge_betweenness_centrality(g, weight="weight"),
+               realnx.edge_betweenness_centrality(nxg, weight="weight"),
+               und=True)
+    nxg, g = dig_w
+    _ebc_close(gnx.edge_betweenness_centrality(g, weight="weight"),
+               realnx.edge_betweenness_centrality(nxg, weight="weight"),
+               und=False)

@@ -34,7 +34,7 @@ def _edges(n=40, seed=11, mod=7):
 def fixture(spark):
     es = _edges()
     g = LinkGraph.from_edges(
-        spark.createDataFrame(es, "src long, dst long")
+        spark.createDataFrame(es, "src long, dst long"), directed=False
     ).build()
     return g, nx.Graph(es)
 
