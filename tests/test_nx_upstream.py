@@ -14,9 +14,13 @@ pytest from this file):
 - algorithms/centrality/tests/test_degree_centrality.py (7 tests)
 - algorithms/tests/test_reciprocity.py (5 tests)
 - algorithms/tests/test_richclub.py (12 tests)
-- algorithms/centrality/tests/test_betweenness_centrality.py —
-  TestBetweennessCentrality + TestWeightedBetweennessCentrality
-  (30 tests)
+- algorithms/centrality/tests/test_harmonic_centrality.py (14 tests;
+  the module imports harmonic_centrality DIRECTLY, repointed below)
+- algorithms/assortativity/tests/test_connectivity.py —
+  TestNeighborConnectivity, the full source/target/weight/nodes
+  average_degree_connectivity surface (10 tests)
+- algorithms/centrality/tests/test_betweenness_centrality.py — all
+  FOUR classes: vertex + edge, unweighted + weighted (45 tests)
 
 Deviations are explicit per-test xfails with reasons (never silent
 fallbacks): MultiGraph inputs (class not implemented), normalized
