@@ -68,7 +68,9 @@ __all__ = [
     "NetworkXException", "NetworkXError", "NetworkXNotImplemented",
     "exception", "richclub",
     "add_path", "ladder_graph", "trivial_graph", "krackhardt_kite_graph",
-    "average_degree_connectivity",
+    "cubical_graph", "grid_2d_graph",
+    "average_degree_connectivity", "square_clustering",
+    "generalized_degree",
     "florentine_families_graph", "karate_club_graph",
     "les_miserables_graph",
 ]
@@ -904,18 +906,52 @@ def k_core(G: Graph, k: int | None = None) -> Graph:
     return G.subgraph([G._back(r[ID]) for r in core.collect()])
 
 
-def clustering(G: Graph, nodes: Iterable | None = None) -> dict:
-    """builtin.py:725 (undirected local clustering coefficients)."""
-    d = _to_dict(G, A.clustering(G._flush()), "clustering")
-    return d if nodes is None else {n: d[n] for n in nodes}
+def _nbunch_arg(G: Graph, nodes):
+    """NX nbunch convention: a single node in G -> ([node], True);
+    an iterable -> (list, False); None -> (None, False)."""
+    try:
+        single = nodes is not None and nodes in G
+    except TypeError:
+        single = False
+    if single:
+        return [nodes], True
+    return (list(nodes) if nodes is not None else None), False
 
 
-def triangles(G: Graph, nodes: Iterable | None = None) -> dict:
-    """builtin.py:799."""
+def clustering(G: Graph, nodes=None, weight: str | None = None):
+    """builtin.py:725 — the FULL NX clustering surface: undirected
+    (2T/d(d-1)), weighted Onnela geometric-mean, and directed /
+    directed-weighted Fagiolo (networkx's own test_cluster module
+    runs against this in tests/test_nx_upstream.py). Single node ->
+    float, iterable -> dict."""
+    from graphscope_spark.algorithms.clustering import (
+        clustering_directed, clustering_weighted,
+    )
+
+    lg = G._flush(weight)
+    wc = _weight_col(G, weight)
+    if G.is_directed():
+        r = clustering_directed(lg, wc)
+    elif weight is not None:
+        r = clustering_weighted(lg, wc)
+    else:
+        r = A.clustering(lg)
+    d = _to_dict(G, r, "clustering")
+    lst, single = _nbunch_arg(G, nodes)
+    if single:
+        return d[lst[0]]
+    return d if lst is None else {n: d[n] for n in lst}
+
+
+def triangles(G: Graph, nodes=None):
+    """builtin.py:799. Single node -> int, iterable -> dict."""
     if G.is_directed():
         raise TypeError("triangles: not defined for directed graphs")
     d = _to_dict(G, A.triangles(G._flush()), "tricnt")
-    return d if nodes is None else {n: d[n] for n in nodes}
+    lst, single = _nbunch_arg(G, nodes)
+    if single:
+        return d[lst[0]]
+    return d if lst is None else {n: d[n] for n in lst}
 
 
 def transitivity(G: Graph) -> float:
@@ -924,12 +960,59 @@ def transitivity(G: Graph) -> float:
 
 
 def average_clustering(G: Graph, nodes: Iterable | None = None,
+                       weight: str | None = None,
                        count_zeros: bool = True) -> float:
-    """builtin.py:834."""
-    if nodes is not None or not count_zeros:
-        vals = [v for v in clustering(G, nodes).values() if count_zeros or v > 0]
-        return sum(vals) / len(vals) if vals else 0.0
+    """builtin.py:834, plus the NX weight=/directed forms. Upstream
+    semantics: mean over an EMPTY value set (empty graph, or
+    count_zeros=False with no nonzero coefficient) raises
+    ZeroDivisionError; count_zeros=False keeps abs(v) > 0 (signed
+    weights can produce negative coefficients)."""
+    if (nodes is not None or not count_zeros or weight is not None
+            or G.is_directed()):
+        c = clustering(G, nodes, weight=weight)
+        if not isinstance(c, dict):
+            c = {0: c}
+        vals = [v for v in c.values() if count_zeros or abs(v) > 0]
+        return sum(vals) / len(vals)  # empty -> ZeroDivisionError (NX)
+    if len(G) == 0:
+        raise ZeroDivisionError("average_clustering of an empty graph")
     return A.avg_clustering(G._flush())
+
+
+def square_clustering(G: Graph, nodes=None):
+    """networkx/algorithms/cluster.py::square_clustering (Lind et al.
+    C4 coefficient). Single node -> float, iterable -> dict."""
+    from graphscope_spark.algorithms.clustering import (
+        square_clustering as _sq,
+    )
+
+    d = _to_dict(G, _sq(G._flush()), "clustering")
+    lst, single = _nbunch_arg(G, nodes)
+    if single:
+        return d[lst[0]]
+    return d if lst is None else {n: d[n] for n in lst}
+
+
+def generalized_degree(G: Graph, nodes=None):
+    """networkx/algorithms/cluster.py::generalized_degree (Saramäki):
+    per node, Counter{t: #incident edges on exactly t triangles}.
+    Single node -> Counter, else dict of Counters."""
+    from collections import Counter
+
+    from graphscope_spark.algorithms.clustering import (
+        generalized_degree as _gd,
+    )
+
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "generalized_degree is not implemented for directed graphs")
+    out: dict = {n: Counter() for n in G.nodes}
+    for r in _gd(G._flush()).collect():
+        out[G._back(r[ID])][int(r["t"])] = int(r["cnt"])
+    lst, single = _nbunch_arg(G, nodes)
+    if single:
+        return out[lst[0]]
+    return out if lst is None else {n: out[n] for n in lst}
 
 
 def k_truss(G: Graph, k: int) -> Graph:
@@ -1308,6 +1391,30 @@ def balanced_tree(r: int, h: int, create_using=None) -> "Graph":
 def trivial_graph(create_using=None) -> "Graph":
     """generators/classic.py trivial_graph: one node, no edges."""
     return empty_graph(1, create_using)
+
+
+def cubical_graph(create_using=None) -> "Graph":
+    """generators/small.py cubical_graph: the 3-cube Q3 (8 nodes,
+    12 edges, upstream node numbering)."""
+    G = empty_graph(8, create_using)
+    G.add_edges_from([
+        (0, 1), (0, 3), (0, 4), (1, 2), (1, 7), (2, 3), (2, 6),
+        (3, 5), (4, 5), (4, 7), (5, 6), (6, 7)])
+    return G
+
+
+def grid_2d_graph(m: int, n: int, create_using=None) -> "Graph":
+    """generators/lattice.py grid_2d_graph: nodes are (i, j) tuples,
+    4-neighborhood edges (non-periodic)."""
+    G = (create_using if isinstance(create_using, Graph)
+         else (create_using or Graph)())
+    m, n = int(m), int(n)
+    G.add_nodes_from((i, j) for i in range(m) for j in range(n))
+    G.add_edges_from(((i, j), (i + 1, j))
+                     for i in range(m - 1) for j in range(n))
+    G.add_edges_from(((i, j), (i, j + 1))
+                     for i in range(m) for j in range(n - 1))
+    return G
 
 
 def ladder_graph(n: int, create_using=None) -> "Graph":

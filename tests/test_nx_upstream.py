@@ -40,6 +40,7 @@ import pytest
 import graphscope_spark.nx as gnx
 
 import networkx.algorithms.assortativity.tests.test_connectivity as _tcon
+import networkx.algorithms.tests.test_cluster as _tcl
 import networkx.algorithms.centrality.tests.test_betweenness_centrality as _tb
 import networkx.algorithms.centrality.tests.test_degree_centrality as _tdc
 import networkx.algorithms.centrality.tests.test_harmonic_centrality as _th
@@ -63,7 +64,7 @@ class _GnxShim:
 
 
 _shim = _GnxShim()
-for _mod in (_tdc, _trec, _trc, _tb, _th, _tcon):
+for _mod in (_tdc, _trec, _trc, _tb, _th, _tcon, _tcl):
     _mod.nx = _shim
 # the harmonic module also imports the function DIRECTLY
 # (`from networkx.algorithms.centrality import harmonic_centrality`),
@@ -128,6 +129,22 @@ TestClosenessCentrality = _th.TestClosenessCentrality
 
 # -- average_degree_connectivity (full source/target/weight surface) ----
 TestNeighborConnectivity = _tcon.TestNeighborConnectivity
+
+# -- clustering family (test_cluster: triangles, clustering incl.
+#    weighted/directed/directed-weighted Fagiolo, transitivity,
+#    average, square clustering, generalized degree). The module-level
+#    all_triangles tests are NOT re-exported (separate unimplemented
+#    enumeration API, distinct from the triangle machinery under test).
+TestTriangles = _tcl.TestTriangles
+TestClustering = _tcl.TestClustering
+TestWeightedClustering = _tcl.TestWeightedClustering
+TestDirectedClustering = _tcl.TestDirectedClustering
+TestDirectedWeightedClustering = _tcl.TestDirectedWeightedClustering
+TestDirectedAverageClustering = _tcl.TestDirectedAverageClustering
+TestAverageClustering = _tcl.TestAverageClustering
+TestTransitivity = _tcl.TestTransitivity
+TestSquareClustering = _tcl.TestSquareClustering
+TestGeneralizedDegree = _tcl.TestGeneralizedDegree
 
 # -- betweenness --------------------------------------------------------
 TestBetweennessCentrality = _tb.TestBetweennessCentrality
