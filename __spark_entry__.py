@@ -380,6 +380,37 @@ def q_degree_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return average_degree_connectivity(g)
 
 
+def q_clustering_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onnela weighted clustering over weighted-undirected G2W (NX
+    clustering weight= semantics): one sorted triangle 3-join with
+    cbrt((w1*w2*w3)/max^3) per triangle, 3-corner explode-sum."""
+    from graphscope_spark.algorithms.clustering import clustering_weighted
+
+    c = clustering_weighted(H.g2w(spark, sf_dir), "w")
+    return c.select("id", F.round("clustering", 6).alias("clustering"))
+
+
+def q_square_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lind C4 square clustering over undirected G3 (NX
+    square_clustering): wedge enumeration doubling as the common-
+    neighbor counter."""
+    from graphscope_spark.algorithms.clustering import square_clustering
+
+    g = LinkGraph.from_edges(H.g3_edges(spark, sf_dir), directed=False)
+    c = square_clustering(g)
+    return c.select("id", F.round("clustering", 6).alias("clustering"))
+
+
+def q_generalized_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saramäki generalized degree over undirected G3 (sparse, so the
+    per-edge triangle multiplicities actually vary): per vertex, how
+    many incident edges sit on exactly t triangles."""
+    from graphscope_spark.algorithms.clustering import generalized_degree
+
+    g = LinkGraph.from_edges(H.g3_edges(spark, sf_dir), directed=False)
+    return generalized_degree(g)
+
+
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-normalized rich-club coefficient φ(k) over undirected G2
     (suffix-sum windows over degree histograms only); the library
@@ -2899,6 +2930,91 @@ SELECT v.id, COALESCE(f.succ, '') AS succ
 FROM verts v LEFT JOIN folded f ON f.id = v.id
 """
 
+CLUSTERING_W_SQL = f"""
+WITH e0 AS MATERIALIZED ({H.G2W_SQL}),
+mx AS (SELECT MAX(w) AS m FROM e0),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+         e1.w AS wab, e2.w AS wbc, e3.w AS wac
+  FROM e0 e1
+  JOIN e0 e2 ON e2.src = e1.dst
+  JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (
+  SELECT a AS id, wab, wbc, wac FROM tri
+  UNION ALL SELECT b, wab, wbc, wac FROM tri
+  UNION ALL SELECT c, wab, wbc, wac FROM tri),
+tsum AS (
+  SELECT id,
+         SUM(cbrt((wab / (SELECT m FROM mx))
+                  * (wbc / (SELECT m FROM mx))
+                  * (wac / (SELECT m FROM mx)))) AS ts
+  FROM corners GROUP BY id),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+verts AS (SELECT DISTINCT src AS id FROM sym)
+SELECT v.id,
+       ROUND(CASE WHEN d.d >= 2 AND t.ts IS NOT NULL
+                  THEN 2.0 * t.ts / (d.d * (d.d - 1)) ELSE 0.0 END,
+             6) AS clustering
+FROM verts v JOIN deg d ON d.id = v.id
+LEFT JOIN tsum t ON t.id = v.id
+"""
+
+SQUARE_CLUSTERING_SQL = f"""
+WITH g AS MATERIALIZED ({H.G3_SQL}),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM g WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+wedges AS MATERIALIZED (
+  SELECT l.src AS v, l.dst AS u, r.dst AS w
+  FROM sym l JOIN sym r ON r.src = l.src AND l.dst < r.dst),
+cn AS MATERIALIZED (SELECT u, w, COUNT(*) AS cn FROM wedges GROUP BY u, w),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+pp AS (
+  SELECT wd.v, c.cn - 1 AS sq,
+         c.cn + CASE WHEN a.src IS NOT NULL THEN 1 ELSE 0 END AS degm,
+         du.d AS ku, dw.d AS kw
+  FROM wedges wd
+  JOIN cn c ON c.u = wd.u AND c.w = wd.w
+  LEFT JOIN e a ON a.src = wd.u AND a.dst = wd.w
+  JOIN deg du ON du.id = wd.u
+  JOIN deg dw ON dw.id = wd.w),
+st AS (
+  SELECT v, SUM(sq) AS squares,
+         SUM(sq + (ku - degm) + (kw - degm)) AS pot
+  FROM pp GROUP BY v)
+SELECT d.id,
+       ROUND(CASE WHEN st.pot > 0 THEN st.squares * 1.0 / st.pot
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN st ON st.v = d.id
+"""
+
+GENERALIZED_DEGREE_SQL = f"""
+WITH g AS MATERIALIZED ({H.G3_SQL}),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM g WHERE src <> dst),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+etri AS (
+  SELECT src, dst, COUNT(*) AS t FROM (
+    SELECT a AS src, b AS dst FROM tri
+    UNION ALL SELECT b, c FROM tri
+    UNION ALL SELECT a, c FROM tri)
+  GROUP BY src, dst),
+et AS (
+  SELECT e.src, e.dst, COALESCE(x.t, 0) AS t
+  FROM e LEFT JOIN etri x ON x.src = e.src AND x.dst = e.dst)
+SELECT id, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT src AS id, t FROM et UNION ALL SELECT dst, t FROM et)
+GROUP BY id, t
+"""
+
 GREMLIN_MATCH_SQL = f"""
 WITH e AS MATERIALIZED ({H.G3_SQL})
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
@@ -3438,6 +3554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annd_g2": q_annd,
         "degree_connectivity_g2": q_degree_connectivity,
         "rich_club_g2": q_rich_club,
+        "clustering_w_g2w": q_clustering_weighted,
+        "square_clustering_g3": q_square_clustering,
+        "generalized_degree_g3": q_generalized_degree,
         "graph_extremes_g2": q_graph_extremes,
         "powerlaw_alpha_g1": q_powerlaw_alpha,
         "anf_nf_g1_r4": q_anf_nf,
@@ -3642,6 +3761,9 @@ def oracle_sql() -> dict[str, str]:
         "annd_g2": H.avg_neighbor_degree_sql(),
         "degree_connectivity_g2": H.degree_connectivity_sql(),
         "rich_club_g2": H.rich_club_sql(),
+        "clustering_w_g2w": CLUSTERING_W_SQL,
+        "square_clustering_g3": SQUARE_CLUSTERING_SQL,
+        "generalized_degree_g3": GENERALIZED_DEGREE_SQL,
         "eccentricity_g2": H.eccentricity_sql(12),
         "graph_extremes_g2": H.graph_extremes_sql(12),
         "degree_histogram_g1": H.degree_histogram_sql(),
