@@ -70,7 +70,7 @@ __all__ = [
     "add_path", "ladder_graph", "trivial_graph", "krackhardt_kite_graph",
     "cubical_graph", "grid_2d_graph",
     "average_degree_connectivity", "square_clustering",
-    "generalized_degree",
+    "generalized_degree", "all_triangles",
     "florentine_families_graph", "karate_club_graph",
     "les_miserables_graph",
 ]
@@ -952,6 +952,29 @@ def triangles(G: Graph, nodes=None):
     if single:
         return d[lst[0]]
     return d if lst is None else {n: d[n] for n in lst}
+
+
+def all_triangles(G: Graph, nbunch=None):
+    """networkx/algorithms/cluster.py::all_triangles — yields each
+    undirected triangle once as an (a, b, c) tuple; nbunch keeps
+    triangles containing at least one nbunch node. Enumeration is the
+    shared distributed sorted 3-join, streamed back via
+    toLocalIterator (never a full collect)."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "all_triangles is not implemented for directed graphs")
+    from graphscope_spark.algorithms.clustering import (
+        _canon_weighted, _triangle_rows,
+    )
+
+    tri = _triangle_rows(_canon_weighted(G._flush(), None))
+    if nbunch is not None:
+        ids = [G._id_of[n] for n in nbunch if n in G]
+        tri = tri.where(
+            F.col("a").isin(ids) | F.col("b").isin(ids)
+            | F.col("c").isin(ids))
+    for r in tri.select("a", "b", "c").toLocalIterator():
+        yield (G._back(r["a"]), G._back(r["b"]), G._back(r["c"]))
 
 
 def transitivity(G: Graph) -> float:

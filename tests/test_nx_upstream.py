@@ -132,9 +132,22 @@ TestNeighborConnectivity = _tcon.TestNeighborConnectivity
 
 # -- clustering family (test_cluster: triangles, clustering incl.
 #    weighted/directed/directed-weighted Fagiolo, transitivity,
-#    average, square clustering, generalized degree). The module-level
-#    all_triangles tests are NOT re-exported (separate unimplemented
-#    enumeration API, distinct from the triangle machinery under test).
+#    average, square clustering, generalized degree, all_triangles
+#    enumeration).
+test_all_triangles_non_integer_nodes = _tcl.test_all_triangles_non_integer_nodes
+test_all_triangles_overlapping = _tcl.test_all_triangles_overlapping
+test_all_triangles_subset = _tcl.test_all_triangles_subset
+test_all_triangles_subset_empty = _tcl.test_all_triangles_subset_empty
+test_all_triangles_no_triangles = _tcl.test_all_triangles_no_triangles
+test_all_triangles_complete_graph_exact = (
+    _tcl.test_all_triangles_complete_graph_exact
+)
+test_all_triangles_directed_graph = _tcl.test_all_triangles_directed_graph
+test_all_triangles_multiedges = pytest.mark.xfail(
+    reason="parametrized over MultiGraph too (class not implemented); "
+    "the Graph param passes",
+    strict=False,
+)(_tcl.test_all_triangles_multiedges)
 TestTriangles = _tcl.TestTriangles
 TestClustering = _tcl.TestClustering
 TestWeightedClustering = _tcl.TestWeightedClustering
