@@ -1240,6 +1240,54 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(H.g1(spark, sf_dir))
 
 
+def q_k_crust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-crust (upstream networkx core.py::k_crust: core number <= k)
+    on G1 — one decomposition pass + a filter, no extra peels."""
+    from graphscope_spark.algorithms import k_crust
+
+    return k_crust(H.g1(spark, sf_dir), k=12)
+
+
+def q_k_corona(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-corona (upstream core.py::k_corona: core == k AND exactly k
+    in-core neighbors) on G1 — decomposition pass + ONE co-partitioned
+    neighbor-count join (no adjacency arrays)."""
+    from graphscope_spark.algorithms import k_corona
+
+    return k_corona(H.g1(spark, sf_dir), k=12)
+
+
+def q_community_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-aware link prediction (Soundarajan-Hopcroft CN/RA +
+    within-inter-cluster, upstream link_prediction.py semantics) over
+    undirected G1 with nation as the community map on BOTH sides
+    (customers c_nationkey, suppliers s_nationkey) — ONE wedge-join
+    pass, community table broadcast on all three wedge roles
+    (algorithms/linkpred.community_link_prediction_scores). Same
+    (u%7, v%7) stratum trim as link_prediction_g1 (23k of 1.1M
+    candidate pairs at sf0.01), value-checked against the full
+    pipeline."""
+    from graphscope_spark.algorithms import community_link_prediction_scores
+
+    cust = (
+        H.load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("id"),
+                F.col("c_nationkey").cast("long").alias("community"))
+    )
+    supp = (
+        H.load(spark, sf_dir, "supplier")
+        .select((F.col("s_suppkey") + H.OFFSET).cast("long").alias("id"),
+                F.col("s_nationkey").cast("long").alias("community"))
+    )
+    s = community_link_prediction_scores(H.g1(spark, sf_dir),
+                                         cust.unionAll(supp))
+    return s.where((F.col("u") % 7 == 0) & (F.col("v") % 7 == 0)).select(
+        "u", "v", "cn", "cn_sh",
+        F.round("ra_sh", 6).alias("ra_sh"),
+        F.round("wic", 6).alias("wic"),
+    )
+
+
 def q_anf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighborhood function (FM-sketch ANF, Palmer et al.
     KDD'02) over undirected G1, radii 0..4 (the curve saturates at 4).
@@ -3544,6 +3592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_g1": q_node2vec,
         "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
+        "k_crust_g1": q_k_crust,
+        "k_corona_g1": q_k_corona,
+        "community_lp_g1": q_community_lp,
         "mis_g2_r3": q_mis,
         "coloring_g2_r4": q_coloring,
         "butterfly_stats_g1": q_butterfly_stats,
@@ -3744,6 +3795,9 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_g1": H.node2vec_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 42),
         "skipgram_g1": H.skipgram_sql([1, 2, 3, 4, 5], 4, 4.0, 0.25, 2, 42),
         "core_numbers_g1": H.core_numbers_sql(6),
+        "k_crust_g1": H.kcrust_sql(12, 6),
+        "k_corona_g1": H.kcorona_sql(12, 6),
+        "community_lp_g1": H.COMMUNITY_LP_SQL,
         "mis_g2_r3": H.mis_sql(3),
         "coloring_g2_r4": H.coloring_sql(4),
         "butterflies_g1": H.butterflies_sql(),

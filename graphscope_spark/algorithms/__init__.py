@@ -21,8 +21,11 @@ from graphscope_spark.algorithms.hits import hits
 from graphscope_spark.algorithms.kcore import (
     core_numbers,
     k_core,
+    k_corona,
+    k_crust,
     k_shell,
     max_core,
+    onion_layers,
 )
 from graphscope_spark.algorithms.clustering import (
     avg_clustering,
@@ -82,6 +85,7 @@ from graphscope_spark.algorithms.anf import (
 )
 from graphscope_spark.algorithms.linkpred import (
     common_neighbors,
+    community_link_prediction_scores,
     link_prediction_scores,
 )
 from graphscope_spark.algorithms.trustrank import (  # noqa: F401
@@ -115,6 +119,7 @@ __all__ = [
     "pagerank", "wcc", "cdlp", "triangles", "triangle_count",
     "degree_centrality", "degree_assortativity_coefficient",
     "hits", "k_core", "k_shell", "core_numbers", "max_core",
+    "k_crust", "k_corona", "onion_layers",
     "clustering", "avg_clustering", "transitivity",
     "bfs", "bfs_generic", "sssp", "sssp_average_length", "sssp_has_path",
     "sssp_path",
@@ -124,6 +129,7 @@ __all__ = [
     "louvain", "property_sssp", "property_bfs", "sampling_path", "dfs",
     "betweenness_centrality", "harmonic_centrality", "node2vec_path",
     "link_prediction_scores", "common_neighbors",
+    "community_link_prediction_scores",
     "neighborhood_function", "effective_diameter", "average_distance",
     "distance_stats", "anf_balls", "hyperball_harmonic",
     "trustrank", "spam_mass",

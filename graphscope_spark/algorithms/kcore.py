@@ -61,7 +61,8 @@ def k_core(graph: LinkGraph, k: int, max_iter: int = 1000) -> DataFrame:
     )
 
 
-def core_numbers(graph: LinkGraph, max_iter: int = 10_000, **kw) -> DataFrame:
+def core_numbers(graph: LinkGraph, max_iter: int = 10_000,
+                 und_edges: DataFrame | None = None, **kw) -> DataFrame:
     """Core number of every vertex: DataFrame(id long, core long).
 
     Distributed h-index fixpoint (one pass for ALL k): h starts at the
@@ -80,11 +81,18 @@ def core_numbers(graph: LinkGraph, max_iter: int = 10_000, **kw) -> DataFrame:
 
     Reference semantics: generalizes apps/kcore/kcore.h:79-90 — the
     k-core(k) = {v : core(v) ≥ k} for every k at once.
+
+    und_edges: optional override of the symmetrized edge rows
+    (src,dst). Pass the arc MULTISET E ∪ reverse(E) to get NetworkX's
+    directed total-degree core numbers (reciprocal arcs count twice);
+    default is the simple undirected edge set.
     """
-    edges = graph.simple_edges()
-    und = edges.unionAll(
-        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    if und_edges is None:
+        edges = graph.simple_edges()
+        und_edges = edges.unionAll(
+            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    und = und_edges.select(SRC, DST).localCheckpoint(
+        eager=True, storageLevel=_CKPT_LEVEL)
 
     init = (
         und.groupBy(F.col(SRC).alias(ID))
@@ -144,3 +152,110 @@ def k_shell(graph: LinkGraph, k: int) -> DataFrame:
     """Vertices in the k-shell = k-core minus (k+1)-core (kshell.h) =
     {v : core(v) = k} — one decomposition pass instead of two peels."""
     return core_numbers(graph).where(F.col("core") == int(k)).select(ID)
+
+
+def k_crust(graph: LinkGraph, k: int | None = None) -> DataFrame:
+    """Vertices of the k-crust (upstream networkx/algorithms/core.py::
+    k_crust): {v : core(v) <= k}, k defaulting to max_core - 1. One
+    decomposition pass + a filter."""
+    c = core_numbers(graph)
+    if k is None:
+        kmax = c.agg(F.max("core").alias("m")).collect()[0]["m"] or 0
+        k = int(kmax) - 1
+    return c.where(F.col("core") <= int(k)).select(ID)
+
+
+def k_corona(graph: LinkGraph, k: int) -> DataFrame:
+    """Vertices of the k-corona (upstream core.py::k_corona): nodes in
+    the k-core with EXACTLY k neighbors inside the k-core. One
+    decomposition pass + one co-partitioned neighbor-count join — the
+    adjacency never materializes as arrays."""
+    k = int(k)
+    # the decomposition feeds BOTH the in-core set and the exact-k
+    # filter — materialize it once (shared-subtree discipline)
+    c = core_numbers(graph).localCheckpoint(
+        eager=True, storageLevel=_CKPT_LEVEL)
+    in_core = c.where(F.col("core") >= k).select(ID)
+    edges = graph.simple_edges()
+    und = edges.unionAll(
+        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    # count, per k-core vertex, its neighbors that are also in-core
+    core_nbrs = (
+        und.join(in_core.withColumnRenamed(ID, SRC), SRC, "left_semi")
+        .join(in_core.withColumnRenamed(ID, DST), DST, "left_semi")
+        .groupBy(F.col(SRC).alias(ID))
+        .agg(F.count("*").alias("nc"))
+    )
+    exact = c.where(F.col("core") == k).select(ID)
+    return (
+        exact.join(core_nbrs, ID, "left")
+        .where(F.coalesce("nc", F.lit(0)) == k)
+        .select(ID)
+    )
+
+
+def onion_layers(graph: LinkGraph, max_iter: int = 100_000) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016;
+    upstream networkx/algorithms/core.py::onion_layers semantics):
+    repeatedly peel every remaining vertex whose degree is <= the
+    running core threshold; each peel pass is one layer (contiguous
+    ints from 1). Isolated vertices form layer 1 on their own when
+    present (upstream convention).
+
+    DataFrame(id long, layer long). Undirected simple-graph semantics.
+
+    Scale plan: per layer one scalar min-degree aggregate + one
+    semi/anti join pair + one degree re-aggregate on the SHRINKING
+    remainder — the same peel shape as k_core; layer count on
+    power-law web graphs is O(10-100), each round cheaper than the
+    last. No driver-side adjacency."""
+    edges = graph.simple_edges()
+    und = (
+        edges.unionAll(
+            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
+    # remaining-vertex degree table (isolates carry 0)
+    deg = (
+        graph.vertices.select(ID)
+        .join(und.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d")),
+              ID, "left")
+        .select(ID, F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
+    result = None
+    current_core = 1
+    current_layer = 1
+    for it in range(max_iter):
+        row = deg.agg(F.min("d").alias("dmin"),
+                      F.count("*").alias("n")).collect()[0]
+        if row["n"] == 0:
+            break
+        dmin = int(row["dmin"])
+        if it == 0 and dmin == 0:
+            cutoff = 0  # isolates alone form layer 1 (upstream special case)
+        else:
+            current_core = max(current_core, dmin)
+            cutoff = current_core
+        layer = deg.where(F.col("d") <= cutoff).select(ID)
+        assigned = layer.withColumn("layer", F.lit(current_layer).cast("long"))
+        result = assigned if result is None else result.unionAll(assigned)
+        # drop peeled vertices and their edges, re-derive degrees
+        und = (
+            und.join(layer.withColumnRenamed(ID, SRC), SRC, "left_anti")
+            .join(layer.withColumnRenamed(ID, DST), DST, "left_anti")
+            .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+        )
+        deg = (
+            deg.join(layer, ID, "left_anti")
+            .select(ID)
+            .join(und.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d")),
+                  ID, "left")
+            .select(ID, F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+            .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+        )
+        current_layer += 1
+    if result is None:
+        spark = graph.vertices.sparkSession
+        return spark.createDataFrame([], f"{ID} long, layer long")
+    return result

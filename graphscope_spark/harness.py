@@ -755,6 +755,75 @@ WHERE e.src IN (SELECT id FROM s) AND e.dst NOT IN (SELECT id FROM s)
 # Spark plan uses; the anti-join against existing edges is a
 # structural no-op on bipartite G1 (distance-2 pairs are same-side),
 # and the NX-parity exclusion behavior is pytest-covered on gnp.
+def kcrust_sql(k: int, rounds: int = 6, edges_sql: str | None = None) -> str:
+    """k-crust = {v : core(v) <= k} (upstream core.py::k_crust) —
+    reuses the unrolled h-index core-decomposition twin."""
+    return (f"SELECT id FROM ({core_numbers_sql(rounds, edges_sql)}) "
+            f"WHERE core <= {int(k)}")
+
+
+def kcorona_sql(k: int, rounds: int = 6, edges_sql: str | None = None) -> str:
+    """k-corona = nodes of the k-core with EXACTLY k neighbors inside
+    the k-core (upstream core.py::k_corona)."""
+    k = int(k)
+    return f"""
+WITH cn AS MATERIALIZED ({core_numbers_sql(rounds, edges_sql)}),
+es AS MATERIALIZED (SELECT src, dst FROM ({edges_sql or G1_SQL}) WHERE src <> dst),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM es UNION ALL SELECT dst, src FROM es)),
+incore AS MATERIALIZED (SELECT id FROM cn WHERE core >= {k}),
+nbr AS MATERIALIZED (
+  SELECT u.src AS id, COUNT(*) AS nc
+  FROM und u
+  JOIN incore a ON a.id = u.src
+  JOIN incore b ON b.id = u.dst
+  GROUP BY u.src)
+SELECT c.id FROM cn c
+LEFT JOIN nbr ON nbr.id = c.id
+WHERE c.core = {k} AND COALESCE(nbr.nc, 0) = {k}
+"""
+
+
+COMMUNITY_LP_SQL = f"""
+WITH e0 AS MATERIALIZED ({G1_SQL}),
+und AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+comm AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_nationkey AS BIGINT) AS community
+  FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey + {OFFSET} AS BIGINT) AS id,
+         CAST(s_nationkey AS BIGINT) AS community
+  FROM supplier),
+wedges AS (
+  SELECT a.src AS w, a.dst AS u, b.dst AS v
+  FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst),
+j AS (
+  SELECT wg.u, wg.v,
+         cu.community AS cu, cv.community AS cv, cw.community AS cw,
+         d.deg AS wd
+  FROM wedges wg
+  JOIN comm cu ON cu.id = wg.u
+  JOIN comm cv ON cv.id = wg.v
+  JOIN comm cw ON cw.id = wg.w
+  JOIN deg d ON d.id = wg.w),
+p AS (
+  SELECT u, v, COUNT(*) AS cn,
+         SUM(CASE WHEN cu = cv AND cw = cu THEN 1 ELSE 0 END) AS within,
+         SUM(CASE WHEN cu = cv AND cw = cu THEN 1.0 / wd ELSE 0 END) AS ra_sh
+  FROM j GROUP BY u, v)
+SELECT p.u, p.v, CAST(p.cn AS BIGINT) AS cn,
+       CAST(p.cn + p.within AS BIGINT) AS cn_sh,
+       ROUND(p.ra_sh, 6) AS ra_sh,
+       ROUND(p.within * 1.0 / (p.cn - p.within + 0.001), 6) AS wic
+FROM p
+LEFT JOIN e0 x ON p.u = x.src AND p.v = x.dst
+WHERE x.src IS NULL AND p.u % 7 = 0 AND p.v % 7 = 0
+"""
+
+
 LINK_PREDICTION_SQL = f"""
 WITH e AS MATERIALIZED ({G1_SQL}),
 und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

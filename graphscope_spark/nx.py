@@ -73,6 +73,20 @@ __all__ = [
     "generalized_degree", "all_triangles",
     "florentine_families_graph", "karate_club_graph",
     "les_miserables_graph",
+    # round-4 conformance surface
+    "NetworkXPointlessConcept", "NodeNotFound", "NetworkXAlgorithmError",
+    "core_number", "k_shell", "k_crust", "k_corona", "onion_layers",
+    "is_connected", "number_connected_components", "node_connected_component",
+    "number_weakly_connected_components", "is_weakly_connected",
+    "kosaraju_strongly_connected_components", "is_directed_acyclic_graph",
+    "union", "disjoint_union", "relabel_nodes",
+    "convert_node_labels_to_integers",
+    "null_graph", "petersen_graph", "house_graph", "lollipop_graph",
+    "tetrahedral_graph", "havel_hakimi_graph", "is_graphical",
+    "cn_soundarajan_hopcroft", "ra_index_soundarajan_hopcroft",
+    "within_inter_cluster", "common_neighbor_centrality",
+    "incremental_closeness_centrality", "fast_gnp_random_graph",
+    "gn_graph", "utils",
 ]
 
 
@@ -85,8 +99,35 @@ class NetworkXError(NetworkXException, ValueError):
     callers catching ValueError keep working."""
 
 
-class NetworkXNotImplemented(NetworkXException):
-    """upstream not-implemented-for-this-graph-type dispatch error."""
+class NetworkXNotImplemented(NetworkXException, TypeError):
+    """upstream not-implemented-for-this-graph-type dispatch error;
+    also a TypeError so pre-existing callers catching TypeError keep
+    working."""
+
+
+class NetworkXPointlessConcept(NetworkXException, ValueError):
+    """upstream exception.py NetworkXPointlessConcept (null-graph
+    questions); also a ValueError for pre-existing callers."""
+
+
+class NodeNotFound(NetworkXException, KeyError):
+    """upstream exception.py NodeNotFound; also a KeyError for
+    pre-existing callers."""
+
+
+class NetworkXAlgorithmError(NetworkXException):
+    """upstream exception.py NetworkXAlgorithmError."""
+
+class _Utils:
+    """Minimal stand-in for upstream networkx.utils (the conformance
+    shim resolves nx.utils here)."""
+
+    @staticmethod
+    def arbitrary_element(iterable):
+        return next(iter(iterable))
+
+
+utils = _Utils()
 
 # non-int node objects get synthetic ids from this base upward; int
 # nodes keep their value (the reference likewise keeps int64 oids
@@ -113,6 +154,17 @@ class _NodeList(list):
         return [
             (n, self._attrs.get(n, {}).get(data, default)) for n in self
         ]
+
+    def __getitem__(self, key):
+        """NX NodeView subscript: ``G.nodes[n]`` is the LIVE attr dict
+        of node ``n`` (upstream semantics — NOT positional list
+        indexing; slices keep list behavior for convenience)."""
+        if isinstance(key, slice):
+            return list.__getitem__(self, key)
+        try:
+            return self._attrs[key]
+        except (KeyError, TypeError):
+            raise KeyError(key) from None
 
 
 class _EdgeList(list):
@@ -160,7 +212,26 @@ class Graph:
         self._version = 0
         self._flush_cache: tuple[int, str | None, LinkGraph] | None = None
         if incoming_graph_data is not None:
-            self.add_edges_from(incoming_graph_data)
+            if isinstance(incoming_graph_data, Graph):
+                # copy-construct (upstream Graph(G) / DiGraph(G)):
+                # nodes + attrs, edges + attrs; an undirected source
+                # expands to both arcs when building a DiGraph
+                src = incoming_graph_data
+                for n, d in src._node.items():
+                    self.add_node(n, **d)
+                for u, v in src.edges:
+                    a = src._succ[u][v]
+                    self.add_edge(u, v, **a)
+                    if self._directed and not src._directed and u != v:
+                        self.add_edge(v, u, **a)
+            elif isinstance(incoming_graph_data, dict):
+                # dict-of-lists adjacency (upstream from_dict_of_lists)
+                for u, nbrs in incoming_graph_data.items():
+                    self.add_node(u)
+                    for v in nbrs:
+                        self.add_edge(u, v)
+            else:
+                self.add_edges_from(incoming_graph_data)
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -284,6 +355,9 @@ class Graph:
     # -- inspection (reference nx/classes/graph.py) ---------------------
     def is_directed(self) -> bool:
         return self._directed
+
+    def is_multigraph(self) -> bool:
+        return False
 
     @property
     def nodes(self) -> "_NodeList":
@@ -517,6 +591,17 @@ class DiGraph(Graph):
 
     def predecessors(self, n: Hashable) -> list:
         return list(self._pred[n])
+
+    def reverse(self) -> "DiGraph":
+        """upstream digraph.py::reverse (copy mode): arcs flipped,
+        attributes preserved."""
+        g = DiGraph(spark=self._spark)
+        for n, d in self._node.items():
+            g.add_node(n, **d)
+        for u, nbrs in self._succ.items():
+            for v, attr in nbrs.items():
+                g.add_edge(v, u, **attr)
+        return g
 
     def in_degree(self, n: Hashable | None = None):
         if n is not None:
@@ -894,16 +979,170 @@ def closeness_centrality(G: Graph, u: Hashable | None = None,
     return d[u] if u is not None else d
 
 
-def k_core(G: Graph, k: int | None = None) -> Graph:
-    """builtin.py:696 — the k-core (max-core when k is None) as an
-    induced subgraph. Max-core runs the single-pass h-index core
-    decomposition (algorithms/kcore.py core_numbers), not an upward
-    walk of peels."""
+def _bfs_lengths(G: Graph, s) -> dict:
+    """Driver BFS hop distances from s (upstream
+    single_source_shortest_path_length for the driver-bound surface)."""
+    dist = {s: 0}
+    frontier = [s]
+    while frontier:
+        nxt = []
+        for x in frontier:
+            for y in G._succ.get(x, {}):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    nxt.append(y)
+        frontier = nxt
+    return dist
+
+
+def incremental_closeness_centrality(G: Graph, edge, prev_cc: dict | None = None,
+                                     insertion: bool = True,
+                                     wf_improved: bool = True) -> dict:
+    """upstream centrality/closeness.py::incremental_closeness_centrality
+    (Sariyüce et al. 2013 level-based work filtering): after an edge
+    insert/delete, a node s keeps its previous closeness iff
+    |d(s,u) - d(s,v)| <= 1; only the filtered-in nodes re-run a sweep.
+    Driver-bound NX surface (mutates-and-restores G like upstream);
+    the distributed full recompute is closeness_centrality."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "incremental_closeness_centrality not implemented for "
+            "directed type")
+    if prev_cc is not None and set(prev_cc.keys()) != set(G._node):
+        raise NetworkXError("prev_cc and G do not have the same nodes")
+    u, v = edge
+    if insertion:
+        # shortest paths BEFORE the insertion
+        du = _bfs_lengths(G, u)
+        dv = _bfs_lengths(G, v)
+        G.add_edge(u, v)
+    else:
+        G.remove_edge(u, v)
+        # shortest paths AFTER the removal
+        du = _bfs_lengths(G, u)
+        dv = _bfs_lengths(G, v)
+    if prev_cc is None:
+        # upstream quirk, kept: the early full-recompute return does
+        # NOT restore the mutation (its test re-applies idempotently)
+        return closeness_centrality(G, wf_improved=wf_improved)
+    try:
+        out = {}
+        n_total = len(G._node)
+        for s in G._node:
+            if s in du and s in dv and abs(du[s] - dv[s]) <= 1:
+                out[s] = prev_cc[s]
+                continue
+            sp = _bfs_lengths(G, s)
+            totsp = sum(sp.values())
+            cc = 0.0
+            if totsp > 0.0 and n_total > 1:
+                cc = (len(sp) - 1.0) / totsp
+                if wf_improved:
+                    cc *= (len(sp) - 1.0) / (n_total - 1)
+            out[s] = cc
+        return out
+    finally:
+        # leave the graph as we found it (upstream contract)
+        if insertion:
+            G.remove_edge(u, v)
+        else:
+            G.add_edge(u, v)
+
+
+def _check_no_selfloops(G: Graph, msg: str) -> None:
+    if G.number_of_selfloops() > 0:
+        raise NetworkXNotImplemented(msg)
+
+
+def core_number(G: Graph) -> dict:
+    """upstream networkx/algorithms/core.py::core_number — core number
+    of every node (isolates get 0). Directed graphs use total degree
+    (in+out, reciprocal arcs counting twice — upstream's multiset
+    neighbor semantics), implemented by feeding the arc multiset
+    E ∪ reverse(E) to the same distributed h-index fixpoint."""
+    _check_no_selfloops(
+        G, "Input graph has self loops which is not permitted; "
+        "Consider using G.remove_edges_from(nx.selfloop_edges(G)).")
+    if G.number_of_nodes() == 0:
+        return {}
     lg = G._flush()
-    core = A.max_core(lg) if k is None else A.k_core(lg, k)
+    if G.is_directed():
+        e = lg.edges.select(SRC, DST)
+        und = e.unionAll(e.select(F.col(DST).alias(SRC),
+                                  F.col(SRC).alias(DST)))
+        c = A.core_numbers(lg, und_edges=und)
+    else:
+        c = A.core_numbers(lg)
+    return {n: int(v) for n, v in _to_dict(G, c, "core").items()}
+
+
+def _core_filtered_subgraph(G: Graph, cn: dict | None, pred) -> Graph:
+    """Shared k_core/k_shell/k_crust machinery: filter nodes by a
+    predicate over core numbers, return the induced subgraph."""
+    if cn is None:
+        cn = core_number(G)
+    return G.subgraph([v for v in cn if pred(cn[v])])
+
+
+def k_core(G: Graph, k: int | None = None, core_number: dict | None = None) -> Graph:
+    """builtin.py:696 / upstream core.py::k_core — the k-core
+    (max-core when k is None) as an induced subgraph, computed from
+    the single-pass h-index core decomposition (never an upward walk
+    of peels). Accepts a precomputed core_number dict (upstream
+    signature)."""
     if G._base_lg is not None:
+        lg = G._flush()
+        core = A.max_core(lg) if k is None else A.k_core(lg, k)
         return Graph.from_link_graph(lg.induce_subgraph(core))
-    return G.subgraph([G._back(r[ID]) for r in core.collect()])
+    cn = core_number if core_number is not None else globals()["core_number"](G)
+    kk = max(cn.values(), default=0) if k is None else int(k)
+    return _core_filtered_subgraph(G, cn, lambda c: c >= kk)
+
+
+def k_shell(G: Graph, k: int | None = None, core_number: dict | None = None) -> Graph:
+    """upstream core.py::k_shell — nodes with core number exactly k
+    (outer shell when k is None)."""
+    cn = core_number if core_number is not None else globals()["core_number"](G)
+    kk = max(cn.values(), default=0) if k is None else int(k)
+    return _core_filtered_subgraph(G, cn, lambda c: c == kk)
+
+
+def k_crust(G: Graph, k: int | None = None, core_number: dict | None = None) -> Graph:
+    """upstream core.py::k_crust — nodes with core number <= k
+    (k defaults to max core - 1, the upstream 'main crust')."""
+    cn = core_number if core_number is not None else globals()["core_number"](G)
+    kk = max(cn.values(), default=0) - 1 if k is None else int(k)
+    return _core_filtered_subgraph(G, cn, lambda c: c <= kk)
+
+
+def k_corona(G: Graph, k: int, core_number: dict | None = None) -> Graph:
+    """upstream core.py::k_corona — nodes of the k-core with EXACTLY k
+    neighbors in the k-core."""
+    cn = core_number if core_number is not None else globals()["core_number"](G)
+    k = int(k)
+
+    def in_corona(v) -> bool:
+        if cn[v] != k:
+            return False
+        return k == sum(1 for w in G._succ.get(v, {}) if cn.get(w, -1) >= k)
+
+    return G.subgraph([v for v in cn if in_corona(v)])
+
+
+def onion_layers(G: Graph) -> dict:
+    """upstream core.py::onion_layers — onion-decomposition layer of
+    every node (contiguous ints from 1), via the distributed peel in
+    algorithms/kcore.py."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "onion_layers not implemented for directed type")
+    _check_no_selfloops(
+        G, "Input graph contains self loops which is not permitted; "
+        "Consider using G.remove_edges_from(nx.selfloop_edges(G)).")
+    if G.number_of_nodes() == 0:
+        return {}
+    rows = A.onion_layers(G._flush()).collect()
+    return {G._back(r[ID]): int(r["layer"]) for r in rows}
 
 
 def _nbunch_arg(G: Graph, nodes):
@@ -1043,6 +1282,12 @@ def k_truss(G: Graph, k: int) -> Graph:
     k-truss as a new (undirected) Graph; isolated survivors of edge
     peeling are dropped, matching NX (its truss keeps only nodes with
     surviving incident edges after also removing isolates)."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "k_truss not implemented for directed type")
+    _check_no_selfloops(
+        G, "Input graph has self loops which is not permitted; "
+        "Consider using G.remove_edges_from(nx.selfloop_edges(G)).")
     edges = A.k_truss(G._flush(), k).collect()
     H = Graph(spark=G._spark)
     for r in edges:
@@ -1050,8 +1295,9 @@ def k_truss(G: Graph, k: int) -> Graph:
     return H
 
 
-def weakly_connected_components(G: Graph) -> Iterator[set]:
-    """builtin.py:883 — yields vertex sets, ordered by min member id."""
+def _cc_sets(G: Graph) -> Iterator[set]:
+    """Shared hash-min component sweep (symmetric closure): yields
+    vertex sets ordered by min member id."""
     comps: dict[int, set] = {}
     for r in A.wcc(G._flush()).collect():
         comps.setdefault(r["comp"], set()).add(G._back(r[ID]))
@@ -1059,10 +1305,66 @@ def weakly_connected_components(G: Graph) -> Iterator[set]:
         yield comps[c]
 
 
+def weakly_connected_components(G: Graph) -> Iterator[set]:
+    """builtin.py:883 / upstream weakly_connected.py — directed graphs
+    only (upstream @not_implemented_for('undirected')); yields vertex
+    sets, ordered by min member id."""
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "weakly_connected_components not implemented for undirected type")
+    return _cc_sets(G)
+
+
+def number_weakly_connected_components(G: Graph) -> int:
+    return sum(1 for _ in weakly_connected_components(G))
+
+
+def is_weakly_connected(G: Graph) -> bool:
+    """upstream weakly_connected.py::is_weakly_connected."""
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "is_weakly_connected not implemented for undirected type")
+    if G.number_of_nodes() == 0:
+        raise NetworkXPointlessConcept(
+            "Connectivity is undefined for the null graph.")
+    return number_weakly_connected_components(G) == 1
+
+
 def connected_components(G: Graph) -> Iterator[set]:
-    """NX connected_components for undirected graphs (same hash-min
-    plan; the symmetric closure makes weak = plain connectivity)."""
-    return weakly_connected_components(G)
+    """NX connected_components for UNDIRECTED graphs (upstream
+    @not_implemented_for('directed'); same hash-min plan — the
+    symmetric closure makes weak = plain connectivity)."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "connected_components not implemented for directed type")
+    return _cc_sets(G)
+
+
+def number_connected_components(G: Graph) -> int:
+    return sum(1 for _ in connected_components(G))
+
+
+def is_connected(G: Graph) -> bool:
+    """upstream connected.py::is_connected."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "is_connected not implemented for directed type")
+    if G.number_of_nodes() == 0:
+        raise NetworkXPointlessConcept(
+            "Connectivity is undefined for the null graph.")
+    return number_connected_components(G) == 1
+
+
+def node_connected_component(G: Graph, n: Hashable) -> set:
+    """upstream connected.py::node_connected_component — the set of
+    nodes in the component containing n."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "node_connected_component not implemented for directed type")
+    for comp in _cc_sets(G):
+        if n in comp:
+            return comp
+    raise NodeNotFound(f"Node {n} not in G.")
 
 
 def strongly_connected_components(G: Graph) -> Iterator[set]:
@@ -1071,8 +1373,8 @@ def strongly_connected_components(G: Graph) -> Iterator[set]:
     yields vertex sets, ordered by min member id (NX's generator order
     is DFS-dependent and unspecified; callers sort anyway)."""
     if not G.is_directed():
-        raise TypeError(
-            "strongly_connected_components: not implemented for "
+        raise NetworkXNotImplemented(
+            "strongly_connected_components not implemented for "
             "undirected type")
     comps: dict[int, set] = {}
     for r in A.scc(G._flush()).collect():
@@ -1081,8 +1383,26 @@ def strongly_connected_components(G: Graph) -> Iterator[set]:
         yield comps[c]
 
 
+def kosaraju_strongly_connected_components(G: Graph) -> Iterator[set]:
+    """upstream strongly_connected.py::kosaraju_strongly_connected_components
+    — same components as strongly_connected_components (the engine's
+    forward/backward hash-min SCC is itself Kosaraju-flavored: SCC =
+    intersection of forward and backward reachability closures)."""
+    return strongly_connected_components(G)
+
+
 def number_strongly_connected_components(G: Graph) -> int:
     return sum(1 for _ in strongly_connected_components(G))
+
+
+def is_directed_acyclic_graph(G: Graph) -> bool:
+    """upstream dag.py::is_directed_acyclic_graph — a directed graph
+    is a DAG iff every SCC is a singleton and there are no self-loops."""
+    if not G.is_directed():
+        return False
+    if G.number_of_selfloops() > 0:
+        return False
+    return all(len(c) == 1 for c in strongly_connected_components(G))
 
 
 def overall_reciprocity(G: Graph) -> float:
@@ -1117,33 +1437,70 @@ def reciprocity(G: Graph, nodes=None):
     return out[nodes] if single else out
 
 
-def condensation(G: Graph) -> "DiGraph":
-    """upstream strongly_connected.py::condensation, with one stated
-    deviation: NX numbers condensation nodes 0..k-1 in DFS discovery
-    order (nondeterministic across runs); here each condensation node
-    is the min member id of its SCC and carries the same 'members'
-    frozenset node attribute."""
+def condensation(G: Graph, scc=None) -> "DiGraph":
+    """upstream strongly_connected.py::condensation — nodes are the
+    integers 0..k-1, each carrying a 'members' frozenset attribute, and
+    ``C.graph['mapping']`` maps every original node to its condensation
+    label. When ``scc`` (an ordered iterable of component sets) is
+    given, labels follow that order (upstream contract); otherwise
+    components are labeled in reverse-topological order of the
+    condensation DAG (sinks first — matching the order upstream's
+    Tarjan generator yields), ties broken by min member id so the
+    labeling is deterministic across runs (upstream's is DFS-dependent)."""
     if not G.is_directed():
-        raise TypeError("condensation: not implemented for undirected type")
+        raise NetworkXNotImplemented(
+            "condensation not implemented for undirected type")
     lg = G._flush()
     comps = A.scc(lg)
     members: dict = {}
     for r in comps.collect():
         members.setdefault(r["scc"], set()).add(G._back(r[ID]))
+    # rep-keyed DAG edges (raw rep ids, matching `members` keys)
+    dag_edges = {(r["scc_src"], r["scc_dst"])
+                 for r in A.condensation_edges(lg, comps=comps).collect()}
+    if scc is not None:
+        ordered = [frozenset(c) for c in scc]
+    else:
+        # deterministic reverse-topological (Kahn on out-degree-0
+        # sinks, min-representative first)
+        reps = sorted(members)
+        out: dict = {m: set() for m in reps}
+        for u, v in dag_edges:
+            out[u].add(v)
+        ordered_reps: list = []
+        placed: set = set()
+        while len(ordered_reps) < len(reps):
+            progressed = False
+            for m in reps:
+                if m not in placed and out[m] <= placed:
+                    ordered_reps.append(m)
+                    placed.add(m)
+                    progressed = True
+            if not progressed:  # defensive: DAG contract violated
+                ordered_reps.extend(m for m in reps if m not in placed)
+                break
+        ordered = [frozenset(members[m]) for m in ordered_reps]
+    label_of_member: dict = {}
     C = DiGraph(spark=G._spark)
-    for m, vs in members.items():
-        C.add_node(G._back(m), members=frozenset(vs))
-    for r in A.condensation_edges(lg, comps=comps).collect():
-        C.add_edge(G._back(r["scc_src"]), G._back(r["scc_dst"]))
+    for i, vs in enumerate(ordered):
+        C.add_node(i, members=frozenset(vs))
+        for v in vs:
+            label_of_member[v] = i
+    for u, v in dag_edges:
+        lu, lv = label_of_member[G._back(u)], label_of_member[G._back(v)]
+        if lu != lv:
+            C.add_edge(lu, lv)
+    C.graph["mapping"] = dict(label_of_member)
     return C
 
 
 def is_strongly_connected(G: Graph) -> bool:
     if not G.is_directed():
-        raise TypeError(
-            "is_strongly_connected: not implemented for undirected type")
+        raise NetworkXNotImplemented(
+            "is_strongly_connected not implemented for undirected type")
     if G.number_of_nodes() == 0:
-        raise ValueError("Connectivity is undefined for the null graph.")
+        raise NetworkXPointlessConcept(
+            "Connectivity is undefined for the null graph.")
     return number_strongly_connected_components(G) == 1
 
 
@@ -1155,19 +1512,52 @@ def degree_assortativity_coefficient(G: Graph, x: str = "out", y: str = "in",
         G._flush(weight), x=x, y=y, weight=_weight_col(G, weight))
 
 
+def _nbunch_in_G(G: Graph, nbunch: Iterable) -> list:
+    """NX nbunch convention: silently drop nodes not in G (upstream
+    nbunch_iter semantics — node_boundary(null, [1,2,3]) is empty,
+    not an error)."""
+    return [n for n in nbunch if n in G]
+
+
 def node_boundary(G: Graph, nbunch1: Iterable, nbunch2: Iterable | None = None) -> set:
-    """builtin.py:954."""
-    b = A.node_boundary(G._flush(), G._ids_df(nbunch1),
-                        G._ids_df(nbunch2) if nbunch2 is not None else None)
+    """builtin.py:954. Driver graphs answer from the edit-log
+    adjacency (set algebra — upstream's own plan); wrapped LinkGraphs
+    run the distributed semi/anti-join operator."""
+    s = set(_nbunch_in_G(G, nbunch1))
+    if G._base_lg is None:
+        bdy = {v for u in s for v in G._succ.get(u, {})} - s
+        if nbunch2 is not None:
+            bdy &= set(nbunch2)
+        return bdy
+    b = A.node_boundary(G._flush(), G._ids_df(s),
+                        G._ids_df(_nbunch_in_G(G, nbunch2))
+                        if nbunch2 is not None else None)
     return {G._back(r[ID]) for r in b.collect()}
 
 
 def edge_boundary(G: Graph, nbunch1: Iterable,
                   nbunch2: Iterable | None = None) -> list:
-    """builtin.py:1001."""
-    b = A.edge_boundary(G._flush(), G._ids_df(nbunch1),
-                        G._ids_df(nbunch2) if nbunch2 is not None else None)
-    return [(G._back(r[SRC]), G._back(r[DST])) for r in b.collect()]
+    """builtin.py:1001 — boundary edges oriented S-side first, sorted
+    by internal id pair (upstream yields in adjacency order, which is
+    insertion-dependent; a deterministic sort keeps list comparisons
+    stable). Driver graphs answer from the edit-log adjacency."""
+    s = set(_nbunch_in_G(G, nbunch1))
+    if G._base_lg is None:
+        t = set(nbunch2) if nbunch2 is not None else None
+        out = []
+        for u in s:
+            for v in G._succ.get(u, {}):
+                if t is not None:
+                    if v in t:
+                        out.append((u, v))
+                elif v not in s:
+                    out.append((u, v))
+        return sorted(out, key=lambda p: (G._id_of[p[0]], G._id_of[p[1]]))
+    b = A.edge_boundary(G._flush(), G._ids_df(s),
+                        G._ids_df(_nbunch_in_G(G, nbunch2))
+                        if nbunch2 is not None else None)
+    rows = sorted((r[SRC], r[DST]) for r in b.collect())
+    return [(G._back(s_), G._back(d)) for s_, d in rows]
 
 
 def is_simple_path(G: Graph, nodes: list) -> bool:
@@ -1201,27 +1591,90 @@ def louvain_communities(G: Graph, weight: str = "weight", **kw) -> list[set]:
 # every other compat-layer read.
 
 
+def _lp_guard(G) -> None:
+    """upstream @not_implemented_for('directed'/'multigraph') on the
+    link-prediction family. Accepts foreign graph objects (e.g. a real
+    networkx MultiGraph) just far enough to reject them."""
+    if G.is_directed() or (getattr(G, "is_multigraph", lambda: False)()):
+        raise NetworkXNotImplemented(
+            "link prediction not implemented for directed or "
+            "multigraph type")
+
+
+def _lp_apply(G: Graph, func, ebunch):
+    """upstream link_prediction.py::_apply_prediction — validates
+    ebunch nodes (NodeNotFound), defaults to all non-edges, yields
+    (u, v, func(u, v)) lazily."""
+    if ebunch is None:
+        nodes = list(G._node)
+        ebunch = [
+            (u, v)
+            for i, u in enumerate(nodes)
+            for v in nodes[i + 1:]
+            if not G.has_edge(u, v)
+        ]
+    else:
+        ebunch = list(ebunch)
+        for u, v in ebunch:
+            if u not in G:
+                raise NodeNotFound(f"Node {u} not in G.")
+            if v not in G:
+                raise NodeNotFound(f"Node {v} not in G.")
+    return ((u, v, func(u, v)) for u, v in ebunch)
+
+
+def _cn_local(G: Graph, u, v) -> list:
+    """Γ(u) ∩ Γ(v) excluding u and v themselves (upstream
+    common_neighbors semantics), from the driver adjacency."""
+    su, sv = G._succ.get(u, {}), G._succ.get(v, {})
+    return [w for w in su if w in sv and w != u and w != v]
+
+
 def _lp_iter(G: Graph, ebunch, col: str):
-    if G.is_directed():
-        raise TypeError("link prediction is undefined for directed graphs")
+    _lp_guard(G)
+    if G._base_lg is None:
+        # driver graph: exact upstream per-pair semantics (incl.
+        # self-pairs and lazy evaluation) from the driver adjacency —
+        # the same driver-bound contract as the reference's nx layer.
+        # Bulk distributed scoring lives in
+        # algorithms/linkpred.link_prediction_scores.
+        deg = G.degree()
+
+        def predict(u, v):
+            cn = _cn_local(G, u, v)
+            if col == "pref_attachment":
+                return deg[u] * deg[v]
+            if col == "cn":
+                return len(cn)
+            if col == "jaccard":
+                union = len(set(G._succ.get(u, {})) | set(G._succ.get(v, {})))
+                return 0.0 if union == 0 else len(cn) / union
+            if col == "adamic_adar":
+                import math
+                return sum(1.0 / math.log(deg[w]) for w in cn)
+            return sum(1.0 / deg[w] for w in cn)  # resource_allocation
+
+        return _lp_apply(G, predict, ebunch)
+    return _lp_iter_distributed(G, ebunch, col)
+
+
+def _lp_iter_distributed(G: Graph, ebunch, col: str):
+    """Wrapped-LinkGraph path: ONE distributed scoring pass
+    (algorithms/linkpred.link_prediction_scores), driver lookups after."""
     rows = A.link_prediction_scores(G._flush(), include_edges=True).collect()
     score = {(r["u"], r["v"]): r[col] for r in rows}
     deg = G.degree()
     if ebunch is None:
-        if G._base_lg is None:
-            nodes = list(G._node)
-            connected = G.has_edge  # driver-side dict lookup
-        else:
-            # collect the edge set ONCE — per-pair G.has_edge here
-            # would be one Spark job per candidate pair (O(n^2) jobs);
-            # the scores above are already collected at this scale
-            nodes = sorted(deg)
-            es = {(r[0], r[1]) if r[0] < r[1] else (r[1], r[0])
-                  for r in G._base_lg.edges.select(SRC, DST).collect()}
+        # collect the edge set ONCE — per-pair G.has_edge here
+        # would be one Spark job per candidate pair (O(n^2) jobs);
+        # the scores above are already collected at this scale
+        nodes = sorted(deg)
+        es = {(r[0], r[1]) if r[0] < r[1] else (r[1], r[0])
+              for r in G._base_lg.edges.select(SRC, DST).collect()}
 
-            def connected(u, v, _es=es):
-                ui, vi = int(u), int(v)
-                return ((ui, vi) if ui < vi else (vi, ui)) in _es
+        def connected(u, v, _es=es):
+            ui, vi = int(u), int(v)
+            return ((ui, vi) if ui < vi else (vi, ui)) in _es
         ebunch = [
             (u, v)
             for i, u in enumerate(nodes)
@@ -1257,8 +1710,131 @@ def preferential_attachment(G: Graph, ebunch=None) -> Iterator[tuple]:
 
 def common_neighbors(G: Graph, u: Hashable, v: Hashable) -> list:
     """networkx.common_neighbors — Γ(u) ∩ Γ(v) as a node list."""
+    if G._base_lg is None:
+        return _cn_local(G, u, v)
     r = A.common_neighbors(G._flush(), _src_id(G, u), _src_id(G, v))
     return [G._back(row[ID]) for row in r.collect()]
+
+
+def _driver_graph_required(G: Graph, name: str) -> None:
+    if G._base_lg is not None:
+        raise NotImplementedError(
+            f"{name} needs driver-side node attributes/adjacency; for "
+            "wrapped LinkGraphs use algorithms/linkpred."
+            "community_link_prediction_scores (bulk distributed path)")
+
+
+def _community_of(G: Graph, n, community: str):
+    """upstream link_prediction.py::_community — lazy per-node lookup,
+    NetworkXAlgorithmError when the attribute is missing."""
+    try:
+        return G._node[n][community]
+    except KeyError:
+        raise NetworkXAlgorithmError(
+            f"No community information available for Node {n}") from None
+
+
+def cn_soundarajan_hopcroft(G: Graph, ebunch=None,
+                            community: str = "community"):
+    """upstream link_prediction.py::cn_soundarajan_hopcroft —
+    |CN| plus a bonus count of common neighbors sharing u and v's
+    community (Soundarajan & Hopcroft 2012). Driver-bound NX surface;
+    bulk distributed scoring: algorithms/linkpred.
+    community_link_prediction_scores."""
+    _lp_guard(G)
+    _driver_graph_required(G, "cn_soundarajan_hopcroft")
+
+    def predict(u, v):
+        cu = _community_of(G, u, community)
+        cv = _community_of(G, v, community)
+        cn = _cn_local(G, u, v)
+        bonus = (sum(_community_of(G, w, community) == cu for w in cn)
+                 if cu == cv else 0)
+        return len(cn) + bonus
+
+    return _lp_apply(G, predict, ebunch)
+
+
+def ra_index_soundarajan_hopcroft(G: Graph, ebunch=None,
+                                  community: str = "community"):
+    """upstream link_prediction.py::ra_index_soundarajan_hopcroft —
+    resource allocation restricted to same-community common
+    neighbors."""
+    _lp_guard(G)
+    _driver_graph_required(G, "ra_index_soundarajan_hopcroft")
+    deg = G.degree() if G._base_lg is None else None
+
+    def predict(u, v):
+        cu = _community_of(G, u, community)
+        cv = _community_of(G, v, community)
+        if cu != cv:
+            return 0
+        cn = _cn_local(G, u, v)
+        return sum(1.0 / deg[w] for w in cn
+                   if _community_of(G, w, community) == cu)
+
+    return _lp_apply(G, predict, ebunch)
+
+
+def within_inter_cluster(G: Graph, ebunch=None, delta: float = 0.001,
+                         community: str = "community"):
+    """upstream link_prediction.py::within_inter_cluster — ratio of
+    within- to inter-cluster common neighbors (Valverde-Rebaza &
+    Lopes 2012)."""
+    _lp_guard(G)
+    _driver_graph_required(G, "within_inter_cluster")
+    if delta <= 0:
+        raise NetworkXAlgorithmError("Delta must be greater than zero")
+
+    def predict(u, v):
+        cu = _community_of(G, u, community)
+        cv = _community_of(G, v, community)
+        if cu != cv:
+            return 0
+        cn = set(_cn_local(G, u, v))
+        within = {w for w in cn if _community_of(G, w, community) == cu}
+        inter = cn - within
+        return len(within) / (len(inter) + delta)
+
+    return _lp_apply(G, predict, ebunch)
+
+
+def common_neighbor_centrality(G: Graph, ebunch=None, alpha: float = 0.8):
+    """upstream link_prediction.py::common_neighbor_centrality — the
+    CCPA score alpha*|CN| + (1-alpha)*n/d(u,v) (Ahmad et al. 2020);
+    self-pairs raise NetworkXAlgorithmError (upstream contract)."""
+    _lp_guard(G)
+    _driver_graph_required(G, "common_neighbor_centrality")
+    n_total = G.number_of_nodes()
+
+    def _spl_from(s) -> dict:
+        # driver BFS (unweighted distance) — ebunch-scale driver work
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for y in G._succ.get(x, {}):
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        nxt.append(y)
+            frontier = nxt
+        return dist
+
+    spl_cache: dict = {}
+
+    def predict(u, v):
+        if u == v:
+            raise NetworkXAlgorithmError("Self loops are not supported")
+        ncn = len(_cn_local(G, u, v))
+        if alpha == 1:
+            return ncn
+        if u not in spl_cache:
+            spl_cache[u] = _spl_from(u)
+        d = spl_cache[u].get(v, float("inf"))
+        return alpha * ncn + (1 - alpha) * n_total / d
+
+    return _lp_apply(G, predict, ebunch)
 
 
 # ----------------------------------------------------------------------
@@ -1277,8 +1853,16 @@ def empty_graph(n: int = 0, create_using=None) -> "Graph":
     return G
 
 
-def path_graph(n: int, create_using=None) -> "Graph":
-    """generators/classic.py path_graph: 0-1-2-…-(n-1)."""
+def path_graph(n, create_using=None) -> "Graph":
+    """generators/classic.py path_graph: 0-1-2-…-(n-1), or a path over
+    an explicit node iterable (upstream accepts both)."""
+    if not isinstance(n, (int, float)):
+        nodes = list(n)
+        G = (create_using if isinstance(create_using, Graph)
+             else (create_using or Graph)())
+        G.add_nodes_from(nodes)
+        G.add_edges_from(zip(nodes, nodes[1:]))
+        return G
     G = empty_graph(n, create_using)
     G.add_edges_from((i, i + 1) for i in range(int(n) - 1))
     return G
@@ -1304,6 +1888,39 @@ def star_graph(n: int, create_using=None) -> "Graph":
     """generators/classic.py star_graph: hub 0 + n leaves."""
     G = empty_graph(int(n) + 1, create_using)
     G.add_edges_from((0, i) for i in range(1, int(n) + 1))
+    return G
+
+
+def fast_gnp_random_graph(n: int, p: float, seed: int = 0,
+                          directed: bool = False) -> "Graph":
+    """generators/random_graphs.py fast_gnp_random_graph — same
+    G(n, p) distributional contract as gnp_random_graph; here both
+    share the deterministic per-pair hash draw (upstream differs only
+    in sampling strategy, not distribution)."""
+    return gnp_random_graph(n, p, seed=seed, directed=directed)
+
+
+def gn_graph(n: int, seed: int = 0, **_kw) -> "DiGraph":
+    """generators/directed.py gn_graph (Krapivsky-Redner growing
+    network, linear kernel): node t attaches one out-arc to an earlier
+    node drawn with probability proportional to its total degree —
+    realized as a degree-multiset pool (each node appears degree
+    times). Upstream uses a stateful RNG; here the draw is the repo's
+    deterministic md5 discipline (same seed → same graph on any host);
+    non-linear kernels are not supported."""
+    import hashlib
+
+    G = DiGraph()
+    G.add_node(0)
+    if n > 1:
+        G.add_edge(1, 0)
+    pool: list[int] = [0, 1]  # degree-multiset (ds = [1, 1])
+    for t in range(2, int(n)):
+        h = hashlib.md5(f"{seed}:{t}".encode()).digest()
+        target = pool[int.from_bytes(h[:8], "big") % len(pool)]
+        G.add_edge(t, target)
+        pool.append(t)
+        pool.append(target)
     return G
 
 
@@ -1414,6 +2031,175 @@ def balanced_tree(r: int, h: int, create_using=None) -> "Graph":
 def trivial_graph(create_using=None) -> "Graph":
     """generators/classic.py trivial_graph: one node, no edges."""
     return empty_graph(1, create_using)
+
+
+def null_graph(create_using=None) -> "Graph":
+    """generators/classic.py null_graph: no nodes, no edges."""
+    return empty_graph(0, create_using)
+
+
+def house_graph(create_using=None) -> "Graph":
+    """generators/small.py house_graph: square 0-1-3-2 plus roof apex
+    4 (upstream node numbering)."""
+    G = empty_graph(5, create_using)
+    G.add_edges_from([(0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    return G
+
+
+def petersen_graph(create_using=None) -> "Graph":
+    """generators/small.py petersen_graph: outer 5-cycle 0-4, inner
+    pentagram 5-9, spokes (i, i+5) (upstream numbering)."""
+    G = empty_graph(10, create_using)
+    G.add_edges_from([
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 0),          # outer cycle
+        (5, 7), (7, 9), (9, 6), (6, 8), (8, 5),          # inner star
+        (0, 5), (1, 6), (2, 7), (3, 8), (4, 9)])          # spokes
+    return G
+
+
+def tetrahedral_graph(create_using=None) -> "Graph":
+    """generators/small.py tetrahedral_graph: K4 (nodes 0-3)."""
+    return complete_graph(4, create_using)
+
+
+def lollipop_graph(m: int, n: int, create_using=None) -> "Graph":
+    """generators/classic.py lollipop_graph: K(m) on 0..m-1 plus an
+    n-node path m..m+n-1 hung off node m-1."""
+    m, n = int(m), int(n)
+    G = empty_graph(m + n, create_using)
+    G.add_edges_from((u, v) for u in range(m) for v in range(u + 1, m))
+    if n > 0:
+        G.add_edge(m - 1, m)
+    G.add_edges_from((i, i + 1) for i in range(m, m + n - 1))
+    return G
+
+
+def is_graphical(sequence) -> bool:
+    """upstream generators — Erdős–Gallai test for a simple-graph
+    degree sequence."""
+    seq = sorted((int(d) for d in sequence), reverse=True)
+    if any(d < 0 for d in seq) or sum(seq) % 2:
+        return False
+    n = len(seq)
+    for k in range(1, n + 1):
+        lhs = sum(seq[:k])
+        rhs = k * (k - 1) + sum(min(d, k) for d in seq[k:])
+        if lhs > rhs:
+            return False
+    return True
+
+
+def havel_hakimi_graph(deg_sequence, create_using=None) -> "Graph":
+    """generators/degree_seq.py havel_hakimi_graph — deterministic
+    Havel–Hakimi construction (Hakimi 1962): node i takes position i's
+    degree; at each step the highest-degree unfinished node (latest
+    position on ties, the upstream stack order) is wired to the next
+    highest-degree nodes. Output is bit-for-bit the upstream graph for
+    any sequence (the tests depend on the exact wiring)."""
+    if not is_graphical(deg_sequence):
+        raise NetworkXError("Invalid degree sequence")
+    p = len(deg_sequence)
+    G = empty_graph(p, create_using)
+    if G.is_directed():
+        raise NetworkXError("Directed graphs are not supported")
+    # stacks of node ids per residual degree; positions pushed in
+    # sequence order so pop() prefers the latest position (upstream
+    # tie-break)
+    by_deg: list[list[int]] = [[] for _ in range(p)]
+    remaining = 0
+    dmax = 0
+    for d in deg_sequence:
+        # node ids are assigned by rank among the NONZERO-degree
+        # entries (upstream's running counter) — zero-degree entries
+        # are left as the trailing isolated nodes
+        if d > 0:
+            by_deg[d].append(remaining)
+            dmax = max(dmax, d)
+            remaining += 1
+    while remaining > 0:
+        while not by_deg[dmax]:
+            dmax -= 1
+        if dmax > remaining - 1:
+            raise NetworkXError("Non-graphical integer sequence")
+        source = by_deg[dmax].pop()
+        remaining -= 1
+        pushback = []
+        k = dmax
+        for _ in range(dmax):
+            while not by_deg[k]:
+                k -= 1
+            target = by_deg[k].pop()
+            remaining -= 1
+            G.add_edge(source, target)
+            if k > 1:
+                pushback.append((k - 1, target))
+        for resid, node in pushback:
+            by_deg[resid].append(node)
+            remaining += 1
+    return G
+
+
+def union(G: "Graph", H: "Graph") -> "Graph":
+    """upstream operators/binary.py union — disjoint node sets
+    required (upstream raises NetworkXError otherwise); node and edge
+    attributes are copied."""
+    overlap = set(G._node) & set(H._node)
+    if overlap:
+        raise NetworkXError(
+            "node sets of G and H are not disjoint; "
+            f"common nodes: {sorted(overlap, key=repr)[:5]}")
+    R = type(G)(spark=G._spark or H._spark)
+    for src in (G, H):
+        for n, d in src._node.items():
+            R.add_node(n, **d)
+        for u, v in src.edges:
+            R.add_edge(u, v, **src._succ[u][v])
+    return R
+
+
+def disjoint_union(G: "Graph", H: "Graph") -> "Graph":
+    """upstream operators/binary.py disjoint_union — relabel G to
+    0..len(G)-1 and H to len(G)..len(G)+len(H)-1, then union."""
+    G2 = convert_node_labels_to_integers(G)
+    H2 = convert_node_labels_to_integers(H, first_label=len(G2))
+    return union(G2, H2)
+
+
+def relabel_nodes(G: "Graph", mapping: dict, copy: bool = True) -> "Graph":
+    """upstream relabel.py relabel_nodes (copy mode): nodes renamed
+    through `mapping` (missing keys keep their name); attributes
+    preserved."""
+    if not copy:
+        raise NotImplementedError(
+            "in-place relabel is not supported; use copy=True (default)")
+    R = type(G)(spark=G._spark)
+    for n, d in G._node.items():
+        R.add_node(mapping.get(n, n), **d)
+    for u, v in G.edges:
+        R.add_edge(mapping.get(u, u), mapping.get(v, v), **G._succ[u][v])
+    R.graph.update(G.graph)
+    return R
+
+
+def convert_node_labels_to_integers(G: "Graph", first_label: int = 0,
+                                    ordering: str = "default",
+                                    label_attribute: str | None = None) -> "Graph":
+    """upstream convert.py convert_node_labels_to_integers (orderings
+    'default' = insertion order, 'sorted'; degree orderings are not
+    needed by the conformance slice and raise)."""
+    if ordering == "default":
+        nodes = list(G._node)
+    elif ordering == "sorted":
+        nodes = sorted(G._node)
+    else:
+        raise NotImplementedError(
+            f"ordering={ordering!r} not supported (use 'default' or 'sorted')")
+    mapping = {n: i for i, n in enumerate(nodes, int(first_label))}
+    R = relabel_nodes(G, mapping)
+    if label_attribute is not None:
+        for old, new in mapping.items():
+            R._node[new][label_attribute] = old
+    return R
 
 
 def cubical_graph(create_using=None) -> "Graph":
@@ -1745,7 +2531,7 @@ def read_graphml(path: str, node_type=str) -> "Graph":
 def _ecc_connected(G: Graph) -> dict:
     """Eccentricity dict; raises like NX when the graph is
     disconnected (infinite path lengths)."""
-    comps = list(connected_components(G))
+    comps = list(_cc_sets(G))  # direction-agnostic weak connectivity
     if len(comps) > 1:
         raise ValueError(
             "Found infinite path length because the graph is not connected"

@@ -55,3 +55,33 @@ def test_isolated_vertices_core_zero(spark):
     g = LinkGraph.from_edges(e, vertices=v)
     got = {r["id"]: r["core"] for r in core_numbers(g).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_onion_layers_vs_networkx(p2p_graph, p2p_edges):
+    from graphscope_spark.algorithms import onion_layers
+
+    G = realnx.Graph()
+    G.add_edges_from(p2p_edges)
+    G.remove_edges_from(realnx.selfloop_edges(G))
+    want = realnx.onion_layers(G)
+    got = {r["id"]: r["layer"] for r in onion_layers(p2p_graph).collect()}
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_k_crust_and_corona_vs_networkx(p2p_graph, p2p_edges):
+    from graphscope_spark.algorithms import k_corona, k_crust
+
+    G = realnx.Graph()
+    G.add_edges_from(p2p_edges)
+    G.remove_edges_from(realnx.selfloop_edges(G))
+    cores = realnx.core_number(G)
+    kmax = max(cores.values())
+    for k in (0, 1, kmax - 1):
+        got = sorted(r["id"] for r in k_crust(p2p_graph, k).collect())
+        assert got == sorted(realnx.k_crust(G, k).nodes), f"crust k={k}"
+    # default crust (k = kmax - 1)
+    got = sorted(r["id"] for r in k_crust(p2p_graph).collect())
+    assert got == sorted(realnx.k_crust(G).nodes)
+    for k in (1, 2, kmax):
+        got = sorted(r["id"] for r in k_corona(p2p_graph, k).collect())
+        assert got == sorted(realnx.k_corona(G, k).nodes), f"corona k={k}"

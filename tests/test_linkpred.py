@@ -97,3 +97,47 @@ def test_wedge_degree_cap(spark):
                                      max_wedge_degree=3).collect()}
     assert (1, 2) in full and len(full) == 10 + 2  # C(5,2) leaf pairs + (0,1),(0,2)
     assert capped == {(0, 2), (0, 1)}  # only wedges through 1 or 2 survive
+
+
+def test_community_scores_distributed_vs_networkx(spark):
+    """community_link_prediction_scores (ONE distributed wedge pass)
+    against upstream cn_soundarajan_hopcroft /
+    ra_index_soundarajan_hopcroft / within_inter_cluster, for every
+    distance-2 non-edge pair of a seeded random graph."""
+    from graphscope_spark.algorithms import community_link_prediction_scores
+
+    nxg = realnx.gnp_random_graph(40, 0.1, seed=11)
+    for n in nxg.nodes:
+        nxg.nodes[n]["community"] = n % 4
+    edges = [(int(u), int(v)) for u, v in nxg.edges]
+    lg = LinkGraph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long"), directed=False
+    ).build()
+    comm = spark.createDataFrame(
+        [(int(n), int(n) % 4) for n in nxg.nodes], "id long, community long")
+    got = {(r["u"], r["v"]): r
+           for r in community_link_prediction_scores(lg, comm).collect()}
+    pairs = [tuple(sorted(p)) for p in got]
+    want_cn = {tuple(sorted((u, v))): s
+               for u, v, s in realnx.cn_soundarajan_hopcroft(nxg, pairs)}
+    want_ra = {tuple(sorted((u, v))): s
+               for u, v, s in realnx.ra_index_soundarajan_hopcroft(nxg, pairs)}
+    want_wic = {tuple(sorted((u, v))): s
+                for u, v, s in realnx.within_inter_cluster(nxg, pairs)}
+    assert got, "expected at least one distance-2 candidate pair"
+    for p, r in got.items():
+        key = tuple(sorted(p))
+        assert r["cn_sh"] == want_cn[key], key
+        assert r["ra_sh"] == pytest.approx(want_ra[key], abs=1e-9), key
+        assert r["wic"] == pytest.approx(want_wic[key], abs=1e-9), key
+    # the candidate set is exactly the distance-2 non-edge pairs (no
+    # pair lost by the wedge generation)
+    import itertools
+
+    exp_pairs = {
+        (u, v)
+        for u, v in itertools.combinations(sorted(nxg.nodes), 2)
+        if not nxg.has_edge(u, v)
+        and len(list(realnx.common_neighbors(nxg, u, v))) > 0
+    }
+    assert set(got) == exp_pairs

@@ -53,7 +53,9 @@ def test_average_neighbor_degree(pair):
 
 def test_rich_club(pair):
     G, R = pair
-    got = gnx.rich_club_coefficient(G)
+    # default is normalized=True for upstream signature parity (and
+    # raises the documented NotImplementedError, asserted below)
+    got = gnx.rich_club_coefficient(G, normalized=False)
     want = nx.rich_club_coefficient(R, normalized=False)
     assert set(got) == set(want)
     for k in want:

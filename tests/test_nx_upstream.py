@@ -21,6 +21,23 @@ pytest from this file):
   average_degree_connectivity surface (10 tests)
 - algorithms/centrality/tests/test_betweenness_centrality.py — all
   FOUR classes: vertex + edge, unweighted + weighted (45 tests)
+- algorithms/tests/test_core.py — core_number (incl. the directed
+  total-degree multiset semantics), k_core/k_shell/k_crust/k_corona,
+  k_truss guards, onion_layers (25 tests)
+- algorithms/components/tests/test_connected.py,
+  test_strongly_connected.py, test_weakly_connected.py — the full
+  components surface incl. condensation labels/mapping/members (28
+  tests)
+- algorithms/tests/test_boundary.py — node/edge boundary incl. the
+  petersen cheeger sweep (13 tests)
+- algorithms/tests/test_link_prediction.py — ALL eight classes: the
+  base indices, CCPA, and the Soundarajan-Hopcroft community variants
+  (97 tests)
+- algorithms/centrality/tests/test_closeness_centrality.py — the full
+  closeness class (weighted, digraph+reverse, wf variants) AND the
+  Sariyuce incremental algorithm (13 tests; the module-level
+  undirected_G fixture is re-declared below — fixtures don't travel
+  through re-exported classes)
 
 Deviations are explicit per-test xfails with reasons (never silent
 fallbacks): MultiGraph inputs (class not implemented), normalized
@@ -46,6 +63,13 @@ import networkx.algorithms.centrality.tests.test_degree_centrality as _tdc
 import networkx.algorithms.centrality.tests.test_harmonic_centrality as _th
 import networkx.algorithms.tests.test_reciprocity as _trec
 import networkx.algorithms.tests.test_richclub as _trc
+import networkx.algorithms.tests.test_core as _tcore
+import networkx.algorithms.tests.test_link_prediction as _tlp
+import networkx.algorithms.tests.test_boundary as _tbd
+import networkx.algorithms.components.tests.test_connected as _tconn
+import networkx.algorithms.components.tests.test_strongly_connected as _tsc
+import networkx.algorithms.components.tests.test_weakly_connected as _twc
+import networkx.algorithms.centrality.tests.test_closeness_centrality as _tcc
 
 
 class _GnxShim:
@@ -64,8 +88,16 @@ class _GnxShim:
 
 
 _shim = _GnxShim()
-for _mod in (_tdc, _trec, _trc, _tb, _th, _tcon, _tcl):
+for _mod in (_tdc, _trec, _trc, _tb, _th, _tcon, _tcl,
+             _tcore, _tlp, _tbd, _tconn, _tsc, _twc, _tcc):
     _mod.nx = _shim
+# direct (from networkx import X) names these modules captured at
+# import time — repoint them at the Spark-backed implementations too
+_tconn.cnlti = gnx.convert_node_labels_to_integers
+_tconn.NetworkXNotImplemented = gnx.NetworkXNotImplemented
+_tsc.NetworkXNotImplemented = gnx.NetworkXNotImplemented
+_twc.NetworkXNotImplemented = gnx.NetworkXNotImplemented
+_tbd.cnlti = gnx.convert_node_labels_to_integers
 # the harmonic module also imports the function DIRECTLY
 # (`from networkx.algorithms.centrality import harmonic_centrality`),
 # bypassing the nx indirection — repoint that name too
@@ -190,3 +222,71 @@ for _t in ("test_G3", "test_G4"):
         _t,
         "MultiGraph/MultiDiGraph classes not implemented",
     )
+
+
+# -- core decomposition family (test_core: core_number, k_core/shell/
+#    crust/corona, k_truss guards, onion_layers) -----------------------
+TestCore = _tcore.TestCore
+for _t in (
+    "test_core_number_multigraph", "test_k_core_multigraph",
+    "test_k_crust_multigraph", "test_k_shell_multigraph",
+    "test_k_corona_multigraph", "test_k_truss_multigraph",
+    "test_onion_multigraph",
+):
+    _xfail_strict_attr = pytest.mark.xfail(
+        reason="MultiGraph class not implemented",
+        strict=True, raises=AttributeError)
+    setattr(TestCore, _t, _xfail_strict_attr(getattr(TestCore, _t)))
+
+# -- connected / strongly / weakly components --------------------------
+TestConnected = _tconn.TestConnected
+_xfail(TestConnected, "test_connected_components_nx_loopback",
+       "upstream backend-dispatch plumbing test (nx.config loopback), "
+       "not part of the algorithm surface")
+
+TestStronglyConnected = _tsc.TestStronglyConnected
+_xfail(TestStronglyConnected, "test_connected_mutability",
+       "parametrize captured the REAL networkx scc callables at import "
+       "time; they cannot run against the Spark-backed Graph class")
+
+TestWeaklyConnected = _twc.TestWeaklyConnected
+test_is_weakly_connected_empty_graph_raises = (
+    _twc.test_is_weakly_connected_empty_graph_raises
+)
+
+# -- node/edge boundary -------------------------------------------------
+TestNodeBoundary = _tbd.TestNodeBoundary
+TestEdgeBoundary = _tbd.TestEdgeBoundary
+for _cls, _ts in ((TestNodeBoundary, ("test_multigraph", "test_multidigraph")),
+                  (TestEdgeBoundary, ("test_multigraph", "test_multidigraph"))):
+    for _t in _ts:
+        setattr(_cls, _t, pytest.mark.xfail(
+            reason="MultiGraph/MultiDiGraph classes not implemented",
+            strict=True, raises=AttributeError)(getattr(_cls, _t)))
+
+# -- link prediction (full upstream suite: base indices + Soundarajan-
+#    Hopcroft community variants + CCPA) --------------------------------
+TestResourceAllocationIndex = _tlp.TestResourceAllocationIndex
+TestJaccardCoefficient = _tlp.TestJaccardCoefficient
+TestAdamicAdarIndex = _tlp.TestAdamicAdarIndex
+TestCommonNeighborCentrality = _tlp.TestCommonNeighborCentrality
+TestPreferentialAttachment = _tlp.TestPreferentialAttachment
+TestCNSoundarajanHopcroft = _tlp.TestCNSoundarajanHopcroft
+TestRAIndexSoundarajanHopcroft = _tlp.TestRAIndexSoundarajanHopcroft
+TestWithinInterCluster = _tlp.TestWithinInterCluster
+
+# -- closeness centrality (full class incl. weighted + digraph) and the
+#    Sariyuce incremental algorithm. The closeness module's class shares
+#    upstream's TestClosenessCentrality name with the harmonic module's
+#    (already exported above), so it lands under a distinct attribute.
+TestClosenessCentralityCloseness = _tcc.TestClosenessCentrality
+TestIncrementalClosenessCentrality = _tcc.TestIncrementalClosenessCentrality
+
+
+@pytest.fixture()
+def undirected_G():
+    """The upstream module-level fixture (fixtures aren't collected
+    through re-exported classes) — byte-same body, shim-backed."""
+    G = gnx.fast_gnp_random_graph(n=100, p=0.6, seed=123)
+    cc = gnx.closeness_centrality(G)
+    return G, cc

@@ -55,6 +55,52 @@ def main() -> int:
 
     g1 = H.g1(spark, sf_dir).build()
 
+    # onion-decomposition peel round body (the per-layer plan). The
+    # production loop localCheckpoints und/deg every round — audit the
+    # round over checkpointed inputs, which is the plan that actually
+    # repeats.
+    o_edges = g1.simple_edges()
+    o_und = o_edges.unionAll(
+        o_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    o_deg = (g1.vertices.select("id")
+             .join(o_und.groupBy(F.col("src").alias("id"))
+                   .agg(F.count("*").alias("d")), "id", "left")
+             .select("id", F.coalesce("d", F.lit(0)).alias("d"))
+             .localCheckpoint(eager=True))
+    o_layer = o_deg.where(F.col("d") <= 2).select("id")
+    o_next = (o_und.join(o_layer.withColumnRenamed("id", "src"), "src", "left_anti")
+              .join(o_layer.withColumnRenamed("id", "dst"), "dst", "left_anti"))
+    sections.append((
+        "onion_layers peel round body",
+        "expect: one scalar min aggregate feeds the cutoff; the round "
+        "itself is a degree hash-agg (partial count map-side) + two "
+        "left-anti hash joins dropping the peeled layer — all "
+        "WholeStageCodegen, remainder shrinks every round",
+        plan_of(o_next),
+    ))
+
+    # k-corona in-core neighbor count (post-decomposition join)
+    from graphscope_spark.algorithms import k_corona as _k_corona
+    sections.append((
+        "k_corona_g1 (core==k with exactly k in-core neighbors)",
+        "expect: the core-decomposition subtree once, then two "
+        "left-semi joins restricting the symmetric edge set to the "
+        "k-core + ONE neighbor-count hash agg + the exact-k filter "
+        "join; no adjacency arrays",
+        plan_of(_k_corona(H.g1(spark, sf_dir), 12)),
+    ))
+
+    # community-aware link prediction (wedge join + broadcast communities)
+    sections.append((
+        "community_lp_g1 (Soundarajan-Hopcroft + WIC scores)",
+        "expect: ONE wedge self-join keyed on the common endpoint, "
+        "community table BroadcastHashJoin-ed on all three wedge "
+        "roles, one (u,v) hash agg folding cn/within/ra_sh map-side, "
+        "left-anti against existing edges",
+        plan_of(entrymod.q_community_lp(spark, sf_dir)),
+    ))
+
     # one PageRank superstep body (the per-round plan that repeats)
     edges = g1.edges.select("src", "dst")
     state = g1.vertices.select(
