@@ -3671,6 +3671,16 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB twins, keyed identically to queries(). The full twin
+    library below includes entries for queries retired during the
+    round-4 surface curation; the final filter keeps the contract
+    exactly aligned with the registered query keys."""
+    registered = set(queries())
+    d = _oracle_sql_all()
+    return {k: v for k, v in d.items() if k in registered}
+
+
+def _oracle_sql_all() -> dict[str, str]:
     return {
         "pagerank_g1_r5": H.pagerank_sql(5),
         "pagerank_pers_g1_r5": H.pagerank_personalized_sql(5),
