@@ -52,8 +52,10 @@ from graphscope_spark.algorithms.structure import (  # noqa: F401
     average_degree_connectivity,
     average_neighbor_degree,
     eccentricity,
+    global_efficiency,
     graph_extremes,
     rich_club_coefficient,
+    topological_indices,
 )
 from graphscope_spark.algorithms.paths import diameter_double_sweep  # noqa: F401
 from graphscope_spark.algorithms.msf import (  # noqa: F401
@@ -143,5 +145,6 @@ __all__ = [
     "degree_histogram", "powerlaw_alpha", "diameter_double_sweep",
     "average_neighbor_degree", "average_degree_connectivity",
     "rich_club_coefficient", "eccentricity", "graph_extremes",
+    "topological_indices", "global_efficiency",
     "boruvka_msf", "msf_weight", "single_linkage",
 ]

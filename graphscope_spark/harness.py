@@ -2381,6 +2381,44 @@ FROM p{rounds} WHERE dist < 1e17 GROUP BY s
 """
 
 
+def wiener_sql(rounds: int) -> str:
+    """Twin of algorithms/structure.topological_indices over
+    undirected G2 (Wiener / hyper-Wiener / Schultz / Gutman; +inf when
+    disconnected)."""
+    return f"""{_pair_bfs_ctes(rounds)},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+fin AS MATERIALIZED (
+  SELECT s, id, dist FROM p{rounds} WHERE dist < 1e17 AND s <> id),
+tot AS MATERIALIZED (
+  SELECT COUNT(*) AS cnt, SUM(dist) AS sd,
+         SUM(dist + dist * dist) AS sdd,
+         SUM((da.deg + db.deg) * dist) AS ssch,
+         SUM(da.deg * db.deg * dist) AS sgut
+  FROM fin JOIN deg da ON da.id = fin.s JOIN deg db ON db.id = fin.id),
+nn AS (SELECT COUNT(*) AS n FROM verts)
+SELECT (cnt = n * (n - 1)) AS connected,
+       CASE WHEN cnt = n * (n - 1) THEN ROUND(sd / 2, 6)
+            ELSE CAST('inf' AS DOUBLE) END AS wiener,
+       CASE WHEN cnt = n * (n - 1) THEN ROUND(sdd / 2, 6)
+            ELSE CAST('inf' AS DOUBLE) END AS hyper_wiener,
+       CASE WHEN cnt = n * (n - 1) THEN ROUND(ssch / 2, 6)
+            ELSE CAST('inf' AS DOUBLE) END AS schultz,
+       CASE WHEN cnt = n * (n - 1) THEN ROUND(sgut / 2, 6)
+            ELSE CAST('inf' AS DOUBLE) END AS gutman
+FROM tot CROSS JOIN nn"""
+
+
+def global_efficiency_sql(rounds: int) -> str:
+    """Twin of algorithms/structure.global_efficiency over undirected
+    G2 (mean over ordered pairs of 1/d; unreachable pairs are 0)."""
+    return f"""{_pair_bfs_ctes(rounds)},
+nn AS (SELECT COUNT(*) AS n FROM verts)
+SELECT ROUND(COALESCE(SUM(CASE WHEN dist < 1e17 AND s <> id
+                          THEN 1.0 / dist ELSE 0 END), 0)
+             / (SELECT n * (n - 1) FROM nn), 6) AS efficiency
+FROM p{rounds}"""
+
+
 def graph_extremes_sql(rounds: int) -> str:
     """Twin of algorithms/structure.graph_extremes."""
     return f"""{_pair_bfs_ctes(rounds)},

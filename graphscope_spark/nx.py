@@ -87,6 +87,8 @@ __all__ = [
     "within_inter_cluster", "common_neighbor_centrality",
     "incremental_closeness_centrality", "fast_gnp_random_graph",
     "gn_graph", "utils",
+    "wiener_index", "schultz_index", "gutman_index", "hyper_wiener_index",
+    "efficiency", "global_efficiency", "local_efficiency",
 ]
 
 
@@ -172,9 +174,10 @@ class _EdgeList(list):
     ``G.edges()`` → itself, ``G.edges(data=True)`` → [(u, v, attrs)],
     ``G.edges(data='w', default=d)`` → [(u, v, value)]."""
 
-    def __init__(self, seq, succ: dict):
+    def __init__(self, seq, succ: dict, graph=None):
         super().__init__(seq)
         self._succ = succ
+        self._graph = graph
 
     def __call__(self, data=False, default=None):
         if data is False:
@@ -184,6 +187,23 @@ class _EdgeList(list):
         return [
             (u, v, self._succ[u][v].get(data, default)) for u, v in self
         ]
+
+    def __getitem__(self, key):
+        """NX EdgeView subscript: ``G.edges[u, v]`` is the LIVE edge
+        attr dict (upstream semantics); integer/slice keys keep list
+        behavior."""
+        if isinstance(key, tuple) and len(key) == 2:
+            u, v = key
+            try:
+                attrs = self._succ[u][v]
+            except (KeyError, TypeError):
+                raise KeyError(key) from None
+            # the dict is LIVE — conservatively invalidate the owning
+            # graph's flush cache (same discipline as Graph.__getitem__)
+            if self._graph is not None:
+                self._graph._version += 1
+            return attrs
+        return list.__getitem__(self, key)
 
 
 class Graph:
@@ -378,7 +398,7 @@ class Graph:
         if self._directed:
             return _EdgeList(
                 ((u, v) for u, nbrs in self._succ.items() for v in nbrs),
-                self._succ,
+                self._succ, self,
             )
         seen = set()
         out = []
@@ -388,7 +408,7 @@ class Graph:
                 if (k[1], k[0]) not in seen:
                     seen.add(k)
                     out.append((u, v))
-        return _EdgeList(out, self._succ)
+        return _EdgeList(out, self._succ, self)
 
     def number_of_nodes(self) -> int:
         if self._base_lg is not None:
@@ -2692,3 +2712,122 @@ exception = _SimpleNamespace(
     NetworkXNotImplemented=NetworkXNotImplemented,
 )
 richclub = _SimpleNamespace(rich_club_coefficient=rich_club_coefficient)
+
+
+# ---------------------------------------------------------------------------
+# Wiener-family topological indices + efficiency measures (upstream
+# networkx/algorithms/{wiener,efficiency_measures}.py)
+# ---------------------------------------------------------------------------
+def _wiener_row(G: "Graph", weight: str | None):
+    from graphscope_spark.algorithms.structure import topological_indices
+
+    return topological_indices(
+        G._flush(weight), weight_col="w" if weight else None
+    ).collect()[0]
+
+
+def wiener_index(G: "Graph", weight: str | None = None) -> float:
+    """upstream wiener.py::wiener_index — Σ over unordered pairs of
+    shortest-path distance (directed graphs: ordered pairs over
+    directed distances, inf unless strongly connected)."""
+    if G.is_directed():
+        from graphscope_spark.algorithms.closeness import (
+            all_pairs_shortest_path_length,
+        )
+
+        lg = G._flush(weight)
+        pairs = all_pairs_shortest_path_length(
+            lg, weight_col="w" if weight else None
+        ).where(F.col("source") != F.col(ID))
+        row = pairs.agg(F.count("*").alias("cnt"),
+                        F.sum("distance").alias("sd")).collect()[0]
+        n = G.number_of_nodes()
+        if row["cnt"] != n * (n - 1):
+            return float("inf")
+        return float(row["sd"])
+    return float(_wiener_row(G, weight)["wiener"])
+
+
+def _undirected_index(G: "Graph", weight, col: str, name: str) -> float:
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            f"{name} not implemented for directed type")
+    return float(_wiener_row(G, weight)[col])
+
+
+def schultz_index(G: "Graph", weight: str | None = None) -> float:
+    """upstream wiener.py::schultz_index — Σ_{u<v} (deg u + deg v)·d."""
+    return _undirected_index(G, weight, "schultz", "schultz_index")
+
+
+def gutman_index(G: "Graph", weight: str | None = None) -> float:
+    """upstream wiener.py::gutman_index — Σ_{u<v} (deg u · deg v)·d."""
+    return _undirected_index(G, weight, "gutman", "gutman_index")
+
+
+def hyper_wiener_index(G: "Graph", weight: str | None = None) -> float:
+    """upstream wiener.py::hyper_wiener_index — ½ Σ over ordered
+    pairs of (d + d²)."""
+    return _undirected_index(G, weight, "hyper_wiener", "hyper_wiener_index")
+
+
+def efficiency(G: "Graph", u: Hashable, v: Hashable) -> float:
+    """upstream efficiency_measures.py::efficiency — 1/d(u,v), 0 when
+    unreachable. Driver-bound pairwise form (bulk distributed form:
+    algorithms/structure.global_efficiency)."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "efficiency not implemented for directed type")
+    d = _bfs_lengths(G, u).get(v)
+    return 0.0 if d in (None, 0) else 1.0 / d
+
+
+def global_efficiency(G: "Graph") -> float:
+    """upstream efficiency_measures.py::global_efficiency — mean over
+    ordered pairs of 1/d, unreachable pairs contributing 0 (one
+    distributed pair-fabric aggregate)."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "global_efficiency not implemented for directed type")
+    from graphscope_spark.algorithms.structure import (
+        global_efficiency as _ge,
+    )
+
+    return float(_ge(G._flush()).collect()[0]["efficiency"])
+
+
+def local_efficiency(G: "Graph") -> float:
+    """upstream efficiency_measures.py::local_efficiency — mean over
+    nodes of the global efficiency of each neighborhood-induced
+    subgraph. Ego-local measure; evaluated from the driver adjacency
+    (each ego subgraph is degree-bounded)."""
+    if G.is_directed():
+        raise NetworkXNotImplemented(
+            "local_efficiency not implemented for directed type")
+    _driver_graph_required(G, "local_efficiency")
+    n = G.number_of_nodes()
+    if n == 0:
+        return 0.0
+    total = 0.0
+    for v in G._node:
+        nbrs = list(G._succ.get(v, {}))
+        k = len(nbrs)
+        if k < 2:
+            continue
+        nbr_set = set(nbrs)
+        # BFS inside the induced subgraph from each neighbor
+        s = 0.0
+        for a in nbrs:
+            dist = {a: 0}
+            frontier = [a]
+            while frontier:
+                nxt = []
+                for x in frontier:
+                    for y in G._succ.get(x, {}):
+                        if y in nbr_set and y not in dist:
+                            dist[y] = dist[x] + 1
+                            nxt.append(y)
+                frontier = nxt
+            s += sum(1.0 / d for b, d in dist.items() if d > 0)
+        total += s / (k * (k - 1))
+    return total / n

@@ -38,6 +38,10 @@ pytest from this file):
   Sariyuce incremental algorithm (13 tests; the module-level
   undirected_G fixture is re-declared below — fixtures don't travel
   through re-exported classes)
+- algorithms/tests/test_wiener.py — wiener / schultz / gutman /
+  hyper-Wiener indices incl. weighted + directed variants (14 tests)
+- algorithms/tests/test_efficiency.py — pairwise / global / local
+  efficiency (7 tests)
 
 Deviations are explicit per-test xfails with reasons (never silent
 fallbacks): MultiGraph inputs (class not implemented), normalized
@@ -70,6 +74,8 @@ import networkx.algorithms.components.tests.test_connected as _tconn
 import networkx.algorithms.components.tests.test_strongly_connected as _tsc
 import networkx.algorithms.components.tests.test_weakly_connected as _twc
 import networkx.algorithms.centrality.tests.test_closeness_centrality as _tcc
+import networkx.algorithms.tests.test_wiener as _tw
+import networkx.algorithms.tests.test_efficiency as _teff
 
 
 class _GnxShim:
@@ -89,7 +95,7 @@ class _GnxShim:
 
 _shim = _GnxShim()
 for _mod in (_tdc, _trec, _trc, _tb, _th, _tcon, _tcl,
-             _tcore, _tlp, _tbd, _tconn, _tsc, _twc, _tcc):
+             _tcore, _tlp, _tbd, _tconn, _tsc, _twc, _tcc, _tw, _teff):
     _mod.nx = _shim
 # direct (from networkx import X) names these modules captured at
 # import time — repoint them at the Spark-backed implementations too
@@ -290,3 +296,13 @@ def undirected_G():
     G = gnx.fast_gnp_random_graph(n=100, p=0.6, seed=123)
     cc = gnx.closeness_centrality(G)
     return G, cc
+
+
+# -- Wiener-family topological indices (wiener / schultz / gutman /
+#    hyper-Wiener, incl. weighted and directed variants) ---------------
+for _name in dir(_tw):
+    if _name.startswith("test_"):
+        globals()[_name] = getattr(_tw, _name)
+
+# -- efficiency measures (pairwise, global, local/ego) ------------------
+TestEfficiency = _teff.TestEfficiency
