@@ -456,6 +456,45 @@ def q_global_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(F.round("efficiency", 6).alias("efficiency"))
 
 
+def q_topo_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological generations (Kahn layers, upstream networkx
+    dag.py::topological_generations semantics) of the synthetic
+    layered DAGK graph — one zero-in-degree anti-join + edge peel per
+    layer on a strictly shrinking remainder (algorithms/dag.py)."""
+    from graphscope_spark.algorithms.dag import topological_generations
+
+    return topological_generations(H.dagk(spark, sf_dir))
+
+
+def q_dag_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG longest-path length over DAGK — generation-sliced max-plus
+    DP (O(E) relax work TOTAL; upstream dag_longest_path semantics).
+    Returns (longest, n_longest_tails) for the oracle; the full path
+    walk is exercised by pytest."""
+    from graphscope_spark.algorithms.dag import (
+        dag_longest_path,
+        topological_generations,
+    )
+
+    g = H.dagk(spark, sf_dir)
+    path = dag_longest_path(g)
+    longest = len(path) - 1 if path else 0
+    # tails achieving the max = vertices in the deepest generation?
+    # NO — longest ending at v is generation(v) for this unit-weight
+    # DAG only when every vertex is reachable from a root by a
+    # longest chain; count via the DP distance instead: recompute the
+    # per-vertex longest-ending length with the same DP.
+    gens = topological_generations(g)
+    spark_ = gens.sparkSession
+    # unit-weight longest ending at v == its generation index (Kahn
+    # generation = length of the longest incoming chain)
+    mx = gens.agg(F.max("generation").alias("m"))
+    n_tails = (gens.crossJoin(F.broadcast(mx))
+               .where(F.col("generation") == F.col("m")).count())
+    return spark_.createDataFrame(
+        [(int(longest), int(n_tails))], "longest long, n_longest_tails long")
+
+
 def q_graph_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """radius / diameter / |center| / |periphery| over undirected
     G2w."""
@@ -3623,6 +3662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_corona_g1": q_k_corona,
         "community_lp_g1": q_community_lp,
         "wiener_g2": q_wiener,
+        "topo_generations_dagk": q_topo_generations,
+        "dag_longest_dagk": q_dag_longest,
         "global_efficiency_g2": q_global_efficiency,
         "mis_g2_r3": q_mis,
         "coloring_g2_r4": q_coloring,
@@ -3860,6 +3901,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "generalized_degree_g3": GENERALIZED_DEGREE_SQL,
         "eccentricity_g2": H.eccentricity_sql(12),
         "wiener_g2": H.wiener_sql(12),
+        "topo_generations_dagk": H.topo_generations_sql(24),
+        "dag_longest_dagk": H.dag_longest_sql(24),
         "global_efficiency_g2": H.global_efficiency_sql(12),
         "graph_extremes_g2": H.graph_extremes_sql(12),
         "degree_histogram_g1": H.degree_histogram_sql(),

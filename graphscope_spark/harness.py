@@ -2381,6 +2381,94 @@ FROM p{rounds} WHERE dist < 1e17 GROUP BY s
 """
 
 
+def dagk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic layered DAG over custkeys: arcs i -> 2i, 2i+1, 3i
+    (targets capped at max custkey). Acyclic by construction (targets
+    strictly larger), depth ~ log2(N)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"))
+    mx = c.agg(F.max("id").alias("m"))
+    t = c.crossJoin(F.broadcast(mx)).select("id", "m")
+    parts = [
+        t.select(F.col("id").alias("src"), (F.col("id") * 2).alias("dst"), "m"),
+        t.select(F.col("id").alias("src"), (F.col("id") * 2 + 1).alias("dst"), "m"),
+        t.select(F.col("id").alias("src"), (F.col("id") * 3).alias("dst"), "m"),
+    ]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return (u.where((F.col("dst") <= F.col("m"))
+                    & (F.col("src") < F.col("dst")))  # drops 0->0
+            .select("src", "dst").distinct())
+
+
+DAGK_SQL = """
+WITH ck AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+mx AS (SELECT MAX(id) AS m FROM ck)
+SELECT DISTINCT src, dst FROM (
+  SELECT id AS src, id * 2 AS dst FROM ck
+  UNION ALL SELECT id, id * 2 + 1 FROM ck
+  UNION ALL SELECT id, id * 3 FROM ck)
+WHERE dst <= (SELECT m FROM mx) AND src < dst
+"""
+
+
+def dagk(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    return LinkGraph.from_edges(dagk_edges(spark, sf_dir), directed=True)
+
+
+def topo_generations_sql(rounds: int) -> str:
+    """Twin of algorithms/dag.topological_generations over the DAGK
+    graph — unrolled Kahn peel: per round the zero-in-degree vertices
+    of the remainder take generation r. ``rounds`` must be > DAG
+    depth (depth ~ log2(max custkey); 24 covers every test SF)."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({DAGK_SQL})",  # nested WITH is valid in parens
+        "v0 AS MATERIALIZED (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)",
+    ]
+    selects = []
+    for r in range(rounds):
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT id FROM v{r} WHERE id NOT IN (SELECT dst FROM e{r}))"""
+        )
+        selects.append(
+            f"SELECT id, CAST({r} AS BIGINT) AS generation FROM g{r}")
+        ctes.append(
+            f"""v{r + 1} AS MATERIALIZED (
+  SELECT id FROM v{r} WHERE id NOT IN (SELECT id FROM g{r}))"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+  SELECT src, dst FROM e{r} WHERE src NOT IN (SELECT id FROM g{r}))"""
+        )
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+def dag_longest_sql(rounds: int) -> str:
+    """Twin of the DAGK longest-path length: unrolled max-plus
+    relaxation (unit weights) — d_{r+1}(v) = max(d_r(v),
+    max_in(d_r(u) + 1)); converges once rounds > depth."""
+    ctes = [
+        f"e AS MATERIALIZED ({DAGK_SQL})",  # nested WITH is valid in parens
+        "dverts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "d0 AS MATERIALIZED (SELECT id, 0.0 AS d FROM dverts)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r + 1} AS MATERIALIZED (
+  SELECT v.id, GREATEST(v.d, COALESCE(m.cand, 0.0)) AS d
+  FROM d{r} v LEFT JOIN (
+    SELECT e.dst AS id, MAX(p.d + 1.0) AS cand
+    FROM e JOIN d{r} p ON p.id = e.src GROUP BY e.dst) m
+  ON m.id = v.id)"""
+        )
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(MAX(d) AS BIGINT) AS longest,
+       CAST(SUM(CASE WHEN d = (SELECT MAX(d) FROM d{rounds})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_longest_tails
+FROM d{rounds}""")
+
+
 def wiener_sql(rounds: int) -> str:
     """Twin of algorithms/structure.topological_indices over
     undirected G2 (Wiener / hyper-Wiener / Schultz / Gutman; +inf when

@@ -89,6 +89,12 @@ __all__ = [
     "gn_graph", "utils",
     "wiener_index", "schultz_index", "gutman_index", "hyper_wiener_index",
     "efficiency", "global_efficiency", "local_efficiency",
+    "NetworkXUnfeasible", "topological_generations", "topological_sort",
+    "lexicographical_topological_sort", "all_topological_sorts",
+    "ancestors", "descendants", "transitive_closure",
+    "transitive_closure_dag", "transitive_reduction", "antichains",
+    "dag_longest_path", "dag_longest_path_length", "is_aperiodic",
+    "add_cycle", "dag", "algorithms", "generators",
 ]
 
 
@@ -2831,3 +2837,398 @@ def local_efficiency(G: "Graph") -> float:
             s += sum(1.0 / d for b, d in dist.items() if d > 0)
         total += s / (k * (k - 1))
     return total / n
+
+
+# ---------------------------------------------------------------------------
+# DAG family (upstream networkx/algorithms/dag.py semantics — exact
+# iteration-order and mutation-detection contracts; the bulk
+# DataFrame counterparts live in algorithms/dag.py)
+# ---------------------------------------------------------------------------
+class NetworkXUnfeasible(NetworkXException):
+    """upstream exception.py NetworkXUnfeasible."""
+
+
+def topological_generations(G: "Graph") -> Iterator[list]:
+    """upstream dag.py::topological_generations — yields each Kahn
+    layer as a list; detects concurrent mutation exactly like
+    upstream (RuntimeError mid-iteration, NetworkXUnfeasible when
+    positive in-degrees remain)."""
+    if not G.is_directed():
+        raise NetworkXError("Topological sort not defined on undirected graphs.")
+    indeg = {}
+    zero = []
+    for v in G._node:
+        d = len(G._pred.get(v, {}))
+        if d > 0:
+            indeg[v] = d
+        else:
+            zero.append(v)
+    while zero:
+        generation, zero = zero, []
+        for node in generation:
+            if node not in G._node:
+                raise RuntimeError("Graph changed during iteration")
+            for child in G._succ.get(node, {}):
+                try:
+                    indeg[child] -= 1
+                except KeyError:
+                    raise RuntimeError("Graph changed during iteration") from None
+                if indeg[child] == 0:
+                    zero.append(child)
+                    del indeg[child]
+        yield generation
+    if indeg:
+        raise NetworkXUnfeasible(
+            "Graph contains a cycle or graph changed during iteration")
+
+
+def topological_sort(G: "Graph") -> Iterator:
+    """upstream dag.py::topological_sort — flattened generations."""
+    for generation in topological_generations(G):
+        yield from generation
+
+
+def lexicographical_topological_sort(G: "Graph", key=None) -> Iterator:
+    """upstream dag.py::lexicographical_topological_sort — heap-Kahn
+    with the (key, insertion-id, node) tuple order and the same
+    mutation-detection contract."""
+    import heapq
+
+    if not G.is_directed():
+        raise NetworkXError("Topological sort not defined on undirected graphs.")
+    if key is None:
+        def key(node):
+            return node
+    order_of = {n: i for i, n in enumerate(G._node)}
+
+    def tup(node):
+        return key(node), order_of[node], node
+
+    indeg = {}
+    heap = []
+    for v in G._node:
+        d = len(G._pred.get(v, {}))
+        if d > 0:
+            indeg[v] = d
+        else:
+            heap.append(tup(v))
+    heapq.heapify(heap)
+    while heap:
+        _, _, node = heapq.heappop(heap)
+        if node not in G._node:
+            raise RuntimeError("Graph changed during iteration")
+        for child in G._succ.get(node, {}):
+            try:
+                indeg[child] -= 1
+            except KeyError:
+                raise RuntimeError("Graph changed during iteration") from None
+            if indeg[child] == 0:
+                heapq.heappush(heap, tup(child))
+                del indeg[child]
+        yield node
+    if indeg:
+        raise NetworkXUnfeasible(
+            "Graph contains a cycle or graph changed during iteration")
+
+
+def all_topological_sorts(G: "Graph") -> Iterator[list]:
+    """upstream dag.py::all_topological_sorts — enumerates every
+    topological order by backtracking over the zero-in-degree set."""
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "Topological sort not defined on undirected graphs.")
+    indeg = {v: len(G._pred.get(v, {})) for v in G._node}
+    n = len(indeg)
+
+    def backtrack(prefix, avail):
+        if len(prefix) == n:
+            yield list(prefix)
+            return
+        if not avail:
+            raise NetworkXUnfeasible("Graph contains a cycle.")
+        for i, v in enumerate(list(avail)):
+            newly = []
+            for c in G._succ.get(v, {}):
+                indeg[c] -= 1
+                if indeg[c] == 0:
+                    newly.append(c)
+            prefix.append(v)
+            yield from backtrack(prefix, avail[:i] + avail[i + 1:] + newly)
+            prefix.pop()
+            for c in G._succ.get(v, {}):
+                indeg[c] += 1
+
+    avail0 = [v for v, d in indeg.items() if d == 0]
+    if n > 0 and not avail0:
+        raise NetworkXUnfeasible("Graph contains a cycle.")
+    yield from backtrack([], avail0)
+
+
+def ancestors(G: "Graph", source) -> set:
+    """upstream dag.py::ancestors — nodes with a path TO source
+    (source excluded). Distributed reversed-BFS for wrapped
+    LinkGraphs, driver BFS otherwise."""
+    if source not in G:
+        raise NetworkXError(f"The node {source} is not in the graph.")
+    if G._base_lg is not None:
+        from graphscope_spark.algorithms import dag as DAGA
+        return {r[ID] for r in DAGA.ancestors(G._base_lg, int(source)).collect()}
+    out = set()
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for x in frontier:
+            for y in G._pred.get(x, {}):
+                if y not in out and y != source:
+                    out.add(y)
+                    nxt.append(y)
+        frontier = nxt
+    return out
+
+
+def descendants(G: "Graph", source) -> set:
+    """upstream dag.py::descendants — nodes reachable FROM source
+    (source excluded)."""
+    if source not in G:
+        raise NetworkXError(f"The node {source} is not in the graph.")
+    if G._base_lg is not None:
+        from graphscope_spark.algorithms import dag as DAGA
+        return {r[ID] for r in DAGA.descendants(G._base_lg, int(source)).collect()}
+    out = set()
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for x in frontier:
+            for y in G._succ.get(x, {}):
+                if y not in out and y != source:
+                    out.add(y)
+                    nxt.append(y)
+        frontier = nxt
+    return out
+
+
+def _reach_with_self(G: "Graph", v) -> set:
+    """Target set of upstream's edge_bfs(G, v) second endpoints: every
+    head of an edge reachable from v. Directed: v re-enters via any
+    cycle through it. Undirected: each edge is traversed once from its
+    discovery side, so v is a target only via an explicit self-loop."""
+    if not G.is_directed():
+        targets = descendants(G, v)
+        if v in G._succ.get(v, {}):
+            targets = targets | {v}
+        return targets
+    out = set()
+    frontier = list(G._succ.get(v, {}))
+    out.update(frontier)
+    while frontier:
+        nxt = []
+        for x in frontier:
+            for y in G._succ.get(x, {}):
+                if y not in out:
+                    out.add(y)
+                    nxt.append(y)
+        frontier = nxt
+    return out
+
+
+def transitive_closure(G: "Graph", reflexive=False) -> "Graph":
+    """upstream dag.py::transitive_closure — works on cyclic and
+    undirected graphs too; `reflexive` in {False, True, None} exactly
+    as upstream (False adds self-loops only via cycles, True always,
+    None never)."""
+    if reflexive not in {None, True, False}:
+        raise NetworkXError("Incorrect value for the parameter `reflexive`")
+    TC = G.copy()
+    for v in G._node:
+        if reflexive is None:
+            targets = descendants(G, v)
+        elif reflexive is True:
+            targets = descendants(G, v) | {v}
+        else:
+            targets = _reach_with_self(G, v)
+        for u in targets:
+            if u not in TC._succ.get(v, {}):
+                TC.add_edge(v, u)
+    return TC
+
+
+def transitive_closure_dag(G: "Graph", topo_order=None) -> "Graph":
+    """upstream dag.py::transitive_closure_dag (directed acyclic
+    inputs only)."""
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "transitive_closure_dag not implemented for undirected type")
+    if topo_order is None:
+        topo_order = list(topological_sort(G))
+    TC = G.copy()
+    for v in reversed(topo_order):
+        # descendants at exactly distance 2 in the CURRENT closure
+        two = set()
+        for a in TC._succ.get(v, {}):
+            for b in TC._succ.get(a, {}):
+                if b != v and b not in TC._succ.get(v, {}):
+                    two.add(b)
+        for u in two:
+            TC.add_edge(v, u)
+    return TC
+
+
+def transitive_reduction(G: "Graph") -> "DiGraph":
+    """upstream dag.py::transitive_reduction (DAG only) — drops every
+    edge implied by a longer path."""
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "transitive_reduction not implemented for undirected type")
+    if not is_directed_acyclic_graph(G):
+        raise NetworkXError(
+            "Directed Acyclic Graph required for transitive_reduction")
+    TR = DiGraph(spark=G._spark)
+    TR.add_nodes_from(G._node)
+    desc_cache: dict = {}
+    for u in G._node:
+        keep = set(G._succ.get(u, {}))
+        for v in G._succ.get(u, {}):
+            if v in keep:
+                if v not in desc_cache:
+                    desc_cache[v] = descendants(G, v)
+                keep -= desc_cache[v]
+        TR.add_edges_from((u, v) for v in keep)
+    return TR
+
+
+def antichains(G: "Graph", topo_order=None) -> Iterator[list]:
+    """upstream dag.py::antichains — enumerates all antichains of a
+    DAG via the reversed-topological stack walk over the transitive
+    closure."""
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "antichains not implemented for undirected type")
+    if topo_order is None:
+        topo_order = list(topological_sort(G))
+    TC = transitive_closure_dag(G, topo_order)
+    stacks = [([], list(reversed(topo_order)))]
+    while stacks:
+        antichain, stack = stacks.pop()
+        yield antichain
+        while stack:
+            x = stack.pop()
+            new_antichain = antichain + [x]
+            new_stack = [t for t in stack
+                         if not (t in TC._succ.get(x, {})
+                                 or x in TC._succ.get(t, {}))]
+            stacks.append((new_antichain, new_stack))
+
+
+def dag_longest_path(G: "Graph", weight: str = "weight",
+                     default_weight: int = 1, topo_order=None) -> list:
+    """upstream dag.py::dag_longest_path — exact upstream DP incl.
+    the negative-restart rule and first-max tie order. Bulk
+    counterpart: algorithms/dag.dag_longest_path."""
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "dag_longest_path not implemented for undirected type")
+    if len(G._node) == 0:
+        return []
+    if topo_order is None:
+        topo_order = topological_sort(G)
+    dist: dict = {}
+    for v in topo_order:
+        us = [
+            (dist[u][0] + attr.get(weight, default_weight), u)
+            for u, attr in G._pred.get(v, {}).items()
+        ]
+        maxu = max(us, key=lambda x: x[0]) if us else (0, v)
+        dist[v] = maxu if maxu[0] >= 0 else (0, v)
+    u = None
+    v = max(dist, key=lambda x: dist[x][0])
+    path = []
+    while u != v:
+        path.append(v)
+        u = v
+        v = dist[v][1]
+    path.reverse()
+    return path
+
+
+def dag_longest_path_length(G: "Graph", weight: str = "weight",
+                            default_weight: int = 1) -> int:
+    """upstream dag.py::dag_longest_path_length — edge-weight total
+    along dag_longest_path."""
+    path = dag_longest_path(G, weight, default_weight)
+    total = 0
+    for u, v in zip(path, path[1:]):
+        total += G._succ[u][v].get(weight, default_weight)
+    return total
+
+
+def is_aperiodic(G: "Graph") -> bool:
+    """upstream dag.py::is_aperiodic — gcd of cycle lengths through a
+    BFS tree == 1 (strongly connected directed graphs only)."""
+    from math import gcd
+
+    if not G.is_directed():
+        raise NetworkXError("is_aperiodic not defined for undirected graphs")
+    if len(G._node) == 0:
+        raise NetworkXPointlessConcept("Graph has no nodes.")
+    if not is_strongly_connected(G):
+        raise NetworkXError("Graph is not strongly connected.")
+    s = next(iter(G._node))
+    levels = {s: 0}
+    this_level = [s]
+    g = 0
+    lev = 1
+    while this_level:
+        next_level = []
+        for u in this_level:
+            for v in G._succ.get(u, {}):
+                if v in levels:
+                    g = gcd(g, levels[u] - levels[v] + 1)
+                else:
+                    next_level.append(v)
+                    levels[v] = lev
+        this_level = next_level
+        lev += 1
+    return g == 1
+
+
+def add_cycle(G: "Graph", nodes, **attr) -> None:
+    """upstream networkx/classes/function.py add_cycle."""
+    nodes = list(nodes)
+    if len(nodes) == 1:
+        G.add_node(nodes[0])
+        return
+    G.add_edges_from(zip(nodes, nodes[1:] + nodes[:1]), **attr)
+
+
+class _DagNamespace:
+    """nx.algorithms.dag.* access path used by the upstream tests."""
+
+    ancestors = staticmethod(ancestors)
+    descendants = staticmethod(descendants)
+    transitive_closure_dag = staticmethod(transitive_closure_dag)
+    transitive_reduction = staticmethod(transitive_reduction)
+    antichains = staticmethod(antichains)
+    topological_sort = staticmethod(topological_sort)
+    topological_generations = staticmethod(topological_generations)
+
+
+dag = _DagNamespace()
+
+
+class _AlgorithmsNamespace:
+    """nx.algorithms.* access path (dag sub-namespace only — the flat
+    nx.* names are the supported surface)."""
+
+    dag = dag
+
+
+class _GeneratorsNamespace:
+    """nx.generators.* access path used by the upstream tests."""
+
+    @staticmethod
+    def complete_graph(n, create_using=None):
+        return complete_graph(n, create_using)
+
+
+algorithms = _AlgorithmsNamespace()
+generators = _GeneratorsNamespace()

@@ -524,3 +524,41 @@ def test_harmonic_generator_nbunch_and_weight(spark, und):
     gu = gnx.harmonic_centrality(wrapped)
     for k in gu:
         assert abs(gw[k] - gu[k]) < 1e-6  # unit costs == unweighted
+
+
+def test_transitive_closure_like_upstream(spark):
+    """The DiGraph/Graph halves of upstream test_dag's transitive
+    closure tests (the vendored originals hit MultiGraph mid-test and
+    xfail; this re-asserts the supported surface byte-for-byte)."""
+    G = gnx.DiGraph([(1, 2), (2, 3), (3, 4)], spark=spark)
+    solution = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert sorted(gnx.transitive_closure(G).edges) == solution
+    assert sorted(gnx.transitive_closure(G, False).edges) == solution
+    assert sorted(gnx.transitive_closure(G, None).edges) == solution
+    assert sorted(gnx.transitive_closure(G, True).edges) == sorted(
+        solution + [(n, n) for n in G])
+    Gc = gnx.DiGraph([(1, 2), (2, 3), (3, 1)], spark=spark)
+    cyc = sorted([(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)])
+    assert sorted(gnx.transitive_closure(Gc).edges) == sorted(
+        cyc + [(n, n) for n in Gc])  # default False: loops via cycles
+    assert sorted(gnx.transitive_closure(Gc, None).edges) == cyc
+    U = gnx.Graph([(1, 2), (2, 3), (3, 4)], spark=spark)
+    assert sorted(tuple(sorted(e)) for e in gnx.transitive_closure(U).edges) \
+        == solution
+    # edge data copied for pre-existing edges
+    Gd = gnx.DiGraph([(1, 2, {"a": 3}), (2, 3, {"b": 0}), (3, 4)], spark=spark)
+    H = gnx.transitive_closure(Gd)
+    for u, v in Gd.edges:
+        assert Gd.get_edge_data(u, v) == H.get_edge_data(u, v)
+    with pytest.raises(gnx.NetworkXError):
+        gnx.transitive_closure(gnx.Graph(spark=spark), reflexive="wrong input")
+
+
+def test_topological_generations_digraph_half(spark):
+    """The DiGraph half of upstream test_topological_generations (the
+    vendored original continues into MultiDiGraph and xfails)."""
+    G = gnx.DiGraph(
+        {1: [2, 3], 2: [4, 5], 3: [7], 4: [], 5: [6, 7], 6: [], 7: []},
+        spark=spark).reverse()
+    generations = [sorted(gen) for gen in gnx.topological_generations(G)]
+    assert generations == [[4, 6, 7], [3, 5], [2], [1]]

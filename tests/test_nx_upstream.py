@@ -42,6 +42,11 @@ pytest from this file):
   hyper-Wiener indices incl. weighted + directed variants (14 tests)
 - algorithms/tests/test_efficiency.py — pairwise / global / local
   efficiency (7 tests)
+- algorithms/tests/test_dag.py — topological sort/generations (incl.
+  the mutation-detection RuntimeError contract), lexicographical +
+  all_topological_sorts, longest path (weighted/negative), transitive
+  closure/reduction, antichains, ancestors/descendants, is_aperiodic
+  (≈45 tests; dag_to_branching and v-structure tests are out of scope)
 
 Deviations are explicit per-test xfails with reasons (never silent
 fallbacks): MultiGraph inputs (class not implemented), normalized
@@ -76,6 +81,7 @@ import networkx.algorithms.components.tests.test_weakly_connected as _twc
 import networkx.algorithms.centrality.tests.test_closeness_centrality as _tcc
 import networkx.algorithms.tests.test_wiener as _tw
 import networkx.algorithms.tests.test_efficiency as _teff
+import networkx.algorithms.tests.test_dag as _tdag
 
 
 class _GnxShim:
@@ -95,7 +101,8 @@ class _GnxShim:
 
 _shim = _GnxShim()
 for _mod in (_tdc, _trec, _trc, _tb, _th, _tcon, _tcl,
-             _tcore, _tlp, _tbd, _tconn, _tsc, _twc, _tcc, _tw, _teff):
+             _tcore, _tlp, _tbd, _tconn, _tsc, _twc, _tcc, _tw, _teff,
+             _tdag):
     _mod.nx = _shim
 # direct (from networkx import X) names these modules captured at
 # import time — repoint them at the Spark-backed implementations too
@@ -306,3 +313,62 @@ for _name in dir(_tw):
 
 # -- efficiency measures (pairwise, global, local/ego) ------------------
 TestEfficiency = _teff.TestEfficiency
+
+
+# -- DAG family (test_dag slice: toposort machinery, longest path,
+#    transitive closure/reduction, antichains, is_aperiodic).
+#    dag_to_branching / v-structures / colliders are NOT exported
+#    (dag_to_branching needs a path-keyed branching construction that
+#    has no distributed counterpart here; v-structures were deprecated
+#    upstream).
+TestDagLongestPath = _tdag.TestDagLongestPath
+TestDagLongestPathLength = _tdag.TestDagLongestPathLength
+TestDAG = _tdag.TestDAG
+for _cls, _ts in (
+    (TestDagLongestPath, ("test_multigraph_unweighted",
+                          "test_multigraph_weighted",
+                          "test_multigraph_weighted_default_weight")),
+    (TestDagLongestPathLength, ("test_multigraph_unweighted",
+                                "test_multigraph_weighted")),
+    (TestDAG, ("test_transitive_closure",
+               "test_reflexive_transitive_closure",
+               "test_all_topological_sorts_multigraph_1",
+               "test_all_topological_sorts_multigraph_2")),
+):
+    for _t in _ts:
+        setattr(_cls, _t, pytest.mark.xfail(
+            reason="MultiGraph/MultiDiGraph classes not implemented "
+            "(the transitive-closure tests hit them mid-test; the "
+            "DiGraph/Graph closure surface is covered by "
+            "test_nx.py::test_transitive_closure_like_upstream)",
+            strict=True, raises=AttributeError)(getattr(_cls, _t)))
+
+test_topological_generations = pytest.mark.xfail(
+    reason="MultiDiGraph half of the test (class not implemented); "
+    "the DiGraph half is re-asserted in test_nx.py",
+    strict=True, raises=AttributeError,
+)(_tdag.test_topological_generations)
+test_topological_generations_empty = _tdag.test_topological_generations_empty
+test_topological_generations_cycle = _tdag.test_topological_generations_cycle
+test_is_aperiodic_cycle = _tdag.test_is_aperiodic_cycle
+test_is_aperiodic_cycle2 = _tdag.test_is_aperiodic_cycle2
+test_is_aperiodic_cycle3 = _tdag.test_is_aperiodic_cycle3
+test_is_aperiodic_cycle4 = _tdag.test_is_aperiodic_cycle4
+test_is_aperiodic_selfloop = _tdag.test_is_aperiodic_selfloop
+test_is_aperiodic_null_graph_raises = _tdag.test_is_aperiodic_null_graph_raises
+test_is_aperiodic_undirected_raises = _tdag.test_is_aperiodic_undirected_raises
+test_is_aperiodic_disconnected_raises = (
+    _tdag.test_is_aperiodic_disconnected_raises
+)
+test_is_aperiodic_weakly_connected_raises = (
+    _tdag.test_is_aperiodic_weakly_connected_raises
+)
+test_is_aperiodic_empty_graph = _tdag.test_is_aperiodic_empty_graph
+test_is_aperiodic_single_node = _tdag.test_is_aperiodic_single_node
+test_dag_ancestors_descendants_undirected = pytest.mark.xfail(
+    reason="undirected ancestors/descendants semantics not asserted "
+    "upstream either (test deleted there in some versions)",
+    strict=False,
+)(getattr(_tdag, "test_ancestors_descendants_undirected", None))     if hasattr(_tdag, "test_ancestors_descendants_undirected") else None
+if test_dag_ancestors_descendants_undirected is None:
+    del test_dag_ancestors_descendants_undirected
