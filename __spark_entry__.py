@@ -456,6 +456,24 @@ def q_global_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(F.round("efficiency", 6).alias("efficiency"))
 
 
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round SimRank (Jeh & Widom 2002, upstream
+    simrank_similarity semantics) over the mod-5-trimmed directed G4
+    — pair-state Jacobi updates, two in-edge joins + one (u,v)
+    aggregate per round (algorithms/simrank.py). Fixed rounds so the
+    oracle unrolls identically (the pagerank discipline); the
+    tolerance-converged variant is pytest-verified vs real networkx."""
+    from graphscope_spark.algorithms.simrank import simrank
+    from graphscope_spark.graph import LinkGraph
+
+    e = (H.g4_edges(spark, sf_dir)
+         .where((F.col("src") % 5 == 0) & (F.col("dst") % 5 == 0)
+                & (F.col("src") != F.col("dst"))))
+    g = LinkGraph.from_edges(e, directed=True).build()
+    s = simrank(g, importance_factor=0.6, fixed_rounds=3)
+    return s.select("u", "v", F.round("s", 6).alias("s"))
+
+
 def q_topo_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological generations (Kahn layers, upstream networkx
     dag.py::topological_generations semantics) of the synthetic
@@ -3663,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_lp_g1": q_community_lp,
         "wiener_g2": q_wiener,
         "topo_generations_dagk": q_topo_generations,
+        "simrank_g4m5_r3": q_simrank,
         "dag_longest_dagk": q_dag_longest,
         "global_efficiency_g2": q_global_efficiency,
         "mis_g2_r3": q_mis,
@@ -3902,6 +3921,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "eccentricity_g2": H.eccentricity_sql(12),
         "wiener_g2": H.wiener_sql(12),
         "topo_generations_dagk": H.topo_generations_sql(24),
+        "simrank_g4m5_r3": H.simrank_sql(3, 0.6),
         "dag_longest_dagk": H.dag_longest_sql(24),
         "global_efficiency_g2": H.global_efficiency_sql(12),
         "graph_extremes_g2": H.graph_extremes_sql(12),

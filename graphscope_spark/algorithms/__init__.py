@@ -90,6 +90,7 @@ from graphscope_spark.algorithms.linkpred import (
     community_link_prediction_scores,
     link_prediction_scores,
 )
+from graphscope_spark.algorithms.simrank import simrank  # noqa: F401
 from graphscope_spark.algorithms.trustrank import (  # noqa: F401
     trustrank,
     spam_mass,
@@ -146,5 +147,5 @@ __all__ = [
     "average_neighbor_degree", "average_degree_connectivity",
     "rich_club_coefficient", "eccentricity", "graph_extremes",
     "topological_indices", "global_efficiency",
-    "boruvka_msf", "msf_weight", "single_linkage",
+    "boruvka_msf", "msf_weight", "single_linkage", "simrank",
 ]

@@ -2381,6 +2381,44 @@ FROM p{rounds} WHERE dist < 1e17 GROUP BY s
 """
 
 
+def simrank_sql(rounds: int, c: float = 0.6) -> str:
+    """Twin of algorithms/simrank.simrank(fixed_rounds=rounds) over
+    the mod-5-trimmed directed G4 (both endpoints ≡ 0 mod 5 keeps the
+    |V|² pair state tiny). Unrolled Jacobi updates of
+    S(u,v) = C/(|I(u)||I(v)|)·Σ_{a∈I(u),b∈I(v)} S(a,b), diag 1."""
+    ctes = [
+        f"""ine AS MATERIALIZED (
+  SELECT src, dst FROM ({G4_SQL})
+  WHERE src <> dst AND src % 5 = 0 AND dst % 5 = 0)""",
+        "sv AS MATERIALIZED (SELECT src AS id FROM ine UNION SELECT dst FROM ine)",
+        "ind AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS ind FROM ine GROUP BY dst)",
+        """prs AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v FROM sv a CROSS JOIN sv b)""",
+        """s0 AS MATERIALIZED (
+  SELECT u, v, CASE WHEN u = v THEN 1.0 ELSE 0.0 END AS s FROM prs)""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT p.u, p.v,
+         CASE WHEN p.u = p.v THEN 1.0
+              ELSE {c} * COALESCE(t.tot, 0.0)
+                   / (COALESCE(iu.ind, 1) * COALESCE(iv.ind, 1)) END AS s
+  FROM prs p
+  LEFT JOIN (
+    SELECT ea.dst AS u, eb.dst AS v, SUM(s.s) AS tot
+    FROM s{i} s
+    JOIN ine ea ON ea.src = s.u
+    JOIN ine eb ON eb.src = s.v
+    WHERE s.s <> 0.0
+    GROUP BY ea.dst, eb.dst) t ON t.u = p.u AND t.v = p.v
+  LEFT JOIN ind iu ON iu.id = p.u
+  LEFT JOIN ind iv ON iv.id = p.v)"""
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u, v, ROUND(s, 6) AS s FROM s{rounds}")
+
+
 def dagk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic layered DAG over custkeys: arcs i -> 2i, 2i+1, 3i
     (targets capped at max custkey). Acyclic by construction (targets

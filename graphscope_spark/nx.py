@@ -95,6 +95,7 @@ __all__ = [
     "transitive_closure_dag", "transitive_reduction", "antichains",
     "dag_longest_path", "dag_longest_path_length", "is_aperiodic",
     "add_cycle", "dag", "algorithms", "generators",
+    "simrank_similarity", "ExceededMaxIterations",
 ]
 
 
@@ -3232,3 +3233,38 @@ class _GeneratorsNamespace:
 
 algorithms = _AlgorithmsNamespace()
 generators = _GeneratorsNamespace()
+
+
+class ExceededMaxIterations(NetworkXException):
+    """upstream exception.py ExceededMaxIterations."""
+
+
+def simrank_similarity(G: "Graph", source=None, target=None,
+                       importance_factor: float = 0.9,
+                       max_iterations: int = 1000,
+                       tolerance: float = 1e-4):
+    """upstream similarity.py::simrank_similarity (Jeh & Widom 2002)
+    — full dict-of-dicts, one row, or one value depending on
+    source/target; distributed pair-state iteration in
+    algorithms/simrank.py."""
+    from graphscope_spark.algorithms.simrank import simrank as _simrank
+
+    if source is not None and source not in G:
+        raise NodeNotFound(f"Source node {source} not in G")
+    if target is not None and target not in G:
+        raise NodeNotFound(f"Target node {target} not in G")
+    try:
+        rows = _simrank(
+            G._flush(), importance_factor=importance_factor,
+            max_iter=max_iterations, tol=tolerance,
+        ).collect()
+    except RuntimeError as err:
+        raise ExceededMaxIterations(str(err)) from None
+    out: dict = {}
+    for r in rows:
+        out.setdefault(G._back(r["u"]), {})[G._back(r["v"])] = r["s"]
+    if source is not None and target is not None:
+        return out[source][target]
+    if source is not None:
+        return out[source]
+    return out
