@@ -3640,7 +3640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_g2_r5": q_eigenvector,
         "lpa_g2w_r5": q_lpa,
         "clustering_g2": q_clustering,
-        "transitivity_g2": q_transitivity,
         "is_simple_path_g2": q_simple_path,
         "closeness_g2": q_closeness,
         "apsp_g2": q_apsp,
@@ -3676,14 +3675,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_g1": q_node2vec,
         "skipgram_g1": q_skipgram,
         "core_numbers_g1": q_core_numbers,
-        "k_crust_g1": q_k_crust,
         "k_corona_g1": q_k_corona,
         "community_lp_g1": q_community_lp,
         "wiener_g2": q_wiener,
         "topo_generations_dagk": q_topo_generations,
         "simrank_g4m5_r3": q_simrank,
         "dag_longest_dagk": q_dag_longest,
-        "global_efficiency_g2": q_global_efficiency,
         "mis_g2_r3": q_mis,
         "coloring_g2_r4": q_coloring,
         "butterfly_stats_g1": q_butterfly_stats,
@@ -3726,6 +3723,9 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     density, not local verification coverage."""
     return {
         "bibcoupling_g3": q_bibcoupling,
+        "k_crust_g1": q_k_crust,
+        "global_efficiency_g2": q_global_efficiency,
+        "transitivity_g2": q_transitivity,
         "overall_reciprocity_g3": q_overall_reciprocity,
         "trustrank_g1_r5": q_trustrank,
         "repetition_ratio": q_repetition_ratio,

@@ -101,6 +101,43 @@ def main() -> int:
         plan_of(entrymod.q_community_lp(spark, sf_dir)),
     ))
 
+    # simrank round body (pair-state Jacobi update)
+    from graphscope_spark.algorithms.simrank import simrank as _simrank
+    sr_e = H.g4_edges(spark, sf_dir).where(
+        (F.col("src") % 5 == 0) & (F.col("dst") % 5 == 0)
+        & (F.col("src") != F.col("dst")))
+    sections.append((
+        "simrank fixed-round (trimmed G4, 1 round shown)",
+        "expect per round: TWO shuffle joins of the pair state against "
+        "the checkpointed in-edge table + ONE (u,v) hash agg with "
+        "partial sums; in-degree normalization as broadcast joins; "
+        "the crossJoin base is the guarded |V|^2 pair frame",
+        plan_of(_simrank(LinkGraph.from_edges(sr_e, directed=True).build(),
+                         importance_factor=0.6, fixed_rounds=1)),
+    ))
+
+    # DAG longest-path DP round body (generation-sliced relax)
+    from graphscope_spark.algorithms.dag import topological_generations
+    dk = H.dagk(spark, sf_dir)
+    dk_gens = topological_generations(dk).localCheckpoint(eager=True)
+    dk_edges = (dk.edges
+                .join(dk_gens.select(F.col("id").alias("dst"),
+                                     F.col("generation").alias("dgen")), "dst")
+                .localCheckpoint(eager=True))
+    dk_state = dk_gens.select("id", F.lit(0.0).alias("dist"),
+                              F.col("id").alias("parent"), "generation")
+    dk_cur = dk_state.where(F.col("generation") < 3).select(
+        F.col("id").alias("src"), F.col("dist").alias("dsrc"))
+    dk_best = (dk_edges.where(F.col("dgen") == 3).join(dk_cur, "src")
+               .groupBy("dst").agg(F.max(F.struct("dsrc", "src")).alias("s")))
+    sections.append((
+        "dag_longest_path DP round body (generation slice)",
+        "expect: the dgen filter prunes the checkpointed edge slice "
+        "BEFORE the join (O(E) relax TOTAL across rounds), one "
+        "max-struct hash agg with map-side combine, no Python",
+        plan_of(dk_best),
+    ))
+
     # one PageRank superstep body (the per-round plan that repeats)
     edges = g1.edges.select("src", "dst")
     state = g1.vertices.select(
@@ -278,11 +315,16 @@ def main() -> int:
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    notes = os.path.join(os.path.dirname(out), "PLANS_NOTES.md")
     with open(out, "w") as f:
         f.write("# Plan audit — `.explain(\"formatted\")` for headline operators\n\n"
                 f"Generated by tools/explain_audit.py at {sf_dir}.\n")
         for title, expect, plan in sections:
             f.write(f"\n## {title}\n\n_{expect}_\n\n```\n{plan}```\n")
+        # measured-narrative appendix (maintained by hand, survives regen)
+        if os.path.exists(notes):
+            f.write("\n")
+            f.write(open(notes).read())
     print(f"wrote {out}", file=sys.stderr)
     spark.stop()
     return 0
