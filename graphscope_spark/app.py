@@ -157,6 +157,25 @@ def _register_builtins() -> None:
         "modularity": A.modularity,
         "degree_histogram": A.degree_histogram,
         "eccentricity": A.eccentricity,
+        # round 4 additions
+        "k_crust": A.k_crust,
+        "k_corona": A.k_corona,
+        "onion_layers": A.onion_layers,
+        "community_link_prediction": A.community_link_prediction_scores,
+        "topological_indices": A.topological_indices,
+        "global_efficiency": A.global_efficiency,
+        "simrank": A.simrank,
+    }.items():
+        _REGISTRY.setdefault(name, fn)
+    # DAG family lives in its own module (not in algorithms.__init__'s
+    # LinkGraph->DataFrame convention: dag_longest_path returns a list)
+    from graphscope_spark.algorithms import dag as _dag
+
+    for name, fn in {
+        "topological_generations": _dag.topological_generations,
+        "dag_longest_path": _dag.dag_longest_path,
+        "dag_descendants": _dag.descendants,
+        "dag_ancestors": _dag.ancestors,
     }.items():
         _REGISTRY.setdefault(name, fn)
 
