@@ -88,3 +88,15 @@ def test_nx_dag_surface_random(spark):
         sorted(realnx.transitive_reduction(R).edges)
     assert sorted(gnx.transitive_closure_dag(G).edges) == \
         sorted(realnx.transitive_closure_dag(R).edges)
+
+
+def test_all_topological_sorts_raises(spark):
+    """The Graph/cycle halves of upstream test_all_topological_sorts_3
+    (the vendored original constructs a MultiGraph mid-test and
+    xfails)."""
+    DG = gnx.DiGraph([(1, 2), (2, 3), (3, 4), (4, 2), (4, 5)], spark=spark)
+    with pytest.raises(gnx.NetworkXUnfeasible):
+        list(gnx.all_topological_sorts(DG))
+    G = gnx.Graph([(1, 2), (2, 3)], spark=spark)
+    with pytest.raises(gnx.NetworkXNotImplemented):
+        list(gnx.all_topological_sorts(G))

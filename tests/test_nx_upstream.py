@@ -333,7 +333,8 @@ for _cls, _ts in (
     (TestDAG, ("test_transitive_closure",
                "test_reflexive_transitive_closure",
                "test_all_topological_sorts_multigraph_1",
-               "test_all_topological_sorts_multigraph_2")),
+               "test_all_topological_sorts_multigraph_2",
+               "test_all_topological_sorts_3")),
 ):
     for _t in _ts:
         setattr(_cls, _t, pytest.mark.xfail(
@@ -365,10 +366,6 @@ test_is_aperiodic_weakly_connected_raises = (
 )
 test_is_aperiodic_empty_graph = _tdag.test_is_aperiodic_empty_graph
 test_is_aperiodic_single_node = _tdag.test_is_aperiodic_single_node
-test_dag_ancestors_descendants_undirected = pytest.mark.xfail(
-    reason="undirected ancestors/descendants semantics not asserted "
-    "upstream either (test deleted there in some versions)",
-    strict=False,
-)(getattr(_tdag, "test_ancestors_descendants_undirected", None))     if hasattr(_tdag, "test_ancestors_descendants_undirected") else None
-if test_dag_ancestors_descendants_undirected is None:
-    del test_dag_ancestors_descendants_undirected
+test_ancestors_descendants_undirected = (
+    _tdag.test_ancestors_descendants_undirected
+)
