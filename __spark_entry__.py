@@ -470,7 +470,8 @@ def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where((F.col("src") % 5 == 0) & (F.col("dst") % 5 == 0)
                 & (F.col("src") != F.col("dst"))))
     g = LinkGraph.from_edges(e, directed=True).build()
-    s = simrank(g, importance_factor=0.6, fixed_rounds=3)
+    s = simrank(g, importance_factor=0.6, fixed_rounds=3,
+                deterministic_sum=True)
     return s.select("u", "v", F.round("s", 6).alias("s"))
 
 

@@ -36,6 +36,7 @@ def simrank(
     tol: float | None = 1e-4,
     fixed_rounds: int | None = None,
     max_pairs: int = 2_000_000,
+    deterministic_sum: bool = False,
 ) -> DataFrame:
     """DataFrame(u long, v long, score double) for ALL ordered vertex
     pairs. ``fixed_rounds`` runs exactly that many updates with no
@@ -75,13 +76,25 @@ def simrank(
     for it in range(rounds):
         # Σ_{a∈I(u), b∈I(v)} S(a,b): expand pair scores along both
         # in-edge roles, fold with ONE (u,v) aggregate
-        summed = (
+        expanded = (
             state.where(F.col("s") != 0.0)
             .join(ea, state["u"] == ea["a"])
             .join(eb, state["v"] == eb["b"])
             .groupBy(F.col("nu").alias("u"), F.col("nv").alias("v"))
-            .agg(F.sum("s").alias("tot"))
         )
+        if deterministic_sum:
+            # ascending-value fold — bit-identical across engines and
+            # partitionings (the oracle-twin discipline); costs a
+            # per-group array, so it is opt-in for small fixed-round
+            # runs only
+            summed = expanded.agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("s")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("tot"))
+        else:
+            summed = expanded.agg(F.sum("s").alias("tot"))
         new = (
             verts.select(F.col(ID).alias("u"))
             .crossJoin(verts.select(F.col(ID).alias("v")))

@@ -2406,7 +2406,7 @@ def simrank_sql(rounds: int, c: float = 0.6) -> str:
                    / (COALESCE(iu.ind, 1) * COALESCE(iv.ind, 1)) END AS s
   FROM prs p
   LEFT JOIN (
-    SELECT ea.dst AS u, eb.dst AS v, SUM(s.s) AS tot
+    SELECT ea.dst AS u, eb.dst AS v, SUM(s.s ORDER BY s.s) AS tot
     FROM s{i} s
     JOIN ine ea ON ea.src = s.u
     JOIN ine eb ON eb.src = s.v
