@@ -96,6 +96,8 @@ __all__ = [
     "dag_longest_path", "dag_longest_path_length", "is_aperiodic",
     "add_cycle", "dag", "algorithms", "generators",
     "simrank_similarity", "ExceededMaxIterations",
+    "NetworkXNoPath", "shortest_path_length", "barycenter",
+    "random_labeled_tree",
 ]
 
 
@@ -194,6 +196,10 @@ class _EdgeList(list):
         return [
             (u, v, self._succ[u][v].get(data, default)) for u, v in self
         ]
+
+    def data(self, data=True, default=None):
+        """NX EdgeView.data(): [(u, v, attrs)] or [(u, v, value)]."""
+        return self(data=data, default=default)
 
     def __getitem__(self, key):
         """NX EdgeView subscript: ``G.edges[u, v]`` is the LIVE edge
@@ -3268,3 +3274,145 @@ def simrank_similarity(G: "Graph", source=None, target=None,
     if source is not None:
         return out[source]
     return out
+
+
+class NetworkXNoPath(NetworkXUnfeasible):
+    """upstream exception.py NetworkXNoPath (subclass of
+    NetworkXUnfeasible, as upstream)."""
+
+
+def _edge_weight_of(G: "Graph", weight):
+    """Edge-weight accessor per upstream convention: None -> 1,
+    attr-name string -> attr.get(name, 1), callable -> f(u, v, attrs)."""
+    if weight is None:
+        return lambda u, v, a: 1
+    if callable(weight):
+        return weight
+    return lambda u, v, a: a.get(weight, 1)
+
+
+def _dijkstra_lengths(G: "Graph", s, weight) -> dict:
+    import heapq
+
+    wf = _edge_weight_of(G, weight)
+    dist = {s: 0}
+    heap = [(0, 0, s)]  # (d, tiebreak, node) — nodes may be unorderable
+    tb = 0
+    seen = set()
+    while heap:
+        d, _, x = heapq.heappop(heap)
+        if x in seen:
+            continue
+        seen.add(x)
+        for y, attrs in G._succ.get(x, {}).items():
+            nd = d + wf(x, y, attrs)
+            if y not in dist or nd < dist[y]:
+                dist[y] = nd
+                tb += 1
+                heapq.heappush(heap, (nd, tb, y))
+    return dist
+
+
+def shortest_path_length(G: "Graph", source=None, target=None,
+                         weight=None):
+    """upstream generic.py::shortest_path_length — the full
+    return-shape matrix: (source, target) -> number; source only ->
+    {target: length}; target only -> {source: length}; neither -> an
+    iterator of (source, lengths-dict) pairs. Unweighted = hop BFS,
+    weighted = Dijkstra (attr name or callable). Driver-bound NX
+    surface; bulk distributed forms: algorithms/closeness.
+    all_pairs_shortest_path_length and algorithms/sssp."""
+    def lengths_from(s):
+        return (_bfs_lengths(G, s) if weight is None
+                else _dijkstra_lengths(G, s, weight))
+
+    if source is None and target is None:
+        return iter((v, lengths_from(v)) for v in G._node)
+    if source is not None and target is None:
+        if source not in G:
+            raise NodeNotFound(f"Source {source} is not in G")
+        return lengths_from(source)
+    if source is None:
+        if target not in G:
+            raise NodeNotFound(f"Target {target} is not in G")
+        if G.is_directed():
+            rev = G.reverse()
+            return _bfs_lengths(rev, target) if weight is None \
+                else _dijkstra_lengths(rev, target, weight)
+        return lengths_from(target)
+    d = lengths_from(source).get(target)
+    if d is None:
+        raise NetworkXNoPath(f"No path between {source} and {target}.")
+    return d
+
+
+def random_labeled_tree(n, seed=0) -> "Graph":
+    """upstream generators/trees.py::random_labeled_tree — a uniform
+    random labeled tree via a random Prüfer sequence. ``seed`` may be
+    an int (drawn through the repo's deterministic md5 discipline) or
+    a random.Random instance (drawn from its stream, upstream-style)."""
+    import hashlib
+    import random as _random
+
+    n = int(n)
+    G = Graph()
+    G.add_nodes_from(range(n))
+    if n < 2:
+        return G
+    if n == 2:
+        G.add_edge(0, 1)
+        return G
+    if isinstance(seed, _random.Random):
+        seq = [seed.randrange(n) for _ in range(n - 2)]
+    else:
+        seq = [
+            int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big") % n
+            for i in range(n - 2)
+        ]
+    # Prüfer decode
+    degree = [1] * n
+    for x in seq:
+        degree[x] += 1
+    import heapq
+    leaves = [v for v in range(n) if degree[v] == 1]
+    heapq.heapify(leaves)
+    for x in seq:
+        leaf = heapq.heappop(leaves)
+        G.add_edge(leaf, x)
+        degree[x] -= 1
+        if degree[x] == 1:
+            heapq.heappush(leaves, x)
+    u = heapq.heappop(leaves)
+    v = heapq.heappop(leaves)
+    G.add_edge(u, v)
+    return G
+
+
+def barycenter(G: "Graph", weight=None, attr=None, sp=None) -> list:
+    """upstream distance_measures.py::barycenter — vertices minimizing
+    total shortest-path distance (the median/centroid set); optional
+    per-node ``attr`` write-back and precomputed ``sp`` dict
+    (mutually exclusive with ``weight``, upstream contract)."""
+    if sp is None:
+        pairs = ((v, (_bfs_lengths(G, v) if weight is None
+                      else _dijkstra_lengths(G, v, weight)))
+                 for v in G._node)
+    else:
+        if weight is not None:
+            raise ValueError("Cannot use both sp, weight arguments together")
+        pairs = sp.items()
+    smallest, verts, n = float("inf"), [], len(G._node)
+    for v, dists in pairs:
+        if len(dists) < n:
+            raise NetworkXNoPath(
+                f"Input graph {G} is disconnected, so every induced "
+                "subgraph has infinite barycentricity.")
+        b = sum(dists.values())
+        if attr is not None:
+            G._node[v][attr] = b
+        if b < smallest:
+            smallest, verts = b, [v]
+        elif b == smallest:
+            verts.append(v)
+    return verts

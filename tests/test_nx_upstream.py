@@ -82,6 +82,7 @@ import networkx.algorithms.centrality.tests.test_closeness_centrality as _tcc
 import networkx.algorithms.tests.test_wiener as _tw
 import networkx.algorithms.tests.test_efficiency as _teff
 import networkx.algorithms.tests.test_dag as _tdag
+import networkx.algorithms.tests.test_distance_measures as _tdm
 
 
 class _GnxShim:
@@ -102,7 +103,7 @@ class _GnxShim:
 _shim = _GnxShim()
 for _mod in (_tdc, _trec, _trc, _tb, _th, _tcon, _tcl,
              _tcore, _tlp, _tbd, _tconn, _tsc, _twc, _tcc, _tw, _teff,
-             _tdag):
+             _tdag, _tdm):
     _mod.nx = _shim
 # direct (from networkx import X) names these modules captured at
 # import time — repoint them at the Spark-backed implementations too
@@ -369,3 +370,10 @@ test_is_aperiodic_single_node = _tdag.test_is_aperiodic_single_node
 test_ancestors_descendants_undirected = (
     _tdag.test_ancestors_descendants_undirected
 )
+
+
+# -- barycenter (test_distance_measures::TestBarycenter only — the
+#    eccentricity-family classes there need usebounds/sp/weight-fn
+#    variants of the distance API that remain out of scope; the
+#    eccentricity family has its own driver queries + tests) ----------
+TestBarycenter = _tdm.TestBarycenter
