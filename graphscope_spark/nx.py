@@ -97,7 +97,7 @@ __all__ = [
     "add_cycle", "dag", "algorithms", "generators",
     "simrank_similarity", "ExceededMaxIterations",
     "NetworkXNoPath", "shortest_path_length", "barycenter",
-    "random_labeled_tree",
+    "random_labeled_tree", "harmonic_diameter",
 ]
 
 
@@ -3416,3 +3416,32 @@ def barycenter(G: "Graph", weight=None, attr=None, sp=None) -> list:
         elif b == smallest:
             verts.append(v)
     return verts
+
+
+def harmonic_diameter(G: "Graph", sp=None, *, weight=None) -> float:
+    """upstream distance_measures.py::harmonic_diameter (Marchiori &
+    Latora 2000): n(n-1) / Σ_{d(u,v)≠0} 1/d — the reciprocal of
+    global efficiency, robust to disconnection (unreachable pairs
+    contribute 0). nan for <2 nodes, inf for edgeless multi-node
+    graphs. Bulk distributed form: algorithms/structure.
+    global_efficiency (hd = 1/efficiency)."""
+    import math
+
+    order = len(G._node)
+    sum_invd = 0.0
+    for v in G._node:
+        if sp is None:
+            lengths = (_bfs_lengths(G, v) if weight is None
+                       else _dijkstra_lengths(G, v, weight))
+        else:
+            try:
+                lengths = sp[v]
+                len(lengths)
+            except TypeError:
+                raise NetworkXError('Format of "sp" is invalid.') from None
+        for d in lengths.values():
+            if d != 0:
+                sum_invd += 1 / d
+    if sum_invd != 0:
+        return order * (order - 1) / sum_invd
+    return math.inf if order > 1 else math.nan

@@ -79,3 +79,41 @@ def test_modularity(pair):
     got = gnx.modularity(G, comm)
     want = nx.algorithms.community.modularity(R, comm)
     assert got == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_harmonic_diameter_vs_networkx(spark):
+    """upstream distance_measures.py::harmonic_diameter semantics
+    (finite on disconnected graphs, nan/inf degenerate cases,
+    weighted distances)."""
+    import math
+
+    assert gnx.harmonic_diameter(gnx.star_graph(3, ), ) == pytest.approx(
+        nx.harmonic_diameter(nx.star_graph(3)))
+    assert math.isnan(gnx.harmonic_diameter(gnx.empty_graph()))
+    assert math.isinf(gnx.harmonic_diameter(gnx.empty_graph(3)))
+    D = gnx.DiGraph(spark=spark)
+    D.add_edge(0, 1)
+    assert gnx.harmonic_diameter(D) == 2
+    g = gnx.gnp_random_graph(30, 0.15, seed=3)
+    r = nx.Graph(list(g.edges))
+    r.add_nodes_from(g.nodes)
+    assert gnx.harmonic_diameter(g) == pytest.approx(nx.harmonic_diameter(r))
+
+
+def test_barycenter_and_spl_vs_networkx(spark):
+    """barycenter + generic shortest_path_length return-shape matrix
+    (the vendored TestBarycenter covers the upstream cases; this adds
+    weighted and directed shapes)."""
+    g = gnx.Graph(spark=spark)
+    g.add_weighted_edges_from([(0, 1, 2.0), (1, 2, 1.0), (0, 2, 5.0)])
+    r = nx.Graph()
+    r.add_weighted_edges_from([(0, 1, 2.0), (1, 2, 1.0), (0, 2, 5.0)])
+    assert gnx.shortest_path_length(g, 0, 2, weight="weight") == \
+        nx.shortest_path_length(r, 0, 2, weight="weight")
+    assert gnx.barycenter(g, weight="weight") == nx.barycenter(r, weight="weight")
+    assert dict(gnx.shortest_path_length(g, source=0, weight="weight")) == \
+        dict(nx.shortest_path_length(r, source=0, weight="weight"))
+    with pytest.raises(gnx.NetworkXNoPath):
+        h = gnx.Graph(spark=spark)
+        h.add_nodes_from([1, 2])
+        gnx.shortest_path_length(h, 1, 2)
