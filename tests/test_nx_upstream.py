@@ -42,6 +42,9 @@ pytest from this file):
   hyper-Wiener indices incl. weighted + directed variants (14 tests)
 - algorithms/tests/test_efficiency.py — pairwise / global / local
   efficiency (7 tests)
+- algorithms/tests/test_distance_measures.py — TestBarycenter (4
+  tests; the eccentricity-family classes there need
+  usebounds/sp/weight-fn API variants that stay out of scope)
 - algorithms/tests/test_dag.py — topological sort/generations (incl.
   the mutation-detection RuntimeError contract), lexicographical +
   all_topological_sorts, longest path (weighted/negative), transitive
