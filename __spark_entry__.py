@@ -233,6 +233,17 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(g, fixed_rounds=8, two_phase=False)
 
 
+def q_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large/small-star CC run TO CONVERGENCE (the edge-rewriting loop
+    converges in O(log^2 n) rounds regardless of diameter, so
+    to-convergence is driver-budget-safe where hash-min is not); the
+    twin is the round-free recursive-closure formulation."""
+    from graphscope_spark.algorithms import cc_two_phase
+
+    g = H.g1(spark, sf_dir).build()
+    return cc_two_phase(g)
+
+
 def q_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = H.g2(spark, sf_dir).build()
     return cdlp(g, max_round=5)
@@ -3592,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass_g1_r5": q_spam_mass,
         "pagerank_w_g2w_r5": q_pagerank_weighted,
         "wcc_g1_r8": q_wcc,
+        "cc_twophase_g1": q_cc_twophase,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3791,6 +3803,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "spam_mass_g1_r5": H.spam_mass_sql(5),
         "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),
         "wcc_g1_r8": H.wcc_sql(8),
+        "cc_twophase_g1": H.cc_closure_sql(),
         "cdlp_g2_r5": H.cdlp_sql(5),
         "triangles_g2": H.TRIANGLES_SQL,
         "degree_centrality_g1": H.DEGREE_CENTRALITY_SQL,

@@ -119,6 +119,7 @@ def _register_builtins() -> None:
     for name, fn in {
         "pagerank": A.pagerank,
         "wcc": A.wcc,
+        "cc_two_phase": A.cc_two_phase,
         "cdlp": A.cdlp,
         "lpau2i": A.lpa_u2i,
         "sssp": A.sssp,

@@ -231,6 +231,31 @@ SELECT id, ROUND(rank, 6) AS rank FROM r{rounds}"""
     )
 
 
+def cc_closure_sql(graph_sql: str | None = None) -> str:
+    """To-convergence components twin for cc_two_phase (large/small-star)
+    — an INDEPENDENT formulation: undirected transitive closure via a
+    recursive CTE, comp(v) = min reachable id. No round structure at
+    all, so it checks the algorithm's *converged* answer rather than
+    mirroring its supersteps."""
+    return f"""
+WITH RECURSIVE edges0 AS MATERIALIZED ({graph_sql or G1_SQL}),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM edges0 WHERE src <> dst
+  UNION SELECT dst, src FROM edges0 WHERE src <> dst),
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges0 UNION ALL SELECT dst FROM edges0)),
+reach AS (
+  SELECT src AS s, dst AS d FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d),
+SELECT_FINAL AS MATERIALIZED (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(r.d), v.id)) AS comp
+  FROM verts v LEFT JOIN reach r ON r.s = v.id
+  GROUP BY v.id)
+SELECT id, comp FROM SELECT_FINAL"""
+
+
 def wcc_sql(rounds: int) -> str:
     """Unrolled hash-min over G1's undirected closure (§2.4.2).
     Plain hash-min (no pointer shortcut) so each SQL round mirrors one
