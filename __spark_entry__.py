@@ -233,6 +233,24 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(g, fixed_rounds=8, two_phase=False)
 
 
+def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched 4-seed personalized PageRank over G1 in ONE iterative
+    job (one rank column per seed; seeds = 4 smallest vertex ids), 5
+    fixed rounds — twin carries the same K columns through its CTE
+    chain."""
+    from graphscope_spark.algorithms import ppr_batch
+
+    g = H.g1(spark, sf_dir).build()
+    seeds = [
+        r[0]
+        for r in g.vertices.select("id").orderBy("id").limit(4).collect()
+    ]
+    out = ppr_batch(g, seeds, alpha=0.85, fixed_rounds=5)
+    return out.select(
+        "id", *[F.round(c, 6).alias(c) for c in out.columns if c != "id"]
+    )
+
+
 def q_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large/small-star CC run TO CONVERGENCE (the edge-rewriting loop
     converges in O(log^2 n) rounds regardless of diameter, so
@@ -3604,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_w_g2w_r5": q_pagerank_weighted,
         "wcc_g1_r8": q_wcc,
         "cc_twophase_g1": q_cc_twophase,
+        "ppr_batch_g1_r5": q_ppr_batch,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3804,6 +3823,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),
         "wcc_g1_r8": H.wcc_sql(8),
         "cc_twophase_g1": H.cc_closure_sql(),
+        "ppr_batch_g1_r5": H.ppr_batch_sql(5, 4),
         "cdlp_g2_r5": H.cdlp_sql(5),
         "triangles_g2": H.TRIANGLES_SQL,
         "degree_centrality_g1": H.DEGREE_CENTRALITY_SQL,

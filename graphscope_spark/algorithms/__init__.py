@@ -10,6 +10,7 @@ core/context/vertex_data_context.h) or a scalar.
 from graphscope_spark.algorithms.pagerank import pagerank
 from graphscope_spark.algorithms.wcc import wcc
 from graphscope_spark.algorithms.cc_twophase import cc_two_phase
+from graphscope_spark.algorithms.ppr import ppr_batch
 from graphscope_spark.algorithms.cdlp import cdlp
 from graphscope_spark.algorithms.triangles import triangles, triangle_count
 from graphscope_spark.algorithms.degree import (  # noqa: F401
@@ -120,7 +121,8 @@ from graphscope_spark.algorithms.reciprocity import (  # noqa: F401
 )
 
 __all__ = [
-    "pagerank", "wcc", "cc_two_phase", "cdlp", "triangles", "triangle_count",
+    "pagerank", "wcc", "cc_two_phase", "ppr_batch", "cdlp", "triangles",
+    "triangle_count",
     "degree_centrality", "degree_assortativity_coefficient",
     "hits", "k_core", "k_shell", "core_numbers", "max_core",
     "k_crust", "k_corona", "onion_layers",

@@ -120,6 +120,7 @@ def _register_builtins() -> None:
         "pagerank": A.pagerank,
         "wcc": A.wcc,
         "cc_two_phase": A.cc_two_phase,
+        "ppr_batch": A.ppr_batch,
         "cdlp": A.cdlp,
         "lpau2i": A.lpa_u2i,
         "sssp": A.sssp,

@@ -231,6 +231,66 @@ SELECT id, ROUND(rank, 6) AS rank FROM r{rounds}"""
     )
 
 
+def ppr_batch_sql(rounds: int, k: int = 4, alpha: float = 0.85) -> str:
+    """Unrolled K-seed batched personalized PageRank over G1 (twin of
+    algorithms/ppr.py::ppr_batch): seeds = the K smallest vertex ids,
+    one rank column per seed carried through the whole CTE chain —
+    the same columnar layout the Spark side ships per superstep."""
+    rcols = [f"r{j}" for j in range(k)]
+
+    def seed(j: int) -> str:
+        return f"(SELECT id FROM sv WHERE rn = {j + 1})"
+
+    ctes = [
+        f"edges AS MATERIALIZED ({G1_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        """outdeg AS MATERIALIZED (
+            SELECT v.id, CAST(COUNT(e.src) AS DOUBLE) AS outdeg
+            FROM verts v LEFT JOIN edges e ON e.src = v.id GROUP BY v.id)""",
+        """sv AS MATERIALIZED (
+            SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM verts)""",
+        "n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT o.id, o.outdeg, "
+        + ", ".join(
+            f"1.0/(SELECT n FROM n) AS {c}" for c in rcols
+        )
+        + " FROM outdeg o)",
+    ]
+    for i in range(rounds):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"COALESCE(SUM(CASE WHEN outdeg = 0 THEN {c} END), 0.0)"
+                f" * {alpha} AS {c}"
+                for c in rcols
+            )
+            + f" FROM {prev})"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            + ", ".join(f"SUM(p.{c} / p.outdeg) AS {c}" for c in rcols)
+            + f" FROM edges e JOIN {prev} p ON p.id = e.src AND p.outdeg > 0"
+            " GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"{cur} AS MATERIALIZED (SELECT v.id, v.outdeg, "
+            + ", ".join(
+                f"CASE WHEN v.id = {seed(j)} THEN {1.0 - alpha}"
+                f" + (SELECT {c} FROM d{i}) ELSE 0.0 END"
+                f" + {alpha} * COALESCE(c.{c}, 0.0) AS {c}"
+                for j, c in enumerate(rcols)
+            )
+            + f" FROM r0 v LEFT JOIN c{i} c ON c.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT id, "
+        + ", ".join(f"ROUND({c}, 6) AS {c}" for c in rcols)
+        + f" FROM r{rounds}"
+    )
+
+
 def cc_closure_sql(graph_sql: str | None = None) -> str:
     """To-convergence components twin for cc_two_phase (large/small-star)
     — an INDEPENDENT formulation: undirected transitive closure via a
