@@ -251,6 +251,21 @@ def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter 'seen before?' over documents: filter built from
+    even doc_ids' text, probed by every document. 4096 bits keeps the
+    false-positive rate nonzero on purpose — the twin replays the md5
+    hash family bit-for-bit, so even the FPs must match."""
+    from graphscope_spark.functions.bloom import bloom_filter_seen
+
+    docs = H.load(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    out = bloom_filter_seen(
+        docs, seen, "text", num_bits=4096, num_hashes=4
+    )
+    return out.select("doc_id", "maybe_seen")
+
+
 def q_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large/small-star CC run TO CONVERGENCE (the edge-rewriting loop
     converges in O(log^2 n) rounds regardless of diameter, so
@@ -3623,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_g1_r8": q_wcc,
         "cc_twophase_g1": q_cc_twophase,
         "ppr_batch_g1_r5": q_ppr_batch,
+        "bloom_seen": q_bloom_seen,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3824,6 +3840,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "wcc_g1_r8": H.wcc_sql(8),
         "cc_twophase_g1": H.cc_closure_sql(),
         "ppr_batch_g1_r5": H.ppr_batch_sql(5, 4),
+        "bloom_seen": H.bloom_seen_sql(4096, 4),
         "cdlp_g2_r5": H.cdlp_sql(5),
         "triangles_g2": H.TRIANGLES_SQL,
         "degree_centrality_g1": H.DEGREE_CENTRALITY_SQL,

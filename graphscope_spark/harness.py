@@ -291,6 +291,30 @@ def ppr_batch_sql(rounds: int, k: int = 4, alpha: float = 0.85) -> str:
     )
 
 
+def bloom_seen_sql(num_bits: int = 4096, num_hashes: int = 4) -> str:
+    """Twin of functions/bloom.py over documents: seen set = even
+    doc_ids' text; every probe row recomputes the SAME md5 positions,
+    so the exact false-positive set reproduces (membership at the
+    bit-position level — an independent formulation of the word-packed
+    Spark filter)."""
+    return f"""
+WITH docs AS MATERIALIZED (SELECT doc_id, CAST(text AS VARCHAR) AS text FROM documents),
+hs AS MATERIALIZED (SELECT range AS i FROM range({int(num_hashes)})),
+positions AS MATERIALIZED (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bloom|' || hs.i::VARCHAR || '|' || d.text), 1, 15))::BIGINT
+      % {int(num_bits)} AS pos
+  FROM docs d, hs WHERE d.doc_id % 2 = 0),
+pr AS MATERIALIZED (
+  SELECT d.doc_id,
+    ('0x' || substr(md5('bloom|' || hs.i::VARCHAR || '|' || d.text), 1, 15))::BIGINT
+      % {int(num_bits)} AS pos
+  FROM docs d, hs)
+SELECT pr.doc_id,
+       BOOL_AND(pr.pos IN (SELECT pos FROM positions)) AS maybe_seen
+FROM pr GROUP BY pr.doc_id"""
+
+
 def cc_closure_sql(graph_sql: str | None = None) -> str:
     """To-convergence components twin for cc_two_phase (large/small-star)
     — an INDEPENDENT formulation: undirected transitive closure via a
