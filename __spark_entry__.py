@@ -266,6 +266,25 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "maybe_seen")
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness crawl scheduling (web.crawl_schedule) over the
+    synthetic page URLs: deterministic md5 priority draw, per-host
+    fetch slots, 2s delay, per-host cap 50."""
+    urls = _synth_url_edges(spark, sf_dir).select(
+        F.col("src_url").alias("url")
+    ).distinct()
+    return W.crawl_schedule(urls, delay_sec=2.0, max_per_host=50)
+
+
+def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality report of the modulo-8 layout on G1: edge
+    cut, straggler balance, ghost-mirror count."""
+    from graphscope_spark.algorithms.partitioning import partition_quality
+
+    g = H.g1(spark, sf_dir)
+    return partition_quality(g, num_parts=8)
+
+
 def q_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large/small-star CC run TO CONVERGENCE (the edge-rewriting loop
     converges in O(log^2 n) rounds regardless of diameter, so
@@ -3463,6 +3482,42 @@ WHERE (CASE WHEN len(labels) >= 2
       NOT IN ('site3.com', 'site7.com', 'site11.com')
 """
 
+CRAWL_FRONTIER_SQL = f"""
+WITH e AS ({_SYNTH_URLS_SQL}),
+u AS (SELECT DISTINCT src_url AS url FROM e),
+h AS (SELECT url,
+        regexp_replace(lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+                       ':[0-9]+$', '') AS host,
+        ('0x' || substr(md5('crawl|' || url), 1, 15))::BIGINT AS pri
+      FROM u),
+s AS (SELECT url, host,
+        ROW_NUMBER() OVER (PARTITION BY host ORDER BY pri, url) - 1 AS slot
+      FROM h WHERE host <> '')
+SELECT url, host, CAST(slot AS BIGINT) AS slot,
+       CAST(slot * 2.0 AS DOUBLE) AS fetch_at
+FROM s WHERE slot < 50"""
+
+PARTITION_QUALITY_SQL = f"""
+WITH e AS MATERIALIZED ({H.G1_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+a AS (SELECT id, id % 8 AS part FROM verts),
+t AS (SELECT e.src, e.dst, s.part AS sp, d.part AS dp
+      FROM e JOIN a s ON s.id = e.src JOIN a d ON d.id = e.dst),
+cut AS (SELECT COUNT(*) AS num_edges,
+               COALESCE(SUM(CASE WHEN sp <> dp THEN 1 ELSE 0 END), 0) AS cut_edges
+        FROM t),
+loads AS (SELECT part, COUNT(*) AS load FROM a GROUP BY part),
+bal AS (SELECT CAST(MAX(load) AS DOUBLE) / AVG(load) AS balance FROM loads),
+gh AS (SELECT COUNT(*) AS ghost_vertices
+       FROM (SELECT DISTINCT src, dp FROM t WHERE sp <> dp)),
+np AS (SELECT COUNT(DISTINCT part) AS num_parts FROM a)
+SELECT np.num_parts, cut.num_edges, cut.cut_edges,
+       ROUND(CASE WHEN cut.num_edges > 0
+                  THEN CAST(cut.cut_edges AS DOUBLE) / cut.num_edges
+                  ELSE 0.0 END, 6) AS edge_cut_frac,
+       ROUND(bal.balance, 6) AS balance, gh.ghost_vertices
+FROM np, cut, bal, gh"""
+
 URL_CANONICAL_SQL = f"""
 WITH e AS ({_SYNTH_URLS_SQL}),
 u AS (SELECT DISTINCT src_url AS url FROM e),
@@ -3639,6 +3694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_twophase_g1": q_cc_twophase,
         "ppr_batch_g1_r5": q_ppr_batch,
         "bloom_seen": q_bloom_seen,
+        "crawl_frontier": q_crawl_frontier,
+        "partition_quality_g1": q_partition_quality,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3841,6 +3898,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "cc_twophase_g1": H.cc_closure_sql(),
         "ppr_batch_g1_r5": H.ppr_batch_sql(5, 4),
         "bloom_seen": H.bloom_seen_sql(4096, 4),
+        "crawl_frontier": CRAWL_FRONTIER_SQL,
+        "partition_quality_g1": PARTITION_QUALITY_SQL,
         "cdlp_g2_r5": H.cdlp_sql(5),
         "triangles_g2": H.TRIANGLES_SQL,
         "degree_centrality_g1": H.DEGREE_CENTRALITY_SQL,

@@ -30,7 +30,7 @@ expression-only and is exact for .com/.org/.net-style corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # scheme :// authority path [?query] [#fragment]
@@ -285,4 +285,51 @@ def robots_allowed(
             "url", "host", "path",
             F.coalesce(F.col("m.allow"), F.lit(True)).alias("allowed"),
         )
+    )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    url_col: str = "url",
+    priority: Column | None = None,
+    delay_sec: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: one fetch slot per
+    host per ``delay_sec`` (the crawler etiquette CC itself follows —
+    per-host rate limiting), assigned deterministically.
+
+    slot(u) = rank of u within its host's frontier, ordered by
+    ``priority`` (default: a deterministic md5 draw — an unbiased
+    shuffle that is restart-stable and engine-portable, same family as
+    sampling.py) then url; fetch_at = slot * delay_sec.
+
+    Scale shape: ONE window partitioned by host. Host cardinality is
+    huge (the partition key spreads), per-host groups are politeness-
+    bounded in practice; ``max_per_host`` truncates mega-host groups
+    (slot >= cap dropped) — the frontier a crawler would defer to the
+    next cycle anyway. No global window, no driver state.
+    """
+    u = _col(url_col)
+    host = url_host(u)
+    if priority is None:
+        # ascending draw == priority order; 15 hex chars, portable
+        priority = F.conv(
+            F.substring(F.md5(F.concat(F.lit("crawl|"), u)), 1, 15), 16, 10
+        ).cast("long")
+    w = Window.partitionBy("host").orderBy(F.col("_pri"), F.col(url_col))
+    out = (
+        urls.select(
+            u.alias(url_col), host.alias("host"), priority.alias("_pri")
+        )
+        .where(F.col("host") != "")
+        .withColumn("slot", F.row_number().over(w) - F.lit(1))
+    )
+    if max_per_host is not None:
+        out = out.where(F.col("slot") < int(max_per_host))
+    return out.select(
+        url_col,
+        "host",
+        "slot",
+        (F.col("slot") * F.lit(float(delay_sec))).alias("fetch_at"),
     )
