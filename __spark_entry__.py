@@ -365,6 +365,36 @@ def q_modularity_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(g, cdlp(g, max_round=5))
 
 
+def q_quotient_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient (contraction) graph of G1 under a 64-shard modulo
+    assignment — the generic sibling of condensation and louvain's
+    phase-2 contraction (host-graph-style rollup of any partition)."""
+    from graphscope_spark.algorithms.quotient import quotient_graph
+
+    g = H.g1(spark, sf_dir)
+    assign = g.vertices.select("id", (F.col("id") % 64).alias("label"))
+    q = quotient_graph(g, assign)
+    return q.edges.select("src", "dst", "n_edges")
+
+
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zhu-Ghahramani label spreading on undirected G1 from 4 seeds
+    (alternating classes on the 4 smallest ids), 5 fixed rounds,
+    packed class-score columns."""
+    from graphscope_spark.algorithms.spreading import label_spreading
+
+    g = H.g1(spark, sf_dir).build()
+    ids = [
+        r[0]
+        for r in g.vertices.select("id").orderBy("id").limit(4).collect()
+    ]
+    seeds = spark.createDataFrame(
+        [(v, i % 2) for i, v in enumerate(ids)], "id long, class long"
+    )
+    out = label_spreading(g, seeds, fixed_rounds=5)
+    return out.select("id", "label", F.round("score", 6).alias("score"))
+
+
 def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-sweep diameter lower bound on undirected G2 (BFS from
     min id, re-BFS from the farthest min-id vertex)."""
@@ -3696,6 +3726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,
         "crawl_frontier": q_crawl_frontier,
         "partition_quality_g1": q_partition_quality,
+        "quotient_shards_g1": q_quotient_g1,
+        "label_spreading_g1_r5": q_label_spreading,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3900,6 +3932,10 @@ def _oracle_sql_all() -> dict[str, str]:
         "bloom_seen": H.bloom_seen_sql(4096, 4),
         "crawl_frontier": CRAWL_FRONTIER_SQL,
         "partition_quality_g1": PARTITION_QUALITY_SQL,
+        "label_spreading_g1_r5": H.label_spreading_sql(5, 4),
+        "quotient_shards_g1": H.quotient_sql(
+            f"SELECT id, id % 64 AS label FROM (SELECT src AS id FROM ({H.G1_SQL}) UNION SELECT dst FROM ({H.G1_SQL}))",
+            H.G1_SQL),
         "cdlp_g2_r5": H.cdlp_sql(5),
         "triangles_g2": H.TRIANGLES_SQL,
         "degree_centrality_g1": H.DEGREE_CENTRALITY_SQL,

@@ -2813,6 +2813,89 @@ def _boruvka_ctes(
     return ctes, union
 
 
+def label_spreading_sql(rounds: int, n_seeds: int = 4) -> str:
+    """Unrolled Zhu-Ghahramani label spreading over undirected G1
+    (twin of algorithms/spreading.py): seeds = the n_seeds smallest
+    vertex ids, class = seed_rank % 2, two packed score columns."""
+    ccols = ["s_0", "s_1"]
+
+    def clamp(expr: str, c: int) -> str:
+        return (
+            f"CASE WHEN v.cls IS NOT NULL THEN"
+            f" (CASE WHEN v.cls = {c} THEN 1.0 ELSE 0.0 END)"
+            f" ELSE {expr} END"
+        )
+
+    ctes = [
+        f"edges0 AS MATERIALIZED ({G1_SQL})",
+        """sym AS MATERIALIZED (SELECT src, dst FROM edges0
+                 UNION SELECT dst, src FROM edges0)""",
+        """verts AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+              SELECT src AS id FROM edges0 UNION ALL SELECT dst FROM edges0))""",
+        """deg AS MATERIALIZED (
+            SELECT v.id, CAST(COUNT(s.src) AS DOUBLE) AS deg
+            FROM verts v LEFT JOIN sym s ON s.src = v.id GROUP BY v.id)""",
+        f"""seeds AS MATERIALIZED (
+            SELECT id, (rn - 1) % 2 AS cls FROM (
+              SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM verts)
+            WHERE rn <= {int(n_seeds)})""",
+        "base AS MATERIALIZED (SELECT d.id, d.deg, s.cls"
+        " FROM deg d LEFT JOIN seeds s ON s.id = d.id)",
+        "f0 AS MATERIALIZED (SELECT v.id, v.deg, v.cls, "
+        + ", ".join(
+            clamp("0.0", c) + f" AS {cc}" for c, cc in enumerate(ccols)
+        )
+        + " FROM base v)",
+    ]
+    for i in range(rounds):
+        prev, cur = f"f{i}", f"f{i + 1}"
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            + ", ".join(f"SUM(p.{cc}) AS {cc}" for cc in ccols)
+            + f" FROM sym e JOIN {prev} p ON p.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"{cur} AS MATERIALIZED (SELECT v.id, v.deg, v.cls, "
+            + ", ".join(
+                clamp(
+                    f"CASE WHEN v.deg > 0 THEN COALESCE(m.{cc}, 0.0) / v.deg"
+                    f" ELSE 0.0 END",
+                    c,
+                )
+                + f" AS {cc}"
+                for c, cc in enumerate(ccols)
+            )
+            + f" FROM base v LEFT JOIN m{i} m ON m.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id,
+       CAST(CASE WHEN GREATEST(s_0, s_1) > 0 THEN
+            (CASE WHEN s_0 = GREATEST(s_0, s_1) THEN 0 ELSE 1 END)
+       END AS BIGINT) AS label,
+       ROUND(GREATEST(s_0, s_1), 6) AS score
+FROM f{rounds}"""
+    )
+
+
+def quotient_sql(labels_sql: str, edges_sql: str | None = None) -> str:
+    """Twin of algorithms/quotient.quotient_graph edges (self_loops
+    dropped): label both endpoints with ``labels_sql``'s (id, label)
+    and roll up multiplicities."""
+    return f"""
+WITH lab AS MATERIALIZED ({labels_sql}),
+e AS MATERIALIZED ({edges_sql if edges_sql is not None else G2_SQL}),
+t AS (
+  SELECT ls.label AS src, ld.label AS dst
+  FROM e JOIN lab ls ON ls.id = e.src
+         JOIN lab ld ON ld.id = e.dst
+  WHERE ls.label <> ld.label)
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM t GROUP BY src, dst"""
+
+
 def modularity_sql(labels_sql: str, edges_sql: str | None = None) -> str:
     """Newman modularity of the assignment produced by ``labels_sql``
     (any query yielding (id, label)) over the symmetrized simple
