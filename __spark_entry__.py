@@ -61,6 +61,7 @@ from graphscope_spark.functions import dedup as D
 from graphscope_spark.functions import similarity as S
 from graphscope_spark.functions import text as T
 from graphscope_spark import web as W
+from graphscope_spark.generators import rmat_sql as _rmat_sql
 from graphscope_spark.graph import LinkGraph
 
 
@@ -375,6 +376,17 @@ def q_quotient_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = g.vertices.select("id", (F.col("id") % 64).alias("label"))
     q = quotient_graph(g, assign)
     return q.edges.select("src", "dst", "n_edges")
+
+
+def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph500 RMAT generator, scale 10 x edge_factor 8 (8192 edges,
+    1024-vertex id space): one zero-shuffle codegen projection; the
+    twin unrolls the identical md5 quadrant draws per bit level.
+    Independent of sf_dir by design — edge i is a pure function of
+    (seed, i)."""
+    from graphscope_spark.generators import rmat_edges
+
+    return rmat_edges(spark, scale=10, edge_factor=8)
 
 
 def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3728,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality_g1": q_partition_quality,
         "quotient_shards_g1": q_quotient_g1,
         "label_spreading_g1_r5": q_label_spreading,
+        "rmat_s10": q_rmat,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3933,6 +3946,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "crawl_frontier": CRAWL_FRONTIER_SQL,
         "partition_quality_g1": PARTITION_QUALITY_SQL,
         "label_spreading_g1_r5": H.label_spreading_sql(5, 4),
+        "rmat_s10": _rmat_sql(10, 8),
         "quotient_shards_g1": H.quotient_sql(
             f"SELECT id, id % 64 AS label FROM (SELECT src AS id FROM ({H.G1_SQL}) UNION SELECT dst FROM ({H.G1_SQL}))",
             H.G1_SQL),
