@@ -378,6 +378,18 @@ def q_quotient_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.edges.select("src", "dst", "n_edges")
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-style keep-best dedup on documents: one row per
+    (source, lang) — the longest text, doc_id as the deterministic
+    tiebreak — via a single map-side-combinable struct-max aggregate
+    (no window)."""
+    docs = H.load(spark, sf_dir, "documents")
+    best = D.keep_best(
+        docs, ["source", "lang"], F.col("n_chars"), "doc_id"
+    )
+    return best.select("source", "lang", "doc_id", "n_chars")
+
+
 def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph500 RMAT generator, scale 10 x edge_factor 8 (8192 edges,
     1024-vertex id space): one zero-shuffle codegen projection; the
@@ -3741,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quotient_shards_g1": q_quotient_g1,
         "label_spreading_g1_r5": q_label_spreading,
         "rmat_s10": q_rmat,
+        "keep_best_docs": q_keep_best,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3947,6 +3960,13 @@ def _oracle_sql_all() -> dict[str, str]:
         "partition_quality_g1": PARTITION_QUALITY_SQL,
         "label_spreading_g1_r5": H.label_spreading_sql(5, 4),
         "rmat_s10": _rmat_sql(10, 8),
+        "keep_best_docs": """
+WITH ranked AS (
+  SELECT source, lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM documents)
+SELECT source, lang, doc_id, n_chars FROM ranked WHERE rn = 1""",
         "quotient_shards_g1": H.quotient_sql(
             f"SELECT id, id % 64 AS label FROM (SELECT src AS id FROM ({H.G1_SQL}) UNION SELECT dst FROM ({H.G1_SQL}))",
             H.G1_SQL),

@@ -33,13 +33,34 @@ def wcc(
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
     two_phase: bool = True,
+    warm_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns DataFrame(id long, comp long) with comp = min id in the
-    weakly-connected component."""
+    weakly-connected component.
+
+    ``warm_labels``: optional (id, comp) from a PRIOR run over a
+    SUBGRAPH of this graph (edges/vertices added since, none removed —
+    the append-only crawl contract, streaming.py): the incremental
+    path. Hash-min converges to the min INITIAL label in each
+    component; with prior labels = min-id of an old sub-component,
+    that min is exactly the new component's min id, and rounds now
+    scale with how far the new edge batch moved labels, not with the
+    full graph diameter. After deletions, run cold (a removed bridge
+    can leave a stale smaller label with no member backing it)."""
     edges_sym = graph.undirected_edges().cache()
     edges_sym.count()
 
     init = graph.vertices.select(ID, F.col(ID).alias("comp"))
+    if warm_labels is not None:
+        wcols = warm_labels.columns
+        warm = warm_labels.select(
+            F.col(wcols[0]).cast("long").alias(ID),
+            F.col(wcols[1]).cast("long").alias("_warm"),
+        )
+        init = (
+            init.join(warm, ID, "left")
+            .select(ID, F.least("comp", F.coalesce("_warm", "comp")).alias("comp"))
+        )
 
     def step(state: DataFrame, it: int) -> DataFrame:
         msgs = edges_sym.join(

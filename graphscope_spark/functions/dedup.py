@@ -578,3 +578,37 @@ def dedup_substrings(
         (F.size("__w") - F.size(kept)).cast("long").alias("n_removed_tokens"),
         F.array_join(kept, delim).alias("clean_text"),
     )
+
+
+def keep_best(
+    df: DataFrame,
+    keys: list[str],
+    score,
+    tiebreak: str,
+) -> DataFrame:
+    """Keep the single best row per key group — the 'url dedup' /
+    'recrawl dedup' step of a CC-style pipeline (many captures of one
+    canonical url → keep the highest-quality capture).
+
+    best = max (score, tiebreak) lexicographically; ``score`` is a
+    column name or Column expression, ``tiebreak`` a column name that
+    is unique per row within a group (doc id, warc offset) so the
+    winner is total-order deterministic regardless of partitioning.
+
+    Plan: ONE map-side-combinable hash aggregate — max over
+    struct(score, tiebreak, row) — never a window: the classic
+    row_number()-over-key formulation sorts every group, this
+    reduces each group to a single running max per partition before
+    the shuffle (hub keys cost O(partitions), not O(group)).
+    """
+    sc = F.col(score) if isinstance(score, str) else score
+    packed = F.struct(
+        sc.alias("_s"),
+        F.col(tiebreak).alias("_t"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.max(packed).alias("_best"))
+        .select("_best._row.*")
+    )
