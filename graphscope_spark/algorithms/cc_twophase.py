@@ -108,25 +108,34 @@ def cc_two_phase(
         .select(F.col("_b").alias(SRC), F.col("_a").alias(DST))
     )
 
+    # ONE star op per runner round (even = large, odd = small): the
+    # runner localCheckpoints every round, so the large-star result is
+    # materialized before the small-star references it — chaining both
+    # ops in one step would re-execute the large-star subtree at every
+    # one of the small-star's 3 reads (measured 30 Exchanges/round vs
+    # ~8 split, BENCH/PLANS.md round-5 section).
     def step(state: DataFrame, it: int) -> DataFrame:
-        return _star_round(_star_round(state, large=True), large=False)
+        return _star_round(state, large=(it % 2 == 0))
 
     if fixed_rounds is not None:
         until = None
-        max_rounds = fixed_rounds
+        max_rounds = 2 * fixed_rounds
     else:
-        max_rounds = max_iter
+        max_rounds = 2 * max_iter
+
+        quiet = {"ops": 0}  # consecutive no-change star ops
 
         def until(new: DataFrame, old: DataFrame, it: int):
-            # set equality: same cardinality and no row of new outside
-            # old (new ⊆ old suffices given equal counts).
+            # stop only when BOTH ops of an alternation are no-ops
+            # (set equality: same cardinality and new ⊆ old).
             n_new = new.count()
             n_old = old.count()
             changed = (
                 n_new != n_old
                 or new.join(old, [SRC, DST], "left_anti").count() > 0
             )
-            return (not changed), {"edges": n_new}
+            quiet["ops"] = 0 if changed else quiet["ops"] + 1
+            return quiet["ops"] >= 2, {"edges": n_new}
 
     runner = SuperstepRunner(
         max_iter=max_rounds,

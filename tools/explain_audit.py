@@ -55,6 +55,116 @@ def main() -> int:
 
     g1 = H.g1(spark, sf_dir).build()
 
+    # ---- round-5 operators ------------------------------------------
+    # large/small-star round body (the edge-rewriting plan that repeats)
+    from graphscope_spark.algorithms.cc_twophase import _star_round
+    cc_state = g1.edges.where(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).localCheckpoint(eager=True)
+    sections.append((
+        "cc_two_phase star-op round body (one op per runner round)",
+        "expect: one partial+final hash agg computing min(neighbor) "
+        "per u, one shuffle join back to the pair list, one "
+        "hash-distinct — a handful of Exchanges on one key space, no "
+        "windows, no Python. The runner checkpoints between the large "
+        "and small ops, so neither re-executes the other's subtree "
+        "(chaining both in one step measured 30 Exchanges/round)",
+        plan_of(_star_round(cc_state, large=True)),
+    ))
+
+    # ppr_batch superstep body (K packed rank columns, ONE edge shuffle)
+    pedges = g1.edges.select("src", "dst").localCheckpoint(eager=True)
+    pstate = g1.vertices.select(
+        "id", F.lit(2.0).alias("outdeg"),
+        *[F.lit(0.25).alias(f"r{k}") for k in range(4)],
+    ).localCheckpoint(eager=True)
+    pcontrib = (
+        pedges.join(
+            pstate.where(F.col("outdeg") > 0).select(
+                F.col("id").alias("src"),
+                *[(F.col(f"r{k}") / F.col("outdeg")).alias(f"r{k}")
+                  for k in range(4)],
+            ),
+            "src",
+        )
+        .groupBy("dst")
+        .agg(*[F.sum(f"r{k}").alias(f"r{k}") for k in range(4)])
+    )
+    sections.append((
+        "ppr_batch superstep body (4 seeds packed)",
+        "expect: the SAME single E-shuffle as one pagerank superstep — "
+        "one join + one partial+final hash agg now carrying 4 sum "
+        "columns (map-side combined); K seeds never multiply the "
+        "shuffle count",
+        plan_of(pcontrib),
+    ))
+
+    # bloom probe: filter as literal, zero shuffle
+    from graphscope_spark.functions.bloom import BloomFilter, bloom_probe
+    docs5 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bf5 = BloomFilter(tuple([0] * 64), 4096, 4)
+    sections.append((
+        "bloom_probe (membership test)",
+        "expect: ONE Project over the scan — 4 md5 positions + "
+        "element_at bit tests against the array literal, zero "
+        "Exchanges, zero Python",
+        plan_of(bloom_probe(docs5, "text", bf5)),
+    ))
+
+    # RMAT generator: zero-shuffle codegen fold
+    from graphscope_spark.generators import rmat_edges
+    sections.append((
+        "rmat_edges (Graph500 generator, scale 10)",
+        "expect: Range → ONE Project with the aggregate() fold over "
+        "bit levels, zero Exchanges, zero Python — embarrassingly "
+        "parallel and restart-stable",
+        plan_of(rmat_edges(spark, scale=10, edge_factor=8)),
+    ))
+
+    # keep_best: struct-max aggregate, no window
+    from graphscope_spark.functions.dedup import keep_best as _keep_best
+    sections.append((
+        "keep_best (recrawl keep-best-per-key)",
+        "expect: ONE partial+final hash aggregate of max(struct(score, "
+        "tiebreak, row)) — map-side combine reduces hub keys to one "
+        "running max per partition; NO row_number window, no sort",
+        plan_of(
+            _keep_best(docs5, ["source", "lang"], F.col("n_chars"), "doc_id")
+        ),
+    ))
+
+    # label_spreading round body — same shape as pagerank superstep
+    lstate = g1.vertices.select(
+        "id", F.lit(2.0).alias("deg"), F.lit(None).cast("long").alias("_cls"),
+        F.lit(0.5).alias("s_0"), F.lit(0.5).alias("s_1"),
+    ).localCheckpoint(eager=True)
+    lmsgs = (
+        pedges.join(
+            lstate.select(F.col("id").alias("src"), "s_0", "s_1"), "src"
+        )
+        .groupBy("dst")
+        .agg(F.sum("s_0").alias("s_0"), F.sum("s_1").alias("s_1"))
+    )
+    sections.append((
+        "label_spreading round body (2 classes packed)",
+        "expect: one E-shuffle join + one partial+final hash agg with "
+        "2 packed sums, then the clamp projection — pagerank's plan "
+        "with class columns instead of rank",
+        plan_of(lmsgs),
+    ))
+
+    # quotient rollup: two label joins + one hash agg
+    from graphscope_spark.algorithms.quotient import quotient_graph
+    q_assign = g1.vertices.select("id", (F.col("id") % 64).alias("label"))
+    sections.append((
+        "quotient_graph rollup (64-shard contraction)",
+        "expect: two joins of E against the label table on the vertex "
+        "key + ONE partial+final hash agg on (label_src, label_dst); "
+        "no windows, no Python",
+        plan_of(quotient_graph(g1, q_assign).edges),
+    ))
+    # ---- end round-5 ------------------------------------------------
+
     # onion-decomposition peel round body (the per-layer plan). The
     # production loop localCheckpoints und/deg every round — audit the
     # round over checkpointed inputs, which is the plan that actually
