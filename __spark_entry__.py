@@ -768,15 +768,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 cleaning rules (functions/text.py c4_rules). The synthetic
-    corpus has no newlines or punctuation, so line structure is
-    injected in-query — identically in the DuckDB oracle — as a pure
-    function of (doc_id, text): 5-word lines, '.'-terminated except
-    every third line per doc, plus page-level lorem-ipsum / brace /
-    javascript injections on doc_id residues, exercising every rule in
-    both keep and drop directions."""
-    docs = H.load(spark, sf_dir, "documents")
+def _c4_injected_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with the line structure the C4 oracle injects —
+    see q_c4_rules docstring."""
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
     n = F.size(words)
     nlines = F.ceil(n / F.lit(5)).cast("int")
@@ -801,7 +795,54 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit("\nplease enable javascript to view this page."))
         .otherwise(F.lit("")),
     )
-    return T.c4_rules(docs.select("doc_id", text2.alias("text")))
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (functions/text.py c4_rules). The synthetic
+    corpus has no newlines or punctuation, so line structure is
+    injected in-query — identically in the DuckDB oracle — as a pure
+    function of (doc_id, text): 5-word lines, '.'-terminated except
+    every third line per doc, plus page-level lorem-ipsum / brace /
+    javascript injections on doc_id residues, exercising every rule in
+    both keep and drop directions."""
+    return T.c4_rules(_c4_injected_docs(H.load(spark, sf_dir, "documents")))
+
+
+def q_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-shaped composed filter over documents: lang=='en' AND
+    Gopher rules (raw text, min_stopword_hits=1 as in gopher_rules)
+    AND C4 rules (injected line structure, as in c4_rules) AND exact
+    keep-first dedup on the C4-cleaned text among survivors. The twin
+    nests the two existing stage oracles verbatim and adds the lang
+    test + winner join — the composition contract, not new rules."""
+    docs = H.load(spark, sf_dir, "documents")
+    c4 = T.c4_rules(_c4_injected_docs(docs)).select(
+        "doc_id", F.col("keep").alias("c4_keep"), "clean_text"
+    )
+    gop = T.gopher_rules(docs, min_stopword_hits=1).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    base = (
+        docs.select("doc_id", (F.col("lang") == "en").alias("lang_ok"))
+        .join(c4, "doc_id")
+        .join(gop, "doc_id")
+    )
+    passed = F.col("lang_ok") & F.col("gopher_keep") & F.col("c4_keep")
+    winners = (
+        base.where(passed)
+        .groupBy(F.md5("clean_text").alias("_h"))
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    return (
+        base.withColumn("_h", F.md5("clean_text"))
+        .join(winners, "_h", "left")
+        .select(
+            "doc_id", "lang_ok", "gopher_keep", "c4_keep",
+            (passed & (F.col("doc_id") != F.col("_keep_id"))).alias("is_dup"),
+            (passed & (F.col("doc_id") == F.col("_keep_id"))).alias("keep"),
+        )
+    )
 
 
 _BOILER = ("subscribe to our newsletter for daily updates and weekly "
@@ -2627,6 +2668,27 @@ SELECT doc_id, n_lines,
 FROM scored
 """
 
+FINEWEB_SQL = f"""
+WITH c AS MATERIALIZED (
+  SELECT doc_id, keep AS c4_keep, clean_text FROM ({C4_RULES_SQL}) tc),
+g AS MATERIALIZED (
+  SELECT doc_id, keep AS gopher_keep FROM ({GOPHER_RULES_SQL}) tg),
+b AS MATERIALIZED (
+  SELECT d.doc_id, d.lang = 'en' AS lang_ok, g.gopher_keep, c.c4_keep,
+         c.clean_text
+  FROM documents d JOIN c ON c.doc_id = d.doc_id
+                   JOIN g ON g.doc_id = d.doc_id),
+w AS MATERIALIZED (
+  SELECT md5(clean_text) AS h, MIN(doc_id) AS keep_id FROM b
+  WHERE lang_ok AND gopher_keep AND c4_keep GROUP BY md5(clean_text))
+SELECT b.doc_id, b.lang_ok, b.gopher_keep, b.c4_keep,
+       (b.lang_ok AND b.gopher_keep AND b.c4_keep
+        AND b.doc_id <> w.keep_id) AS is_dup,
+       (b.lang_ok AND b.gopher_keep AND b.c4_keep
+        AND b.doc_id = w.keep_id) AS keep
+FROM b LEFT JOIN w ON w.h = md5(b.clean_text)"""
+
+
 # ExactSubstr dedup: injection CTE mirrors q_dedup_substrings; the
 # pipeline mirrors functions/dedup.py::dedup_substrings (L=8 windows,
 # md5 over the space-joined window, first occurrence = min (doc_id,
@@ -3754,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading_g1_r5": q_label_spreading,
         "rmat_s10": q_rmat,
         "keep_best_docs": q_keep_best,
+        "fineweb_filter": q_fineweb,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -3960,6 +4023,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "partition_quality_g1": PARTITION_QUALITY_SQL,
         "label_spreading_g1_r5": H.label_spreading_sql(5, 4),
         "rmat_s10": _rmat_sql(10, 8),
+        "fineweb_filter": FINEWEB_SQL,
         "keep_best_docs": """
 WITH ranked AS (
   SELECT source, lang, doc_id, n_chars,
