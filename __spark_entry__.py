@@ -390,6 +390,24 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select("source", "lang", "doc_id", "n_chars")
 
 
+def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the 64-d embedding table
+    (functions/embeddings.py phase 1 of distributed PCA): posexplode
+    pair expansion into one map-side-combined hash aggregate — the
+    shuffle carries O(d^2 x partitions) partial sums only."""
+    from graphscope_spark.functions.embeddings import embedding_covariance
+
+    emb = H.load(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb, "embedding")
+    return cov.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        # + 0.0 folds IEEE -0.0 to 0.0 (the twin does the same): a
+        # tiny negative covariance rounding to zero must hash equal
+        (F.round("cov", 6) + F.lit(0.0)).alias("cov"),
+    )
+
+
 def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph500 RMAT generator, scale 10 x edge_factor 8 (8192 edges,
     1024-vertex id space): one zero-shuffle codegen projection; the
@@ -3817,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_s10": q_rmat,
         "keep_best_docs": q_keep_best,
         "fineweb_filter": q_fineweb,
+        "embedding_cov64": q_embedding_cov,
         "cdlp_g2_r5": q_cdlp,
         "triangles_g2": q_triangles,
         "degree_centrality_g1": q_degree_centrality,
@@ -4024,6 +4043,18 @@ def _oracle_sql_all() -> dict[str, str]:
         "label_spreading_g1_r5": H.label_spreading_sql(5, 4),
         "rmat_s10": _rmat_sql(10, 8),
         "fineweb_filter": FINEWEB_SQL,
+        "embedding_cov64": """
+WITH e AS MATERIALIZED (
+  SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+dd AS (SELECT range AS i FROM range(64)),
+pairs AS (
+  SELECT di.i AS i, dj.i AS j,
+         SUM(CAST(e.v[di.i + 1] AS DOUBLE) * CAST(e.v[dj.i + 1] AS DOUBLE)) AS sxy,
+         COUNT(*) AS n,
+         SUM(CAST(e.v[di.i + 1] AS DOUBLE)) AS sx,
+         SUM(CAST(e.v[dj.i + 1] AS DOUBLE)) AS sy
+  FROM e, dd di, dd dj WHERE di.i <= dj.i GROUP BY di.i, dj.i)
+SELECT i, j, ROUND(sxy / n - (sx / n) * (sy / n), 6) + 0.0 AS cov FROM pairs""",
         "keep_best_docs": """
 WITH ranked AS (
   SELECT source, lang, doc_id, n_chars,
