@@ -11,6 +11,9 @@ from graphscope_spark.algorithms.pagerank import pagerank
 from graphscope_spark.algorithms.wcc import wcc
 from graphscope_spark.algorithms.cc_twophase import cc_two_phase
 from graphscope_spark.algorithms.ppr import ppr_batch
+from graphscope_spark.algorithms.spreading import label_spreading
+from graphscope_spark.algorithms.quotient import quotient_graph
+from graphscope_spark.algorithms.partitioning import partition_quality
 from graphscope_spark.algorithms.cdlp import cdlp
 from graphscope_spark.algorithms.triangles import triangles, triangle_count
 from graphscope_spark.algorithms.degree import (  # noqa: F401
@@ -121,7 +124,8 @@ from graphscope_spark.algorithms.reciprocity import (  # noqa: F401
 )
 
 __all__ = [
-    "pagerank", "wcc", "cc_two_phase", "ppr_batch", "cdlp", "triangles",
+    "pagerank", "wcc", "cc_two_phase", "ppr_batch", "label_spreading",
+    "quotient_graph", "partition_quality", "cdlp", "triangles",
     "triangle_count",
     "degree_centrality", "degree_assortativity_coefficient",
     "hits", "k_core", "k_shell", "core_numbers", "max_core",

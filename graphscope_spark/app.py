@@ -121,6 +121,9 @@ def _register_builtins() -> None:
         "wcc": A.wcc,
         "cc_two_phase": A.cc_two_phase,
         "ppr_batch": A.ppr_batch,
+        "label_spreading": A.label_spreading,
+        "quotient_graph": A.quotient_graph,
+        "partition_quality": A.partition_quality,
         "cdlp": A.cdlp,
         "lpau2i": A.lpa_u2i,
         "sssp": A.sssp,
