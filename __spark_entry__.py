@@ -234,6 +234,17 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(g, fixed_rounds=8, two_phase=False)
 
 
+def q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component size histogram of G1 (Broder-style giant-component
+    report) over the converged large/small-star labels; twin = the
+    closure components rolled up identically."""
+    from graphscope_spark.algorithms import cc_two_phase
+    from graphscope_spark.algorithms.cc_twophase import component_stats
+
+    g = H.g1(spark, sf_dir).build()
+    return component_stats(cc_two_phase(g))
+
+
 def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched 4-seed personalized PageRank over G1 in ONE iterative
     job (one rank column per seed; seeds = 4 smallest vertex ids), 5
@@ -3826,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_w_g2w_r5": q_pagerank_weighted,
         "wcc_g1_r8": q_wcc,
         "cc_twophase_g1": q_cc_twophase,
+        "component_stats_g1": q_component_stats,
         "ppr_batch_g1_r5": q_ppr_batch,
         "bloom_seen": q_bloom_seen,
         "crawl_frontier": q_crawl_frontier,
@@ -4036,6 +4048,15 @@ def _oracle_sql_all() -> dict[str, str]:
         "pagerank_w_g2w_r5": H.pagerank_weighted_sql(5),
         "wcc_g1_r8": H.wcc_sql(8),
         "cc_twophase_g1": H.cc_closure_sql(),
+        "component_stats_g1": f"""
+WITH comps AS MATERIALIZED ({H.cc_closure_sql()}),
+sizes AS (SELECT comp, COUNT(*) AS size FROM comps GROUP BY comp),
+hist AS (SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY size),
+tot AS (SELECT COUNT(*) AS n FROM comps)
+SELECT h.size, h.n_components, h.size * h.n_components AS n_vertices,
+       ROUND(CAST(h.size * h.n_components AS DOUBLE) / tot.n, 6)
+         AS frac_vertices
+FROM hist h, tot""",
         "ppr_batch_g1_r5": H.ppr_batch_sql(5, 4),
         "bloom_seen": H.bloom_seen_sql(4096, 4),
         "crawl_frontier": CRAWL_FRONTIER_SQL,

@@ -80,6 +80,32 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     )
 
 
+def component_stats(labels: DataFrame) -> DataFrame:
+    """Component size distribution from any (id, comp) labeling (wcc,
+    cc_two_phase, scc): one row per distinct component SIZE with
+    (size, n_components, n_vertices, frac_vertices) — the
+    Broder-style giant-component report, aggregated over sizes so the
+    result stays tiny at any graph scale (two hash aggs + one scalar
+    broadcast; never a per-component materialization wider than the
+    size histogram)."""
+    cols = labels.columns
+    lab = labels.select(F.col(cols[0]).alias(ID), F.col(cols[1]).alias("comp"))
+    sizes = lab.groupBy("comp").agg(F.count("*").alias("size"))
+    hist = sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+    total = lab.select(F.count("*").alias("_n"))
+    return (
+        hist.crossJoin(total)
+        .select(
+            "size",
+            "n_components",
+            (F.col("size") * F.col("n_components")).alias("n_vertices"),
+            F.round(
+                (F.col("size") * F.col("n_components")) / F.col("_n"), 6
+            ).alias("frac_vertices"),
+        )
+    )
+
+
 def cc_two_phase(
     graph: LinkGraph,
     max_iter: int = 50,

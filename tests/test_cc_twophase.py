@@ -72,3 +72,24 @@ def test_fixed_rounds_reaches_fixpoint_on_toy(spark):
     # enough fixed rounds on the toy graph == converged answer
     got = _run(spark, TOY_EDGES, TOY_VERTICES, fixed_rounds=6)
     assert got == _nx_comps(TOY_EDGES, TOY_VERTICES)
+
+
+def test_component_stats(spark):
+    from graphscope_spark.algorithms.cc_twophase import component_stats
+
+    g = LinkGraph.from_edges(
+        spark.createDataFrame(TOY_EDGES, ["src", "dst"]),
+        vertices=spark.createDataFrame(
+            [(v,) for v in TOY_VERTICES], ["id"]
+        ),
+        directed=True,
+    )
+    stats = {
+        r["size"]: r for r in component_stats(cc_two_phase(g)).collect()
+    }
+    # toy graph: comp A = {0..5} (6), chain {6,7,8} (3), triangle
+    # {9,10,11} (3)
+    assert stats[6]["n_components"] == 1
+    assert stats[3]["n_components"] == 2
+    assert stats[3]["n_vertices"] == 6
+    assert stats[6]["frac_vertices"] == pytest.approx(0.5)
