@@ -87,3 +87,24 @@ def test_empty_and_no_seeds(spark):
     assert ppr_batch(empty, [1, 2], fixed_rounds=2).count() == 0
     with pytest.raises(ValueError):
         ppr_batch(_graph(spark), [])
+
+
+def test_undirected_matches_single_seed(spark):
+    from graphscope_spark import LinkGraph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4)]
+    g = LinkGraph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), directed=False
+    )
+    batch = {
+        r["id"]: r for r in ppr_batch(g, [0, 4], fixed_rounds=6).collect()
+    }
+    for k, s in enumerate([0, 4]):
+        single = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                g, fixed_rounds=6, personalization={s: 1.0}
+            ).collect()
+        }
+        for v in single:
+            assert batch[v][f"r{k}"] == pytest.approx(single[v], abs=1e-12)
